@@ -1,0 +1,7 @@
+"""Driver-contract query definitions, grouped by SURVEY.md §2 section.
+
+Importing this package registers every query into
+``dieter___etl___monarchmoney_spark.registry``.
+"""
+
+from dieter___etl___monarchmoney_spark.queries import core  # noqa: F401

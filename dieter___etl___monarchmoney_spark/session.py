@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+Reference parity notes (SURVEY.md §4 physical-execution notes):
+- session timezone is UTC to match the reference's `_parse_iso` UTC
+  normalization (MonarchMoneyMain-v3.py:181-187);
+- AQE is on so skewed joins/aggs re-plan at runtime — at 100 TB the
+  fact-table group-bys and joins need AQE skew handling and coalesced
+  shuffle partitions;
+- Arrow is on for the (rare) Pandas-UDF extension operators.
+
+``spark.sql.shuffle.partitions`` defaults to a local-mode-friendly value;
+on a real cluster let AQE coalesce from a high initial number instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dieter-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the configured SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,44 @@
+"""Local replica of the driver's oracle comparison: run the Spark query
+and the DuckDB SQL on the same parquet tables, sort columns by name,
+compare row-count + schema-shape + values (order-insensitive)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import pandas as pd
+
+
+def _norm_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        # mirror a hash over short repr; flag FP drift at 1e-9 relative
+        return round(v, 9) if abs(v) < 1e9 else round(v, 2)
+    if isinstance(v, (_dt.datetime, pd.Timestamp)):
+        ts = pd.Timestamp(v)
+        # duckdb's .df() widens DATE to datetime64; treat midnight as date
+        return ts.date().isoformat() if ts == ts.normalize() else ts.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(_norm_cell)
+    return df.sort_values(by=list(df.columns), key=lambda s: s.map(str)).reset_index(
+        drop=True
+    )
+
+
+def compare(spark_df, duck_rel) -> None:
+    got = normalize(spark_df.toPandas())
+    want = normalize(duck_rel.df())
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: spark={list(got.columns)} duckdb={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} duckdb={len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
