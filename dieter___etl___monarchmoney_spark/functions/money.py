@@ -37,7 +37,8 @@ def clean_currency(col: Column | str) -> Column:
       faithful typed analog — callers may ``coalesce`` a fallback).
     """
     c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(c.cast("string"))
+    # NULL behaves like empty: the reference does float(value or 0)
+    trimmed = F.trim(F.coalesce(c.cast("string"), F.lit("")))
     # (x) accounting negative -> -x, applied before symbol stripping
     negated = F.when(
         trimmed.rlike(r"^\(.*\)$"),
@@ -46,7 +47,7 @@ def clean_currency(col: Column | str) -> Column:
     stripped = F.regexp_replace(negated, r"[$,\s]", "")
     return (
         F.when(stripped == "", F.lit(0.0))
-        .otherwise(F.try_cast(stripped, "double"))
+        .otherwise(stripped.try_cast("double"))
     )
 
 

@@ -1,0 +1,158 @@
+"""Incremental load protocol (SURVEY.md §2.9 T1-T4, §2.3 J4, §2.7 U1).
+
+The reference's incremental machinery (MonarchMoneyMain-v3.py:1218-1337):
+read a ``last_run_utc`` watermark from a control table, derive the reload
+window [start-of-day(watermark), now], re-extract the WHOLE window, keep
+existing rows strictly before the window start, replace everything inside
+it, then advance the watermark. Late/changed data is handled because the
+window restarts at the watermark day (T2) — re-runs are idempotent.
+
+Spark mapping: the keep/replace merge is a filter + unionByName (exactly
+the reference's `kept + txn_norm`); at scale the sink should be
+date-partitioned so the same operation is a partition overwrite
+(``replaceWhere``) touching only the window's partitions, never a full
+rewrite. Both forms are provided.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WATERMARK_KEY = "last_run_utc"
+
+
+def read_watermark(spark: SparkSession, control_path: str) -> dt.datetime | None:
+    """T1 — read the control table's watermark (Control!B2 analog,
+    MonarchMoneyMain-v3.py:1218-1225). Control is a tiny key/value
+    parquet table (FIXTURES.md §9)."""
+    try:
+        rows = (
+            spark.read.parquet(control_path)
+            .filter(F.col("key") == WATERMARK_KEY)
+            .collect()
+        )
+    except Exception:
+        return None
+    if not rows or rows[0]["value"] in (None, ""):
+        return None
+    return dt.datetime.fromisoformat(rows[0]["value"])
+
+
+def write_watermark(spark: SparkSession, control_path: str, ts: dt.datetime) -> None:
+    """T3 — advance the watermark post-commit
+    (MonarchMoneyMain-v3.py:1336-1337)."""
+    spark.createDataFrame(
+        [(WATERMARK_KEY, ts.isoformat())], ["key", "value"]
+    ).coalesce(1).write.mode("overwrite").parquet(control_path)
+
+
+def derive_window(
+    watermark: dt.datetime | None,
+    now: dt.datetime,
+    *,
+    backfill_days: int = 3650,
+    force_full_refresh: bool = False,
+    force_start_date: dt.date | None = None,
+) -> tuple[dt.date, dt.datetime]:
+    """T1/T4 — reload-window derivation (MonarchMoneyMain-v3.py:1228-1259):
+    start = start-of-day(watermark); no watermark or forced refresh ⇒
+    backfill_days before now; FORCE_START_DATE overrides everything."""
+    if force_start_date is not None:
+        return force_start_date, now
+    if watermark is None or force_full_refresh:
+        return (now - dt.timedelta(days=backfill_days)).date(), now
+    return watermark.date(), now
+
+
+def replace_window_merge(
+    existing: DataFrame, fresh: DataFrame, date_col: str, window_start: dt.date
+) -> DataFrame:
+    """J4 + U1 + T2 — keep existing rows strictly before the window
+    start, replace everything at/after it with the fresh extract
+    (MonarchMoneyMain-v3.py:1312-1326). ``unionByName`` with missing-column
+    tolerance mirrors the reference's re-flattening of legacy rows to the
+    merged key set (U2 schema-union)."""
+    kept = existing.filter(F.col(date_col) < F.lit(window_start.isoformat()))
+    return kept.unionByName(fresh, allowMissingColumns=True)
+
+
+def overwrite_window_partitions(
+    fresh: DataFrame, sink_path: str, date_col: str, window_start: dt.date
+) -> None:
+    """T2 at scale — dynamic partition overwrite of only the reload
+    window's date partitions. The sink is written partitioned by the
+    date column; at 100 TB this touches just the window, not the table."""
+    (
+        fresh.filter(F.col(date_col) >= F.lit(window_start.isoformat()))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(date_col)
+        .parquet(sink_path)
+    )
+
+
+def run_incremental_load(
+    spark: SparkSession,
+    *,
+    source: DataFrame,
+    sink_path: str,
+    control_path: str,
+    date_col: str,
+    now: dt.datetime,
+    backfill_days: int = 3650,
+    advance_on_empty: bool = True,
+) -> dict:
+    """The full T1→T4 lifecycle against parquet paths (§3.1 steps 5-10).
+
+    Returns a small manifest dict (window, row counts) for observability.
+    The watermark write happens after the sink write — same non-atomicity
+    as the reference (§3.1 step 10), safe for the same reason: re-runs
+    re-extract and replace the whole window.
+    """
+    wm = read_watermark(spark, control_path)
+    start, end = derive_window(wm, now, backfill_days=backfill_days)
+    fresh = source.filter(
+        (F.col(date_col) >= F.lit(start.isoformat()))
+        & (F.col(date_col) <= F.lit(end.date().isoformat()))
+    )
+    try:
+        existing = spark.read.parquet(sink_path)
+        has_existing = True
+    except Exception:
+        has_existing = False
+    if has_existing:
+        merged = replace_window_merge(existing, fresh, date_col, start)
+    else:
+        merged = fresh
+    n = merged.count()
+    fresh_n = fresh.count()
+    # can't overwrite a path we're still reading: stage then swap (a
+    # lakehouse deployment would use Delta replaceWhere / MERGE instead)
+    staging = sink_path.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staging)
+    import shutil
+
+    if os.path.exists(sink_path):
+        shutil.rmtree(sink_path)
+    os.rename(staging, sink_path)
+    if fresh_n > 0 or advance_on_empty:
+        write_watermark(spark, control_path, end)
+    return {
+        "window_start": start.isoformat(),
+        "window_end": end.isoformat(),
+        "fresh_rows": fresh_n,
+        "total_rows": n,
+    }
+
+
+def reset_control(spark: SparkSession, control_path: str) -> None:
+    """K6 — clear_and_reset.py analog: blank the watermark so the next
+    run backfills."""
+    spark.createDataFrame([(WATERMARK_KEY, "")], ["key", "value"]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(control_path)

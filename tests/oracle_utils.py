@@ -11,8 +11,15 @@ import pandas as pd
 
 
 def _norm_cell(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    import decimal
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return None
+    if isinstance(v, decimal.Decimal):
+        # a Decimal reaching the comparator means the oracle SQL produced a
+        # DECIMAL column where Spark produces DOUBLE — a type drift the
+        # driver's value hash would flag even when values are equal
+        raise AssertionError(f"oracle produced DECIMAL {v!r}; CAST it to DOUBLE in the SQL")
     if isinstance(v, float):
         # mirror a hash over short repr; flag FP drift at 1e-9 relative
         return round(v, 9) if abs(v) < 1e9 else round(v, 2)
