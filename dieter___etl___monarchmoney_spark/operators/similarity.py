@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk`` — brute-force exact top-k: one scan, no shuffle except
+  the final top-k (TakeOrderedAndProject). The 100 TB baseline: score is
+  a fold over the array, JVM-side, no UDF.
+- ``lsh_ann_topk`` — random-hyperplane LSH: b sign-bits bucket the
+  vectors; the query probes only its own bucket (multi-probe: flip one
+  bit at a time). Scan cost drops ~2^b×; recall controlled by b and
+  probes. This is the scale path — the bucket id is a partition key, so
+  at 100 TB the probe reads a handful of partitions instead of the table.
+- ``embedding_neardup_pairs`` — near-dup detection: bucket self-join on
+  LSH signature, cosine verify inside buckets (mirrors MinHash LSH for
+  text; never materializes n² pairs).
+
+Dot products fold left-to-right (F.aggregate) so the oracle
+(DuckDB list_reduce, same order) produces bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity against a constant
+    query vector. Ties broken by id for determinism."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = vectors.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("similarity"),
+    )
+    return scored.orderBy(F.col("similarity").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (seeded) — fixed at plan time so
+    every executor and every run buckets identically."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim)
+
+
+def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature: bit i = 1 iff vec · plane_i > 0."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(dot(vec, p) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    bits: int = 8,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict the cosine scan to the query's LSH
+    bucket (+ buckets at hamming distance ≤ multiprobe), then exact
+    re-rank inside. At scale the table is written partitioned/bucketed
+    by ``bucket`` so the probe is partition-pruned I/O, not a full scan."""
+    import itertools
+
+    planes = _hyperplanes(len(query_vec), bits, seed)
+    qv = np.asarray(query_vec, dtype=float)
+    qsig = sum(1 << i for i, p in enumerate(planes) if float(np.dot(qv, p)) > 0)
+    # multi-probe: all buckets within hamming distance `multiprobe`
+    probe = {qsig}
+    for h in range(1, multiprobe + 1):
+        for flips in itertools.combinations(range(bits), h):
+            sig = qsig
+            for i in flips:
+                sig ^= 1 << i
+            probe.add(sig)
+    bucketed = vectors.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("bucket").isin([int(s) for s in probe]))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("similarity"))
+    return scored.orderBy(F.col("similarity").desc(), F.col(id_col)).limit(k)
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs: LSH-bucket self-join + exact cosine
+    verify. The join shuffles on the bucket id; Σ bucket² ≪ n²."""
+    planes = _hyperplanes(dim, bits, seed)
+    sig = vectors.select(
+        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("bucket")
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    verified = pairs.select(
+        "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("similarity")
+    ).filter(F.col("similarity") >= threshold)
+    return verified.distinct()

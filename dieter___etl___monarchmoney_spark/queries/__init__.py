@@ -4,4 +4,9 @@ Importing this package registers every query into
 ``dieter___etl___monarchmoney_spark.registry``.
 """
 
-from dieter___etl___monarchmoney_spark.queries import core, relational  # noqa: F401
+from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
+    budget,
+    core,
+    llm_pipeline,
+    relational,
+)

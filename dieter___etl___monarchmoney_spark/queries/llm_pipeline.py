@@ -1,0 +1,307 @@
+"""LLM training-data pipeline queries over ``documents`` and
+``embeddings``: text analysis, dedup (exact → MinHash LSH), similarity
+search, multimodal plumbing.
+
+Oracle-checked wherever DuckDB can express the same computation (md5
+signatures, list folds); the genuinely non-SQL paths (SimHash bit votes,
+LSH ANN probing, mapInPandas decode) register rows-only and are
+validated in tests/test_llm_pipeline.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.functions.text import (
+    BPE_PATTERN,
+    STOPWORDS,
+    bpe_token_count,
+    fingerprint_md5,
+    lang_id,
+    punct_count,
+    quality_score,
+    stopword_hits,
+    token_count,
+)
+from dieter___etl___monarchmoney_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_dedup_pairs,
+    simhash_buckets,
+    token_multiset_signature,
+)
+from dieter___etl___monarchmoney_spark.operators.multimodal import (
+    binary_metadata,
+    decode_stub,
+)
+from dieter___etl___monarchmoney_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+)
+from dieter___etl___monarchmoney_spark.registry import query
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _stop_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_distinct(list_filter({_TOKS_SQL}, t -> t IN ({words}))))"
+    )
+
+
+@query(
+    "text_token_stats",
+    rf"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish sub-word tokens +
+    chars, per document — the budget inputs for tokenizer-load
+    estimation."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@query(
+    "text_language_id",
+    f"""
+    SELECT doc_id,
+           CASE
+             WHEN {_stop_sql('en')} >= GREATEST({_stop_sql('es')}, {_stop_sql('de')}, {_stop_sql('fr')})
+                  AND {_stop_sql('en')} > 0 THEN 'en'
+             WHEN {_stop_sql('es')} >= GREATEST({_stop_sql('en')}, {_stop_sql('de')}, {_stop_sql('fr')})
+                  AND {_stop_sql('es')} > 0 THEN 'es'
+             WHEN {_stop_sql('de')} >= GREATEST({_stop_sql('en')}, {_stop_sql('es')}, {_stop_sql('fr')})
+                  AND {_stop_sql('de')} > 0 THEN 'de'
+             WHEN {_stop_sql('fr')} >= GREATEST({_stop_sql('en')}, {_stop_sql('es')}, {_stop_sql('de')})
+                  AND {_stop_sql('fr')} > 0 THEN 'fr'
+             ELSE 'und'
+           END AS lang_guess,
+           {_stop_sql('en')} AS en_hits
+    FROM documents
+    """,
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: distinct stopword hits per language,
+    argmax with fixed tie priority."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_guess"),
+        stopword_hits("text", "en").alias("en_hits"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    rf"""
+    SELECT doc_id,
+           0.4 * LEAST(CAST(len({_TOKS_SQL}) AS DOUBLE) / 64.0, 1.0)
+         + 0.4 * LEAST(CAST({_stop_sql('en')} AS DOUBLE) / 10.0, 1.0)
+         + 0.2 * (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                              / GREATEST(CAST(len({_TOKS_SQL}) AS DOUBLE), 1.0), 1.0))
+           AS quality,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+    FROM documents
+    """,
+)
+def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length/stopword/punctuation ratios."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        punct_count("text").alias("n_punct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           MIN(doc_id) AS survivor_id, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text, one shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    return exact_dedup_groups(docs, "text", "doc_id")
+
+
+@query(
+    "dedup_token_multiset",
+    rf"""
+    SELECT md5(array_to_string(list_sort({_TOKS_SQL}), ' ')) AS signature,
+           MIN(doc_id) AS survivor_id, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_token_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: catches word-order-shuffled duplicates."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.withColumn("signature", token_multiset_signature("text"))
+        .groupBy("signature")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_MINHASH_SIG_SQL = rf"""
+    WITH docs AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS shingle
+        FROM docs
+    ),
+    sig AS (
+        SELECT doc_id,
+               {", ".join(f"min(substr(md5(shingle), {(j - 1) * 8 + 1}, 8)) AS mh{j}" for j in range(1, 5))},
+               {", ".join(f"min(substr(md5('x' || shingle), {(j - 5) * 8 + 1}, 8)) AS mh{j}" for j in range(5, 9))}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, '0' || '|' || mh1 || '|' || mh2 AS band_key FROM sig
+        UNION ALL SELECT doc_id, '1' || '|' || mh3 || '|' || mh4 FROM sig
+        UNION ALL SELECT doc_id, '2' || '|' || mh5 || '|' || mh6 FROM sig
+        UNION ALL SELECT doc_id, '3' || '|' || mh7 || '|' || mh8 FROM sig
+    )
+"""
+
+
+@query(
+    "minhash_lsh_candidates",
+    _MINHASH_SIG_SQL
+    + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band_key)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=8, md5-derived) + LSH banding (4 bands × 2 rows):
+    candidate near-dup pairs via band-bucket self-join — the n²-free
+    dedup path. Signatures match the oracle bit for bit."""
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_lsh_dedup_pairs(docs, "text", "doc_id")
+
+
+@query("simhash_buckets")  # bit-vote fold: not SQL-expressible → rows-only
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup buckets (hamming-0)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_buckets(docs, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           {_DOT.format(a='e.embedding', b='q.qv')}
+           / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+              * sqrt({_DOT.format(a='q.qv', b='q.qv')})) AS similarity
+    FROM embeddings e, q
+    ORDER BY similarity DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k against the vec_id=0 query vector.
+    Dot products fold left-to-right in both engines → bit-identical."""
+    vectors = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk(vectors, _query_vec(spark, sf_dir), k=10)
+
+
+@query("ann_lsh_topk")  # seeded-hyperplane probe: rows-only (recall tested)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path for ANN)."""
+    vectors = load_table(spark, "embeddings", sf_dir)
+    return lsh_ann_topk(vectors, _query_vec(spark, sf_dir), k=10, bits=6, multiprobe=1)
+
+
+@query("embedding_neardup_pairs")  # rows-only (verified in tests)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket self-join +
+    exact verify."""
+    vectors = load_table(spark, "embeddings", sf_dir)
+    return embedding_neardup_pairs(vectors, threshold=0.9, bits=6)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_metadata",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata without decode (JVM-only): documents' text
+    encoded to bytes plays the opaque media blob."""
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    return binary_metadata(docs, "blob").select("doc_id", "n_bytes")
+
+
+@query("multimodal_decode_fake")  # mapInPandas plumbing: rows-only
+def q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode plumbing with the deterministic fake decoder
+    (real decode stubbed — no media libs in this container)."""
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    return decode_stub(docs, "blob", "doc_id", fake=True)
