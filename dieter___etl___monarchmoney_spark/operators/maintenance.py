@@ -1,0 +1,66 @@
+"""Table-maintenance CRUD (SURVEY.md §2.1 M1): the reference's ~700 LoC
+of GraphQL write-back mutations (create/update/delete account,
+transaction, category, tag, splits, budget amount —
+monarchmoney.py:356-2640) map to row-level upsert/delete helpers over
+the sink tables. Pure-DataFrame merges (anti-join + union) — on a
+lakehouse sink the same semantics are a Delta ``MERGE INTO``.
+
+Not core analytics (SURVEY.md: "thin table-maintenance functions");
+correctness over cleverness, but still distributed: every helper is a
+single anti-join shuffle keyed on the row id — no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert_rows(table: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """update_* mutations: replace rows whose key appears in ``updates``,
+    insert the rest (monarchmoney.py:2410-2570 update_transaction et al).
+    Update rows win entirely (full-row semantics, like the reference's
+    server)."""
+    kept = table.join(updates.select(key), key, "left_anti")
+    return kept.unionByName(updates, allowMissingColumns=True)
+
+
+def delete_rows(table: DataFrame, keys: Sequence, key: str) -> DataFrame:
+    """delete_* mutations (monarchmoney.py:560-598, 1615-1662): anti-join
+    on the id list. For bulk deletes (the reference parallelizes with
+    asyncio.gather, :1738-1747) the list rides a broadcast."""
+    if not keys:
+        return table
+    return table.filter(~F.col(key).isin(list(keys)))
+
+
+def insert_rows(table: DataFrame, new_rows: DataFrame, key: str) -> DataFrame:
+    """create_* mutations (monarchmoney.py:356-414, 1556-1613): append,
+    rejecting ids that already exist (the server generates fresh ids;
+    a batch engine must not silently duplicate)."""
+    fresh = new_rows.join(table.select(key), key, "left_anti")
+    return table.unionByName(fresh, allowMissingColumns=True)
+
+
+def update_field_where(
+    table: DataFrame, key_col: str, keys: Sequence, field: str, value
+) -> DataFrame:
+    """set_budget_amount / set_transaction_tags-shaped point updates
+    (monarchmoney.py:2572-2640, 1924-1977): set one field on matching
+    rows, leave everything else untouched."""
+    cond = F.col(key_col).isin(list(keys))
+    return table.withColumn(field, F.when(cond, F.lit(value)).otherwise(F.col(field)))
+
+
+def update_splits(
+    txns: DataFrame, parent_id, splits: DataFrame, id_col: str = "txn_id"
+) -> DataFrame:
+    """update_transaction_splits (monarchmoney.py:2179-2251): replace the
+    children of one parent with a new split set; split rows carry
+    ``parent_id`` pointing at the original transaction."""
+    kept = txns.filter(
+        (F.col("parent_id").isNull()) | (F.col("parent_id") != F.lit(parent_id))
+    )
+    return kept.unionByName(splits, allowMissingColumns=True)

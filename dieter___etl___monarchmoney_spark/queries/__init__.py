@@ -7,6 +7,8 @@ Importing this package registers every query into
 from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     budget,
     core,
+    filters,
     llm_pipeline,
     relational,
+    streaming_queries,
 )

@@ -1,0 +1,69 @@
+"""Streaming + sessionization queries (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.registry import query
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+from dieter___etl___monarchmoney_spark.streaming.sessionize import sessionize_batch
+from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
+    daily_rollup_stream,
+    read_events_stream,
+    run_available_now,
+)
+
+
+@query(
+    "streaming_daily_rollup",
+    """
+    SELECT CAST(ts AS DATE) AS date, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2/A5-A6 as Structured Streaming: file-source stream →
+    watermarked tumbling daily window → availableNow execution. On a
+    batch-complete source the result equals the batch daily rollup, so
+    the oracle is the plain GROUP BY — proving the streaming path
+    computes the same answer."""
+    stream = daily_rollup_stream(read_events_stream(spark, sf_dir))
+    return run_available_now(stream, f"daily_rollup_{abs(hash(sf_dir)) % 10_000}")
+
+
+@query(
+    "sessionization",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_break
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (batch form): 30-min-gap sessions per
+    user via lag → break flag → running session counter. The streaming
+    twin (applyInPandasWithState) lives in streaming/sessionize.py and
+    is exercised in tests."""
+    events = load_table(spark, "events", sf_dir)
+    return sessionize_batch(events)

@@ -55,8 +55,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(path)
+        # integer `div`, NOT floor(x/1000): double division of ~1e18 ns
+        # values rounds at the 0.25µs ulp and can cross the floor boundary
         return df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
     return spark.read.parquet(path)
 

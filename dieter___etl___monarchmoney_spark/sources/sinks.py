@@ -1,0 +1,73 @@
+"""Sinks (SURVEY.md §2.1 K1-K6): the reference's Google-Sheets
+clear-and-write becomes mode("overwrite") table writes; the Control
+watermark cell becomes a one-row parquet table.
+
+Scale: ``write_table`` takes an optional date partition column — the
+incremental loader's replace-window then overwrites only the window's
+partitions (dynamic partitionOverwriteMode) instead of the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: str | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """K1 — truncate+overwrite sheet write (ws.clear(); ws.update(...)
+    MonarchMoneyMain-v3.py:1097-1099, 1171-1174, 1330-1332)."""
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.option("partitionOverwriteMode", "dynamic").partitionBy(partition_by)
+    w.save(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """K3 — JSON debug/demo dump (_save_debug MonarchMoneyMain-v3.py:
+    231-241; monarchmoney/main.py:21-70)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """K4 — CSV export (upload_account_balance_history
+    monarchmoney.py:2642-2665 consumes CSV content)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def ensure_table(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
+    """K5 — create-if-absent bootstrap (_ensure_ws
+    MonarchMoneyMain-v3.py:76-81): if the path doesn't read, write an
+    empty frame with the given schema; return the (possibly fresh)
+    table."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        empty = spark.createDataFrame([], like.schema)
+        empty.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+
+def truncate_table(spark: SparkSession, path: str) -> None:
+    """K6 — clear_and_reset.py:41-69 analog: overwrite with an empty
+    frame of the same schema (keeps the table readable)."""
+    schema = spark.read.parquet(path).schema
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+
+
+def read_sink(spark: SparkSession, path: str) -> DataFrame:
+    """S10 — read the existing sink state back (ws.get_all_values()
+    MonarchMoneyMain-v3.py:1304-1310), the input to the keep/replace
+    merge."""
+    return spark.read.parquet(path)
+
+
+def snapshot_with_metadata(df: DataFrame, run_ts: str) -> DataFrame:
+    """F16 — stamp the load timestamp column the way every sheet write
+    does (loadedAtUtc, MonarchMoneyMain-v3.py:1269-1275)."""
+    return df.withColumn("loadedAtUtc", F.lit(run_ts).cast("timestamp"))

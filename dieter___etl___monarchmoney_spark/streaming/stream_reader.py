@@ -1,0 +1,78 @@
+"""Structured Streaming surface (SURVEY.md §1.2 "Spark model choice",
+§2.9): the reference is a scheduled batch job, so the faithful streaming
+mapping is an ``availableNow`` file-source stream — process everything
+that exists now, then stop — plus watermarked tumbling-window
+aggregation for the late-data semantics the reference implements by
+window replacement (T2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events schema as stored (ts is a nanosecond INT64 — see sources/parquet.py)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (availableNow-style
+    batch-complete source). At scale this is the same code over a
+    growing directory — new files become micro-batches."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)  # file source wants a directory; glob picks the table
+    )
+    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def daily_rollup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """T1/T2 as Structured Streaming: watermarked tumbling daily window ×
+    event_type, exact-decimal sums (monthly/daily snapshots A5/A6 as a
+    continuous query)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("date"),
+            "event_type",
+            "total_value",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming DataFrame with the availableNow trigger into
+    an in-memory sink and return the materialized result. ``complete``
+    output mode emits final (watermark-closed) aggregates for
+    batch-complete sources."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,91 @@
+"""Maintenance CRUD (M1) + sink (K1-K6) + JSON-ingest (S1/F14) tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from dieter___etl___monarchmoney_spark.operators.maintenance import (
+    delete_rows,
+    insert_rows,
+    update_field_where,
+    update_splits,
+    upsert_rows,
+)
+from dieter___etl___monarchmoney_spark.sources.json_ingest import (
+    ingest_documents,
+    unwrap_envelope,
+)
+from dieter___etl___monarchmoney_spark.sources.sinks import (
+    ensure_table,
+    read_sink,
+    truncate_table,
+    write_table,
+)
+
+
+def _tbl(spark):
+    return spark.createDataFrame(
+        [("t1", 10.0, "a"), ("t2", 20.0, "b"), ("t3", 30.0, "a")],
+        ["id", "amount", "cat"],
+    )
+
+
+def test_upsert_insert_delete(spark):
+    t = _tbl(spark)
+    up = spark.createDataFrame([("t2", 99.0, "z"), ("t9", 1.0, "n")], ["id", "amount", "cat"])
+    got = {r["id"]: (r["amount"], r["cat"]) for r in upsert_rows(t, up, "id").collect()}
+    assert got["t2"] == (99.0, "z") and got["t9"] == (1.0, "n") and len(got) == 4
+
+    ins = spark.createDataFrame([("t1", 0.0, "dup"), ("t4", 4.0, "c")], ["id", "amount", "cat"])
+    got = {r["id"]: r["cat"] for r in insert_rows(t, ins, "id").collect()}
+    assert got["t1"] == "a"  # existing id NOT overwritten
+    assert got["t4"] == "c" and len(got) == 4
+
+    got = {r["id"] for r in delete_rows(t, ["t1", "t3"], "id").collect()}
+    assert got == {"t2"}
+    assert delete_rows(t, [], "id").count() == 3  # empty list -> no-op
+
+
+def test_update_field_and_splits(spark):
+    t = _tbl(spark)
+    got = {r["id"]: r["cat"] for r in update_field_where(t, "id", ["t1", "t3"], "cat", "x").collect()}
+    assert got == {"t1": "x", "t2": "b", "t3": "x"}
+
+    txns = spark.createDataFrame(
+        [("p1", None, 100.0), ("s1", "p1", 40.0), ("s2", "p1", 60.0), ("p2", None, 5.0)],
+        ["txn_id", "parent_id", "amount"],
+    )
+    new_splits = spark.createDataFrame(
+        [("s3", "p1", 30.0), ("s4", "p1", 70.0)], ["txn_id", "parent_id", "amount"]
+    )
+    got = {r["txn_id"] for r in update_splits(txns, "p1", new_splits).collect()}
+    assert got == {"p1", "p2", "s3", "s4"}
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = _tbl(spark)
+    write_table(t, p)
+    assert read_sink(spark, p).count() == 3
+    truncate_table(spark, p)
+    back = read_sink(spark, p)
+    assert back.count() == 0 and back.schema == t.schema  # K6: empty, same schema
+    # K5 ensure_table bootstraps missing paths
+    p2 = str(tmp_path / "fresh")
+    assert ensure_table(spark, p2, t).count() == 0
+    assert read_sink(spark, p2).schema == t.schema
+
+
+def test_ingest_and_unwrap(spark):
+    # results-wrapped page (the reference's _unwrap_transactions shapes)
+    page = {"results": [{"id": "t1", "amount": 5.0}, {"id": "t2", "amount": 6.0}]}
+    df = ingest_documents(spark, [page])
+    flat = unwrap_envelope(df)
+    assert sorted(r["id"] for r in flat.collect()) == ["t1", "t2"]
+    # edges/node connection (holdings, monarchmoney.py:731-777)
+    conn = {"edges": [{"node": {"id": "h1", "qty": 2.0}}, {"node": {"id": "h2", "qty": 3.0}}]}
+    flat = unwrap_envelope(ingest_documents(spark, [conn]))
+    assert sorted(r["id"] for r in flat.collect()) == ["h1", "h2"]
+    # no envelope -> passthrough
+    plain = ingest_documents(spark, [{"id": "x", "v": 1}])
+    assert unwrap_envelope(plain).collect()[0]["id"] == "x"
