@@ -89,6 +89,28 @@ def q_soft_delete_toggle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_field_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def q_json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11/F12 at scan scale — stringified-JSON field extraction with a
+    predicate on the extracted value (the reference json.loads's
+    stringified structs, MonarchMoneyMain-v3.py:444-449)."""
+    events = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select("event_id", k.alias("k_value"), "event_type")
+        .filter(F.col("k_value") >= 50)
+    )
+
+
+@query(
     "coalesce_candidates",
     """
     SELECT event_id,

@@ -8,8 +8,14 @@ The canonical **transactions** view is defined ONCE here, in both DataFrame
 and ANSI-SQL form, so every ``queries()`` entry and its DuckDB oracle share
 identical semantics:
 
-- ``txn_id``       — lineitem (orderkey, linenumber) as a stable string id
-                     (the reference's string ids — FIXTURES.md §2)
+- ``txn_id``       — lineitem (orderkey, linenumber, partkey, suppkey) as
+                     a stable string id (the reference's string ids —
+                     FIXTURES.md §2). The synthetic generator emits
+                     duplicate (orderkey, linenumber) pairs, so the id
+                     includes the part/supplier keys — unique at the
+                     oracle (sf0.01) and bench (sf0.1) scale factors,
+                     which keeps (txn_date, txn_id) a total order for
+                     deterministic pagination
 - ``amount``       — l_extendedprice*(1-l_discount), negated for return
                      lines (l_returnflag='R') so income/expense sign
                      semantics exist (negative = expense, FIXTURES.md §2)
@@ -42,7 +48,13 @@ def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, "lineitem", sf_dir)
     return li.select(
-        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("txn_id"),
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+        ).alias("txn_id"),
         F.col("l_orderkey").alias("order_id"),
         (
             F.when(F.col("l_returnflag") == "R", F.lit(-1.0)).otherwise(F.lit(1.0))
@@ -61,7 +73,9 @@ def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pre-registered parquet views. Keep in lockstep with the DataFrame form.
 TRANSACTIONS_SQL = """
 SELECT
-    CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS txn_id,
+    CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+        || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)
+        AS txn_id,
     l_orderkey AS order_id,
     (CASE WHEN l_returnflag = 'R' THEN -1.0 ELSE 1.0 END)
         * (l_extendedprice * (1.0 - l_discount)) AS amount,

@@ -1,0 +1,48 @@
+"""Unit tests for the parametrized transactions-query surface
+(SURVEY.md §2.2/§2.5/§2.6): point lookup, coalesce, pagination paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.operators.transactions import (
+    coalesce_account_id,
+    paginate_row_number,
+    point_lookup,
+    transactions_query,
+)
+from dieter___etl___monarchmoney_spark.sources.star_model import transactions
+from tests.conftest import SF_SMOKE
+
+
+def test_point_lookup(spark):
+    txns = transactions(spark, SF_SMOKE)
+    one = point_lookup(txns, "txn_id", "201-4-101-9").collect()
+    assert len(one) == 1 and one[0]["order_id"] == 201
+
+
+def test_coalesce_account_id(spark):
+    df = spark.createDataFrame(
+        [(None, "a2", "a3"), ("a1", None, None), (None, None, None)],
+        ["accountId", "acc_id", "fallback"],
+    )
+    out = coalesce_account_id(df, ["accountId", "acc_id", "fallback"], "resolved")
+    assert [r["resolved"] for r in out.collect()] == ["a2", "a1", None]
+
+
+def test_pagination_paths_agree(spark):
+    """offset/limit (TakeOrderedAndProject) and row_number produce the
+    same page — W5's two physical strategies, one semantics."""
+    txns = transactions(spark, SF_SMOKE).select("txn_id", "txn_date", "amount")
+    a = transactions_query(txns, order_by=("txn_date", "txn_id"), offset=37, limit=20)
+    b = paginate_row_number(txns, ("txn_date", "txn_id"), 37, 20)
+    assert [r["txn_id"] for r in a.collect()] == [r["txn_id"] for r in b.collect()]
+
+
+def test_search_predicate(spark):
+    df = spark.createDataFrame(
+        [("x", "apple pie", None), ("y", "beef", "apple farm"), ("z", "carrot", None)],
+        ["id", "plaidName", "notes"],
+    )
+    got = transactions_query(df, search="apple", search_columns=("plaidName", "notes"))
+    assert sorted(r["id"] for r in got.collect()) == ["x", "y"]
