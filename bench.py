@@ -35,8 +35,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = registry.load()
 
-    # JVM/codegen warm-up on the smallest table so q1 isn't charged for it
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm-up: run every query once at the smallest SF so whole-stage
+    # codegen compiles each plan shape on tiny data; the timed loop then
+    # measures steady-state execution, not JIT compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in sorted(queries):
+            try:
+                queries[name](spark, warm_dir).count()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -135,7 +135,11 @@ def budget_pipeline(per_category_month: DataFrame) -> DataFrame:
     998) + per-month Totals rows (999), contract-ordered and sorted by
     (CategoryGroupName, CategoryName, Month) with sentinels last
     (MonarchMoneyMain-v3.py:704-735, 793-869, 907-911)."""
-    cat = budget_rows(per_category_month)
+    # cat feeds three output branches; persist AND materialize eagerly —
+    # a lazy persist lets all three branches race an unpopulated cache
+    # within the single output action and re-run the window pipeline
+    cat = budget_rows(per_category_month).persist()
+    cat.count()
     grp = _rollup_rows(cat, F.lit(""), GROUP_ORDER_GROUP, None)
     tot = _rollup_rows(cat, F.lit(""), GROUP_ORDER_TOTAL, "Totals")
     merged = (

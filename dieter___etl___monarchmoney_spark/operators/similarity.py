@@ -121,19 +121,28 @@ def embedding_neardup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH-bucket self-join + exact cosine
-    verify. The join shuffles on the bucket id; Σ bucket² ≪ n²."""
+    verify. The join shuffles on the bucket id; Σ bucket² ≪ n².
+
+    Vectors are L2-normalized BEFORE the self-join (and the frame
+    persisted — it feeds both sides), so the per-pair verify is a single
+    dot product instead of three: computing cosine(a, b) inside the join
+    would re-derive both norms for every candidate pair."""
     planes = _hyperplanes(dim, bits, seed)
-    sig = vectors.select(
-        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("bucket")
+    # norm as a materialized column FIRST: referencing l2_norm(vec)
+    # inside the transform lambda would re-run the whole fold per element
+    with_norm = vectors.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_n")
     )
-    a = sig.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
-    )
-    b = sig.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
-    )
+    sig = with_norm.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_n")).alias("unit"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    ).persist()
+    sig.count()
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("unit").alias("unit_a"), "bucket")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("unit").alias("unit_b"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     verified = pairs.select(
-        "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("similarity")
+        "id_a", "id_b", dot(F.col("unit_a"), F.col("unit_b")).alias("similarity")
     ).filter(F.col("similarity") >= threshold)
     return verified.distinct()

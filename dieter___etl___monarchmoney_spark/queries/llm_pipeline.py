@@ -132,6 +132,42 @@ def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "distinct_token_stats",
+    rf"""
+    SELECT COUNT(DISTINCT tok) AS n_distinct_tokens,
+           COUNT(*) AS n_total_tokens
+    FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+    """,
+)
+def q_distinct_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: exact distinct token count (oracle) —
+    the approx variant (HLL approx_count_distinct, the 100 TB path) is
+    rows-only below."""
+    docs = load_table(spark, "documents", sf_dir)
+    from dieter___etl___monarchmoney_spark.functions.text import tokens
+
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    return toks.agg(
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.count(F.lit(1)).alias("n_total_tokens"),
+    )
+
+
+@query("approx_vocab_sketch")  # HLL sketch: engine-specific -> rows-only
+def q_approx_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog vocabulary estimate — the sketch path that replaces
+    COUNT(DISTINCT) at 100 TB (no giant distinct shuffle; mergeable
+    partials). rsd=0.02 ⇒ ~2% error bound."""
+    docs = load_table(spark, "documents", sf_dir)
+    from dieter___etl___monarchmoney_spark.functions.text import tokens
+
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    return toks.agg(
+        F.approx_count_distinct("tok", rsd=0.02).alias("approx_distinct_tokens")
+    )
+
+
 # --------------------------------------------------------------------------
 # Dedup
 # --------------------------------------------------------------------------

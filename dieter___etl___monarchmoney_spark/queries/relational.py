@@ -58,15 +58,21 @@ def _msum(x: str) -> str:
 def q_account_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 + A7 — accountId → displayName enrichment via broadcast hash
     join (the reference builds a dict in driver memory,
-    MonarchMoneyMain-v3.py:1104-1110; Spark broadcasts the dim)."""
+    MonarchMoneyMain-v3.py:1104-1110; Spark broadcasts the dim).
+
+    Shape: aggregate by the key FIRST, join the name dim AFTER — the
+    enrichment string then rides on ~|accounts| rows instead of being
+    carried (and hashed) through the fact-scale partial aggregation.
+    Same result (account_id ↔ name is 1:1); the oracle groups by both."""
     txns = transactions_with_account(spark, sf_dir)
+    agg = txns.groupBy("account_id").agg(
+        money_sum("amount").alias("sum"), F.count(F.lit(1)).alias("txn_count")
+    )
     cust = load_table(spark, "customer", sf_dir).select(
         F.col("c_custkey").alias("account_id"), F.col("c_name").alias("account_name")
     )
-    return (
-        txns.join(F.broadcast(cust), "account_id", "inner")
-        .groupBy("account_id", "account_name")
-        .agg(money_sum("amount").alias("sum"), F.count(F.lit(1)).alias("txn_count"))
+    return agg.join(F.broadcast(cust), "account_id", "inner").select(
+        "account_id", "account_name", "sum", "txn_count"
     )
 
 
