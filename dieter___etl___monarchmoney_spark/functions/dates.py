@@ -74,6 +74,30 @@ def month_window(anchor: Column, months_back: int, months_forward: int) -> tuple
     )
 
 
+#: candidate date-key names, in the reference's probe order
+#: (_find_txn_date_key MonarchMoneyMain-v3.py:189-201)
+DATE_KEY_CANDIDATES = ("date", "txn_date", "transactionDate", "Date", "postedDate")
+
+
+def find_date_key(df) -> str | None:
+    """F5 — date-key detection heuristic: prefer known names that carry
+    a date/timestamp type, then fall back to ANY date-typed column
+    (the reference additionally value-sniffs strings; a typed engine
+    reads the schema instead)."""
+    from pyspark.sql import types as T
+
+    def is_datelike(name: str) -> bool:
+        return isinstance(df.schema[name].dataType, (T.DateType, T.TimestampType))
+
+    for name in DATE_KEY_CANDIDATES:
+        if name in df.columns and is_datelike(name):
+            return name
+    for name in df.columns:
+        if is_datelike(name):
+            return name
+    return None
+
+
 def backfill_start(anchor: Column, days: int) -> Column:
     """F7 — ``anchor − days`` at start-of-day UTC (BACKFILL_DAYS
     MonarchMoneyMain-v3.py:37, 1246-1256)."""

@@ -8,6 +8,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     budget,
     core,
     filters,
+    forecast_nested,
     llm_pipeline,
     relational,
     streaming_queries,

@@ -21,6 +21,25 @@ from pyspark.sql import types as T
 WRAPPER_KEYS = ("results", "nodes", "items", "edges", "data")
 
 
+def with_retries(fn, *, attempts: int = 3, delay_s: float = 5.0, sleep=None):
+    """T6 — transport retry policy (3 attempts, 5 s sleep,
+    MonarchMoneyMain-v3.py:1058-1082). Connector-edge concern: wraps the
+    driver-side fetch that produces the documents; Spark task retries
+    cover execution-side failures. ``sleep`` is injectable for tests."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    last = None
+    for attempt in range(1, attempts + 1):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — transport errors are opaque
+            last = exc
+            if attempt < attempts:
+                sleep(delay_s)
+    raise last
+
+
 def ingest_documents(
     spark: SparkSession, docs: Sequence[dict], schema: T.StructType | None = None
 ) -> DataFrame:

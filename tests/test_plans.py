@@ -1,0 +1,61 @@
+"""Plan-shape regression tests (SURVEY.md 'Optimize for scale'): assert
+the physical plans keep the properties the 100 TB design depends on —
+filter pushdown into parquet, broadcast joins for dims, top-k without a
+global sort, and partition pruning on date-partitioned sinks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark import registry
+from tests.conftest import SF_ORACLE
+
+QUERIES, _ = registry.load()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filtered_page_pushes_predicates(spark):
+    plan = _plan(QUERIES["transactions_filtered_page"](spark, SF_ORACLE))
+    # date range reaches the scan as timestamp bounds; IN-list pushed
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "In(l_suppkey" in plan
+    # pagination compiles to top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(QUERIES["category_group_chain_join"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(QUERIES["cashflow_by_merchant"](spark, SF_ORACLE))
+    # lineitem scan must not read unused columns like l_comment-ish ones
+    assert "l_shipdate" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_partition_pruning_on_date_partitioned_sink(spark, tmp_path):
+    """The incremental sink story: written partitioned by month, a month
+    filter must prune partitions at the scan (PartitionFilters)."""
+    from dieter___etl___monarchmoney_spark.sources.star_model import transactions
+
+    path = str(tmp_path / "txns_by_month")
+    txns = transactions(spark, "/root/testdata/sf0.001").withColumn(
+        "month", F.date_trunc("month", "txn_date").cast("date")
+    )
+    txns.write.partitionBy("month").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("month") == "1995-01-01")
+    plan = _plan(scan)
+    assert "PartitionFilters: [isnotnull(month" in plan
+    # pruned scan reads only the one month
+    n_all = spark.read.parquet(path).count()
+    n_month = scan.count()
+    assert 0 < n_month < n_all
