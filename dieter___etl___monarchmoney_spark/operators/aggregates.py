@@ -85,6 +85,30 @@ def cashflow_summary(txns: DataFrame) -> DataFrame:
     )
 
 
+def cashflow_report(
+    txns: DataFrame,
+    category_col: str = "category_id",
+    group_col: str | None = None,
+    merchant_col: str = "merchant_id",
+) -> dict[str, DataFrame]:
+    """§3.3 — the multi-aggregate cashflow report: four aliased
+    aggregations over ONE filtered scan (byCategory, byCategoryGroup,
+    byMerchant, summary — monarchmoney.py:2264-2328). The base frame is
+    persisted and eagerly materialized so the four branches reuse one
+    scan instead of four (the reference gets this for free because the
+    remote server answers all four blocks from one request)."""
+    base = txns.persist()
+    base.count()
+    report = {
+        "byCategory": cashflow_by_key(base, category_col),
+        "byMerchant": cashflow_by_key(base, merchant_col),
+        "summary": cashflow_summary(base),
+    }
+    if group_col is not None:
+        report["byCategoryGroup"] = cashflow_by_key(base, group_col)
+    return report
+
+
 def monthly_rollup(
     series: DataFrame,
     date_col: str,
