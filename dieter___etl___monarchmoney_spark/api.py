@@ -1,0 +1,438 @@
+"""Client facade: the reference's public API surface, Spark-native.
+
+``FinanceWarehouse`` exposes the same method names a user of the
+reference's client calls (monarchmoney.py public surface — each method
+cites its reference site), but every read is a DataFrame over a parquet
+warehouse and every mutation a table rewrite via the maintenance merges.
+A user of the reference can switch: same verbs, same filter surface,
+same output semantics — the remote GraphQL server's work now happens in
+Spark.
+
+Auth/MFA/session-pickling methods are deliberately absent (transport
+plumbing, SURVEY.md §7.6); refresh-polling degenerates to a no-op since
+there is no remote sync to wait for.
+
+Warehouse layout: one parquet table per entity under ``root``:
+``accounts transactions categories category_groups tags balances
+recurring control``. Tables are created on demand (K5).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.operators.aggregates import (
+    cashflow_by_key,
+    cashflow_report,
+    cashflow_summary,
+    monthly_rollup,
+    transactions_summary,
+)
+from dieter___etl___monarchmoney_spark.operators.maintenance import (
+    delete_rows,
+    insert_rows,
+    update_field_where,
+    update_splits,
+    upsert_rows,
+)
+from dieter___etl___monarchmoney_spark.operators.transactions import (
+    point_lookup,
+    transactions_query,
+)
+from dieter___etl___monarchmoney_spark.sources.sinks import read_sink, write_table
+
+
+class FinanceWarehouse:
+    """Spark-native replacement for the reference's ``MonarchMoney``
+    client: reads are lazy DataFrames, writes are merge-then-overwrite."""
+
+    TABLES = (
+        "accounts",
+        "transactions",
+        "categories",
+        "category_groups",
+        "tags",
+        "balances",
+        "recurring",
+    )
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- plumbing ----------------------------------------------------------
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def table(self, name: str) -> DataFrame:
+        return read_sink(self.spark, self._path(name))
+
+    def save(self, name: str, df: DataFrame) -> None:
+        """Overwrite safely even when ``df`` reads from the same path."""
+        staging = self._path(name) + "._staging"
+        df.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        target = self._path(name)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(staging, target)
+
+    # -- account reads (monarchmoney.py:130-354, 725-1022) -----------------
+
+    def get_accounts(self) -> DataFrame:
+        """monarchmoney.py:130-212."""
+        return self.table("accounts")
+
+    def get_account_type_options(self) -> DataFrame:
+        """monarchmoney.py:214-246 — the distinct type/subtype matrix."""
+        return self.table("accounts").select("type", "subtype").distinct()
+
+    def get_recent_account_balances(self, start_date: str) -> DataFrame:
+        """monarchmoney.py:248-274."""
+        return self.table("balances").filter(F.col("date") >= F.lit(start_date))
+
+    def get_account_snapshots_by_type(self, start_date: str, timeframe: str) -> DataFrame:
+        """monarchmoney.py:276-311; timeframe ∈ {'month','year'}."""
+        if timeframe not in ("month", "year"):
+            raise ValueError(f"Unknown timeframe: {timeframe}")
+        balances = self.table("balances").filter(F.col("date") >= F.lit(start_date))
+        return monthly_rollup(balances, "date", "balance", ["accountType"], timeframe)
+
+    def get_aggregate_snapshots(
+        self, start_date: str | None = None, end_date: str | None = None
+    ) -> DataFrame:
+        """monarchmoney.py:313-354 — daily net worth across accounts."""
+        balances = self.table("balances")
+        if start_date:
+            balances = balances.filter(F.col("date") >= F.lit(start_date))
+        if end_date:
+            balances = balances.filter(F.col("date") <= F.lit(end_date))
+        return balances.groupBy("date").agg(
+            F.sum(F.col("balance").cast("decimal(18,6)")).cast("double").alias("balance")
+        )
+
+    def get_account_history(self, account_id) -> DataFrame:
+        """monarchmoney.py:795-1022 — per-account daily snapshots,
+        enriched with the account name (J5)."""
+        hist = self.table("balances").filter(F.col("account_id") == F.lit(account_id))
+        acc = self.table("accounts").select(
+            F.col("id").alias("account_id"), F.col("displayName").alias("accountName")
+        )
+        return hist.join(F.broadcast(acc), "account_id", "left")
+
+    def get_account_holdings(self, account_id) -> DataFrame:
+        """monarchmoney.py:725-793 — holdings connection for an account;
+        warehouse stores holdings flat (the connector unwraps edges)."""
+        return self.table("balances").filter(
+            F.col("account_id") == F.lit(account_id)
+        )
+
+    def get_institutions(self) -> DataFrame:
+        """monarchmoney.py:1024-1107."""
+        return self.table("accounts").select("institutionName").distinct()
+
+    # -- transaction reads (monarchmoney.py:1367-1554, 1979-2177) ----------
+
+    def get_transactions_summary(self) -> DataFrame:
+        """monarchmoney.py:1367-1401 — the 9-field aggregate."""
+        return transactions_summary(
+            self.table("transactions").withColumnRenamed("date", "txn_date")
+        )
+
+    def get_transactions(
+        self,
+        limit: int = 100,
+        offset: int = 0,
+        start_date: str | None = None,
+        end_date: str | None = None,
+        search: str = "",
+        category_ids: Sequence | None = None,
+        account_ids: Sequence | None = None,
+        tag_ids: Sequence | None = None,
+        has_attachments: bool | None = None,
+        has_notes: bool | None = None,
+        hidden_from_reports: bool | None = None,
+        is_split: bool | None = None,
+        is_recurring: bool | None = None,
+    ) -> DataFrame:
+        """monarchmoney.py:1403-1554 — the full filter surface, same
+        defaults (limit=100), same both-or-neither date validation."""
+        txns = self.table("transactions")
+        df = transactions_query(
+            txns.withColumnRenamed("date", "txn_date"),
+            start_date=start_date,
+            end_date=end_date,
+            search=search or None,
+            search_columns=("plaidName", "notes") if search else (),
+            category_ids=category_ids,
+            account_ids=account_ids,
+            flags={
+                "hasAttachments": has_attachments,
+                "hasNotes": has_notes,
+                "hideFromReports": hidden_from_reports,
+                "isSplitTransaction": is_split,
+                "isRecurring": is_recurring,
+            },
+            order_by=("txn_date", "id"),
+            offset=offset,
+            limit=limit,
+        )
+        if tag_ids:
+            df = df.filter(
+                F.arrays_overlap(
+                    F.col("tag_ids"), F.array(*[F.lit(t) for t in tag_ids])
+                )
+            )
+        return df.withColumnRenamed("txn_date", "date")
+
+    def get_transaction_details(self, transaction_id) -> DataFrame:
+        """monarchmoney.py:1979-2127."""
+        return point_lookup(self.table("transactions"), "id", transaction_id)
+
+    def get_transaction_splits(self, transaction_id) -> DataFrame:
+        """monarchmoney.py:2129-2177."""
+        return self.table("transactions").filter(
+            F.col("parent_id") == F.lit(transaction_id)
+        )
+
+    # -- dim reads (monarchmoney.py:1664-1922, 1344-1365) -------------------
+
+    def get_transaction_categories(self) -> DataFrame:
+        """monarchmoney.py:1664-1696."""
+        return self.table("categories")
+
+    def get_transaction_category_groups(self) -> DataFrame:
+        """monarchmoney.py:1749-1770."""
+        return self.table("category_groups")
+
+    def get_transaction_tags(self) -> DataFrame:
+        """monarchmoney.py:1898-1922 — with live transactionCount (A7)."""
+        tags = self.table("tags")
+        counts = (
+            self.table("transactions")
+            .select(F.explode("tag_ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("transactionCount"))
+        )
+        return tags.drop("transactionCount").join(counts, "id", "left").withColumn(
+            "transactionCount", F.coalesce("transactionCount", F.lit(0))
+        )
+
+    # -- cashflow (monarchmoney.py:2253-2408) -------------------------------
+
+    def get_cashflow(
+        self, start_date: str | None = None, end_date: str | None = None
+    ) -> dict[str, DataFrame]:
+        """monarchmoney.py:2253-2356 — four aggregation blocks over one
+        filtered scan; defaults to the current month like the reference
+        (:2350-2352)."""
+        start_date, end_date = self._default_month(start_date, end_date)
+        txns = (
+            self.table("transactions")
+            .withColumnRenamed("date", "txn_date")
+            .filter(F.col("txn_date").between(F.lit(start_date), F.lit(end_date)))
+        )
+        return cashflow_report(
+            txns, category_col="category_id", merchant_col="merchant_name"
+        )
+
+    def get_cashflow_summary(
+        self, start_date: str | None = None, end_date: str | None = None
+    ) -> DataFrame:
+        """monarchmoney.py:2358-2408."""
+        start_date, end_date = self._default_month(start_date, end_date)
+        txns = (
+            self.table("transactions")
+            .withColumnRenamed("date", "txn_date")
+            .filter(F.col("txn_date").between(F.lit(start_date), F.lit(end_date)))
+        )
+        return cashflow_summary(txns)
+
+    @staticmethod
+    def _default_month(start_date, end_date):
+        """Both-or-neither + current-month default (monarchmoney.py:
+        2343-2352, 2733-2754)."""
+        if (start_date is None) != (end_date is None):
+            raise ValueError(
+                "You must specify both a start_date and end_date, not just one of them."
+            )
+        if start_date is None:
+            today = dt.date.today()
+            start = today.replace(day=1)
+            nxt = (start + dt.timedelta(days=32)).replace(day=1)
+            return start.isoformat(), (nxt - dt.timedelta(days=1)).isoformat()
+        return start_date, end_date
+
+    # -- recurring (monarchmoney.py:2667-2731) ------------------------------
+
+    def get_recurring_transactions(
+        self, start_date: str | None = None, end_date: str | None = None
+    ) -> DataFrame:
+        """monarchmoney.py:2667-2731 — same both-or-neither validation."""
+        if (start_date is None) != (end_date is None):
+            raise ValueError(
+                "You must specify both a start_date and end_date, not just one of them."
+            )
+        rec = self.table("recurring")
+        if start_date:
+            rec = rec.filter(F.col("date").between(F.lit(start_date), F.lit(end_date)))
+        return rec
+
+    # -- mutations (monarchmoney.py:356-2640) -------------------------------
+
+    def create_transaction(
+        self, date: str, account_id, amount: float, merchant_name: str,
+        category_id, notes: str = "", update_balance: bool = False,
+    ) -> str:
+        """monarchmoney.py:1556-1613 — returns the new id; amount is
+        rounded to 2dp like the reference (:1601)."""
+        txns = self.table("transactions")
+        new_id = f"manual-{abs(hash((date, str(account_id), amount, merchant_name))) % 10**12}"
+        row = self.spark.createDataFrame(
+            [(new_id, date, round(float(amount), 2), account_id, category_id,
+              merchant_name, notes)],
+            ["id", "date", "amount", "account_id", "category_id", "merchant_name", "notes"],
+        ).withColumn("date", F.col("date").cast("date"))
+        self.save("transactions", insert_rows(txns, row, "id"))
+        return new_id
+
+    def delete_transaction(self, transaction_id) -> bool:
+        """monarchmoney.py:1615-1662."""
+        self.save(
+            "transactions", delete_rows(self.table("transactions"), [transaction_id], "id")
+        )
+        return True
+
+    def update_transaction(self, transaction_id, **fields) -> None:
+        """monarchmoney.py:2410-2570 — partial update of one row."""
+        txns = self.table("transactions")
+        for field, value in fields.items():
+            txns = update_field_where(txns, "id", [transaction_id], field, value)
+        self.save("transactions", txns)
+
+    def update_transaction_splits(self, transaction_id, splits: DataFrame) -> None:
+        """monarchmoney.py:2179-2251."""
+        self.save(
+            "transactions",
+            update_splits(self.table("transactions"), transaction_id, splits, "id"),
+        )
+
+    def create_transaction_category(
+        self, group_id, transaction_category_name: str, icon: str = "", **_
+    ) -> None:
+        """monarchmoney.py:1772-1857."""
+        cats = self.table("categories")
+        row = self.spark.createDataFrame(
+            [(f"cat-{transaction_category_name}", transaction_category_name, group_id, icon)],
+            ["id", "name", "group_id", "icon"],
+        )
+        self.save("categories", insert_rows(cats, row, "id"))
+
+    def delete_transaction_category(self, category_id) -> bool:
+        """monarchmoney.py:1698-1736."""
+        self.save("categories", delete_rows(self.table("categories"), [category_id], "id"))
+        return True
+
+    def delete_transaction_categories(self, category_ids: Sequence) -> list[bool]:
+        """monarchmoney.py:1738-1747 — bulk form; one merge, not N."""
+        self.save("categories", delete_rows(self.table("categories"), list(category_ids), "id"))
+        return [True for _ in category_ids]
+
+    def create_transaction_tag(self, name: str, color: str) -> None:
+        """monarchmoney.py:1859-1896."""
+        tags = self.table("tags")
+        row = self.spark.createDataFrame([(f"tag-{name}", name, color)], ["id", "name", "color"])
+        self.save("tags", insert_rows(tags, row, "id"))
+
+    def set_transaction_tags(self, transaction_id, tag_ids: Sequence) -> None:
+        """monarchmoney.py:1924-1977 — replaces the row's tag set."""
+        txns = self.table("transactions")
+        txns = txns.withColumn(
+            "tag_ids",
+            F.when(
+                F.col("id") == F.lit(transaction_id),
+                F.array(*[F.lit(t) for t in tag_ids]),
+            ).otherwise(F.col("tag_ids")),
+        )
+        self.save("transactions", txns)
+
+    def create_manual_account(
+        self, account_type: str, account_sub_type: str, is_in_net_worth: bool,
+        account_name: str, account_balance: float = 0,
+    ) -> str:
+        """monarchmoney.py:356-414."""
+        accounts = self.table("accounts")
+        new_id = f"manual-{account_name}"
+        row = self.spark.createDataFrame(
+            [(new_id, account_name, account_type, account_sub_type,
+              float(account_balance), is_in_net_worth)],
+            ["id", "displayName", "type", "subtype", "currentBalance", "includeInNetWorth"],
+        )
+        self.save("accounts", insert_rows(accounts, row, "id"))
+        return new_id
+
+    def update_account(self, account_id, **fields) -> None:
+        """monarchmoney.py:417-558."""
+        accounts = self.table("accounts")
+        for field, value in fields.items():
+            accounts = update_field_where(accounts, "id", [account_id], field, value)
+        self.save("accounts", accounts)
+
+    def delete_account(self, account_id) -> bool:
+        """monarchmoney.py:560-598."""
+        self.save("accounts", delete_rows(self.table("accounts"), [account_id], "id"))
+        return True
+
+    def set_budget_amount(self, amount: float, category_id, start_date: str, **_) -> None:
+        """monarchmoney.py:2572-2640 — point-update of a planned amount;
+        warehouse form: upsert into a budgets table keyed (category, month)."""
+        path = self._path("budgets_plan")
+        row = self.spark.createDataFrame(
+            [(str(category_id), start_date, float(amount))],
+            ["category_id", "month", "plannedAmount"],
+        ).withColumn("month", F.col("month").cast("date"))
+        try:
+            existing = read_sink(self.spark, path)
+            merged = upsert_rows(
+                existing.withColumn("_k", F.concat_ws("|", "category_id", "month")),
+                row.withColumn("_k", F.concat_ws("|", "category_id", "month")),
+                "_k",
+            ).drop("_k")
+        except Exception:
+            merged = row
+        staging = path + "._staging"
+        merged.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(staging, path)
+
+    def upload_account_balance_history(self, account_id, balances: DataFrame) -> None:
+        """monarchmoney.py:2642-2665 — CSV upload becomes a balance-table
+        window replace for the account."""
+        existing = self.table("balances")
+        kept = existing.filter(F.col("account_id") != F.lit(account_id))
+        self.save("balances", kept.unionByName(balances, allowMissingColumns=True))
+
+    def request_accounts_refresh(self, account_ids: Sequence) -> bool:
+        """monarchmoney.py:600-648 — no remote provider to poke; the
+        batch analog is a no-op that reports success."""
+        return True
+
+    def is_accounts_refresh_complete(self, account_ids: Sequence | None = None) -> bool:
+        """monarchmoney.py:650-695."""
+        return True
+
+    def request_accounts_refresh_and_wait(
+        self, account_ids: Sequence, timeout: int = 300, delay: int = 10
+    ) -> bool:
+        """monarchmoney.py:697-723."""
+        return True

@@ -1,0 +1,121 @@
+"""FinanceWarehouse facade tests: build a small warehouse, then drive
+the reference-shaped API surface end to end (reads, filters, cashflow,
+mutations)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.api import FinanceWarehouse
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("warehouse"))
+    w = FinanceWarehouse(spark, root)
+    txns = spark.createDataFrame(
+        [
+            ("t1", dt.date(2024, 1, 5), 120.0, "a1", "c1", "Kroger", "groceries", ["g1"], None, False),
+            ("t2", dt.date(2024, 1, 20), -55.5, "a1", "c2", "Shell", None, [], None, True),
+            ("t3", dt.date(2024, 2, 2), -900.0, "a2", "c2", "Rent Co", "feb rent", ["g1", "g2"], None, False),
+            ("s1", dt.date(2024, 2, 2), -400.0, "a2", "c2", "Rent Co", None, [], "t3", False),
+        ],
+        ["id", "date", "amount", "account_id", "category_id", "merchant_name",
+         "notes", "tag_ids", "parent_id", "isRecurring"],
+    ).withColumn("plaidName", F.col("merchant_name"))
+    w.save("transactions", txns)
+    w.save(
+        "accounts",
+        spark.createDataFrame(
+            [("a1", "Checking", "depository", "checking", 1000.0, "Chase"),
+             ("a2", "Savings", "depository", "savings", 5000.0, "Ally")],
+            ["id", "displayName", "type", "subtype", "currentBalance", "institutionName"],
+        ),
+    )
+    w.save("categories", spark.createDataFrame(
+        [("c1", "Food", "g-exp"), ("c2", "Housing", "g-exp")], ["id", "name", "group_id"]))
+    w.save("category_groups", spark.createDataFrame(
+        [("g-exp", "Expenses", "expense")], ["id", "name", "type"]))
+    w.save("tags", spark.createDataFrame(
+        [("g1", "joint", "blue", 0), ("g2", "big", "red", 0)],
+        ["id", "name", "color", "transactionCount"]))
+    w.save("balances", spark.createDataFrame(
+        [("a1", dt.date(2024, 1, 1), 900.0, "depository"),
+         ("a1", dt.date(2024, 1, 2), 950.0, "depository"),
+         ("a2", dt.date(2024, 1, 1), 5000.0, "depository")],
+        ["account_id", "date", "balance", "accountType"]))
+    w.save("recurring", spark.createDataFrame(
+        [("r1", dt.date(2024, 3, 1), -55.5, False)], ["id", "date", "amount", "isPast"]))
+    return w
+
+
+def test_reads(wh):
+    assert wh.get_accounts().count() == 2
+    assert wh.get_account_type_options().count() == 2
+    assert wh.get_transaction_categories().count() == 2
+    assert wh.get_institutions().count() == 2
+    assert wh.get_aggregate_snapshots().count() == 2  # two distinct dates
+    hist = wh.get_account_history("a1")
+    assert hist.count() == 2 and hist.collect()[0]["accountName"] == "Checking"
+
+
+def test_transactions_filter_surface(wh):
+    # date range + search, reference-style kwargs
+    got = wh.get_transactions(start_date="2024-01-01", end_date="2024-01-31", search="Kroger")
+    assert [r["id"] for r in got.collect()] == ["t1"]
+    # tri-state: only recurring
+    got = wh.get_transactions(is_recurring=True)
+    assert [r["id"] for r in got.collect()] == ["t2"]
+    # one-sided range raises the reference's error
+    with pytest.raises(ValueError, match="both a start_date and end_date"):
+        wh.get_transactions(start_date="2024-01-01")
+    # summary has the 9 fields
+    s = wh.get_transactions_summary().collect()[0]
+    assert s["count"] == 4 and s["maxExpense"] == -900.0
+    # details + splits
+    assert wh.get_transaction_details("t3").count() == 1
+    assert [r["id"] for r in wh.get_transaction_splits("t3").collect()] == ["s1"]
+
+
+def test_tags_live_counts(wh):
+    tags = {r["name"]: r["transactionCount"] for r in wh.get_transaction_tags().collect()}
+    assert tags == {"joint": 2, "big": 1}
+
+
+def test_cashflow_with_window(wh):
+    rep = wh.get_cashflow(start_date="2024-01-01", end_date="2024-02-28")
+    by_cat = {r["category_id"]: r["sum"] for r in rep["byCategory"].collect()}
+    assert by_cat["c1"] == pytest.approx(120.0)
+    assert by_cat["c2"] == pytest.approx(-55.5 - 900.0 - 400.0)
+    s = wh.get_cashflow_summary("2024-01-01", "2024-02-28").collect()[0]
+    assert s["savings"] == pytest.approx(120.0 - 1355.5)
+
+
+def test_mutations_roundtrip(wh):
+    new_id = wh.create_transaction(
+        "2024-02-10", "a1", 10.123, "Cafe", "c1", notes="espresso"
+    )
+    row = wh.get_transaction_details(new_id).collect()[0]
+    assert row["amount"] == 10.12  # 2dp rounding like the reference
+    wh.update_transaction(new_id, notes="double espresso")
+    assert wh.get_transaction_details(new_id).collect()[0]["notes"] == "double espresso"
+    wh.set_transaction_tags(new_id, ["g2"])
+    assert wh.get_transaction_details(new_id).collect()[0]["tag_ids"] == ["g2"]
+    assert wh.delete_transaction(new_id) is True
+    assert wh.get_transaction_details(new_id).count() == 0
+
+    acc_id = wh.create_manual_account("depository", "checking", True, "Cash", 42.0)
+    assert wh.get_accounts().filter(F.col("id") == acc_id).count() == 1
+    wh.update_account(acc_id, currentBalance=99.0)
+    assert wh.get_accounts().filter(F.col("id") == acc_id).collect()[0]["currentBalance"] == 99.0
+    assert wh.delete_account(acc_id) is True
+
+    wh.create_transaction_tag("vacation", "green")
+    assert wh.table("tags").filter("name = 'vacation'").count() == 1
+    wh.create_transaction_category("g-exp", "Utilities")
+    assert wh.delete_transaction_categories(["cat-Utilities"]) == [True]
+    # refresh plumbing is a truthful no-op
+    assert wh.request_accounts_refresh_and_wait(["a1"]) is True
