@@ -35,16 +35,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = registry.load()
 
-    # Warm-up: run every query once at the smallest SF so whole-stage
-    # codegen compiles each plan shape on tiny data; the timed loop then
+    # Warm-up: run every query once at the TARGET SF so whole-stage
+    # codegen compiles the exact plan shapes the timed loop will run
+    # (AQE picks different physical strategies per data size, so warming
+    # at a smaller SF compiles the wrong plans); the timed loop then
     # measures steady-state execution, not JIT compilation.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in sorted(queries):
-            try:
-                queries[name](spark, warm_dir).count()
-            except Exception:
-                pass
+    for name in sorted(queries):
+        try:
+            queries[name](spark, sf_dir).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

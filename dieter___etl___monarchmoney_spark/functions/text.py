@@ -95,8 +95,9 @@ def fingerprint_md5(col: Column | str) -> Column:
 
 def rolling_hash(col: Column | str, mod: int = 1_000_000_007, base: int = 31) -> Column:
     """Polynomial rolling hash over characters (classic Rabin-Karp form),
-    folded left-to-right with ``aggregate`` — no UDF. Not oracle-checked
-    (DuckDB lacks an ascii-fold equivalent); validated in unit tests."""
+    folded left-to-right with ``aggregate`` — no UDF. Oracle-checked: the
+    DuckDB twin folds the same char list with list_reduce
+    (queries/scale_ops.py ``doc_fingerprints``)."""
     c = F.col(col) if isinstance(col, str) else col
     chars = F.split(c, "")
     return F.aggregate(

@@ -148,6 +148,61 @@ def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFr
     return lsh_candidate_pairs(minhash_signatures(df, text_col, id_col))
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    doc_freq_cap: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (the ground truth MinHash
+    approximates): distinct word n-gram shingles per doc → inverted-index
+    self-join on shingle → per-pair intersection counts → Jaccard =
+    |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+
+    Scale shape: the self-join shuffles on the SHINGLE key (inverted
+    index), never on doc pairs, so cost is Σ df(shingle)² — set
+    ``doc_freq_cap`` to drop stop-shingles appearing in more than that
+    many docs (standard prune; a shingle shared by thousands of docs
+    carries no near-dup signal but quadratic join cost). Pairs sharing
+    zero shingles never materialize.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(text_col), lambda t: t != "").alias("toks"),
+    )
+    sh = toks.select(
+        "doc_id", F.explode(F.array_distinct(shingles_of(F.col("toks"), n))).alias("shingle")
+    )
+    # feeds the count aggregate and both join sides — persist eagerly
+    sh = sh.persist()
+    sh.count()
+    if doc_freq_cap is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= doc_freq_cap)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash32(col: Column | str) -> Column:
     """32-bit SimHash: each token votes its md5-derived bits up/down;
     signature bit b is 1 iff the vote sum is positive. Expressed as a

@@ -111,6 +111,70 @@ def lsh_ann_topk(
     return scored.orderBy(F.col("similarity").desc(), F.col(id_col)).limit(k)
 
 
+def seed_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse centroids: the ``n_cells`` lowest-id
+    vectors, L2-normalized. Collecting K rows to the driver is O(K·dim)
+    regardless of table size (a production build would refine these with
+    a few Lloyd iterations — assign + groupBy(cell) mean — but the probe
+    machinery is identical either way)."""
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.asarray([[float(x) for x in r[vec_col]] for r in rows], dtype=float)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents / np.where(norms == 0, 1.0, norms)
+
+
+def ivf_cell(vec: Column, centroids: np.ndarray) -> Column:
+    """Coarse-quantizer cell id: argmax of dot(vec, centroid) over the
+    (unit) centroids — pure column expressions, ties to the lowest cell.
+    The norm of ``vec`` is constant across cells so plain dot ranks the
+    same as cosine."""
+    scores = [
+        dot(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    cell = F.lit(len(centroids) - 1)
+    for i in range(len(centroids) - 2, -1, -1):
+        cell = F.when(scores[i] == best, F.lit(i)).otherwise(cell)
+    return cell
+
+
+def ivf_ann_topk(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize every vector to its nearest
+    seed centroid, probe only the ``nprobe`` cells nearest the query,
+    exact cosine re-rank inside. The scale path alongside hyperplane LSH:
+    at 100 TB the table is written partitioned by ``cell`` so a probe is
+    partition-pruned I/O over nprobe/n_cells of the data; the assignment
+    pass is one scan, no shuffle."""
+    cents = seed_centroids(vectors, n_cells, id_col, vec_col)
+    qv = np.asarray(query_vec, dtype=float)
+    qn = np.linalg.norm(qv) or 1.0
+    order = np.argsort(-(cents @ (qv / qn)))
+    probe = [int(c) for c in order[:nprobe]]
+    assigned = vectors.withColumn("cell", ivf_cell(F.col(vec_col), cents))
+    cand = assigned.filter(F.col("cell").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("similarity"))
+    return scored.orderBy(F.col("similarity").desc(), F.col(id_col)).limit(k)
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,

@@ -11,5 +11,6 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     forecast_nested,
     llm_pipeline,
     relational,
+    scale_ops,
     streaming_queries,
 )

@@ -1,0 +1,153 @@
+"""Scale-path operators beyond the reference's surface: exact n-gram
+Jaccard dedup (the ground truth the MinHash path approximates),
+oracle-checked document fingerprints (md5 + polynomial rolling hash),
+GROUPING SETS budget rollups (SURVEY.md §2.4 note: A4's parallel
+per-category / per-group / total blocks, monarchmoney.py:1136-1220, are
+grouping sets — here expressed as one multi-grain aggregate instead of
+three scans), and IVF approximate nearest neighbour (the
+partition-pruned ANN path alongside hyperplane LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.functions.money import money_sum
+from dieter___etl___monarchmoney_spark.functions.text import fingerprint_md5, rolling_hash
+from dieter___etl___monarchmoney_spark.operators.dedup import ngram_jaccard_pairs
+from dieter___etl___monarchmoney_spark.operators.similarity import ivf_ann_topk
+from dieter___etl___monarchmoney_spark.registry import query
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+from dieter___etl___monarchmoney_spark.sources.star_model import (
+    TRANSACTIONS_SQL,
+    transactions,
+)
+
+_TOKS_SQL = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"
+
+_MSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+@query(
+    "ngram_jaccard_pairs",
+    rf"""
+    WITH docs AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        FROM docs
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index self-join —
+    oracle-checked ground truth for the MinHash-LSH candidates."""
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+@query(
+    "doc_fingerprints",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                       string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_rolling
+    FROM documents
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text + Rabin-Karp
+    polynomial rolling hash (base 31, mod 1e9+7), both folded
+    left-to-right so Spark and DuckDB agree bit for bit."""
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp_md5"),
+        rolling_hash(norm).alias("fp_rolling"),
+    )
+
+
+_GSETS_SQL = f"""
+    SELECT CAST(DATE_TRUNC('month', t.txn_date) AS DATE) AS month_key,
+           COALESCE(p.p_type, 'ALL') AS group_name,
+           CAST(GROUPING(p.p_type) AS INT) AS is_total_row,
+           {_MSUM.format(x='t.amount')} AS actual_sum,
+           COUNT(*) AS n_txns
+    FROM ({TRANSACTIONS_SQL}) t
+    JOIN part p ON t.category_id = p.p_partkey
+    GROUP BY GROUPING SETS (
+        (DATE_TRUNC('month', t.txn_date), p.p_type),
+        (DATE_TRUNC('month', t.txn_date))
+    )
+"""
+
+
+@query("budget_grouping_sets", _GSETS_SQL)
+def q_budget_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 as one GROUPING SETS aggregate — per-(month, group) rows plus
+    per-month Totals rows from a single scan + single shuffle, instead of
+    the union-of-three-aggregations shape the reference flattens
+    (totalsByMonth monarchmoney.py:1182-1220). At 100 TB this halves the
+    fact-scan count of the budget-sheet rollup."""
+    txns = transactions(spark, sf_dir)
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("part_key"), F.col("p_type").alias("ptype")
+    )
+    joined = txns.join(F.broadcast(part), txns.category_id == part.part_key).select(
+        F.date_trunc("month", "txn_date").cast("date").alias("mon"),
+        "ptype",
+        "amount",
+    )
+    rolled = joined.groupingSets(
+        [[F.col("mon"), F.col("ptype")], [F.col("mon")]],
+        F.col("mon"),
+        F.col("ptype"),
+    ).agg(
+        F.grouping("ptype").cast("int").alias("is_total_row"),
+        money_sum("amount").alias("actual_sum"),
+        F.count(F.lit(1)).alias("n_txns"),
+    )
+    return rolled.select(
+        F.col("mon").alias("month_key"),
+        F.coalesce(F.col("ptype"), F.lit("ALL")).alias("group_name"),
+        "is_total_row",
+        "actual_sum",
+        "n_txns",
+    )
+
+
+@query("ivf_ann_topk")  # seeded-centroid probe: rows-only (recall tested)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize to seeded centroids, probe
+    the nearest cells, exact re-rank inside — the partition-pruned ANN
+    scale path (cells = partition keys at 100 TB)."""
+    vectors = load_table(spark, "embeddings", sf_dir)
+    row = (
+        vectors.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    )
+    qv = [float(x) for x in row["embedding"]]
+    return ivf_ann_topk(vectors, qv, k=10, n_cells=8, nprobe=2)
