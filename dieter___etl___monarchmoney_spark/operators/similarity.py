@@ -111,29 +111,47 @@ def lsh_ann_topk(
     return scored.orderBy(F.col("similarity").desc(), F.col(id_col)).limit(k)
 
 
+def _fold_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """Driver-side dot product as a strict left fold — the SAME float
+    op order as ``dot`` (F.aggregate) and the DuckDB list_reduce oracle,
+    so driver-chosen probe sets are bit-reproducible in SQL. numpy's
+    BLAS dot sums in a different (vectorized) order and can differ in
+    the last ulp."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
 def seed_centroids(
     vectors: DataFrame,
     n_cells: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> np.ndarray:
+) -> list[list[float]]:
     """Deterministic IVF coarse centroids: the ``n_cells`` lowest-id
-    vectors, L2-normalized. Collecting K rows to the driver is O(K·dim)
-    regardless of table size (a production build would refine these with
-    a few Lloyd iterations — assign + groupBy(cell) mean — but the probe
-    machinery is identical either way)."""
+    vectors, L2-normalized (left-fold norm — see ``_fold_dot``).
+    Collecting K rows to the driver is O(K·dim) regardless of table size
+    (a production build would refine these with a few Lloyd iterations —
+    assign + groupBy(cell) mean — but the probe machinery is identical
+    either way)."""
+    import math
+
     rows = (
         vectors.select(id_col, vec_col)
         .orderBy(id_col)
         .limit(n_cells)
         .collect()
     )
-    cents = np.asarray([[float(x) for x in r[vec_col]] for r in rows], dtype=float)
-    norms = np.linalg.norm(cents, axis=1, keepdims=True)
-    return cents / np.where(norms == 0, 1.0, norms)
+    cents = []
+    for r in rows:
+        v = [float(x) for x in r[vec_col]]
+        n = math.sqrt(_fold_dot(v, v)) or 1.0
+        cents.append([x / n for x in v])
+    return cents
 
 
-def ivf_cell(vec: Column, centroids: np.ndarray) -> Column:
+def ivf_cell(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
     """Coarse-quantizer cell id: argmax of dot(vec, centroid) over the
     (unit) centroids — pure column expressions, ties to the lowest cell.
     The norm of ``vec`` is constant across cells so plain dot ranks the
@@ -164,10 +182,11 @@ def ivf_ann_topk(
     partition-pruned I/O over nprobe/n_cells of the data; the assignment
     pass is one scan, no shuffle."""
     cents = seed_centroids(vectors, n_cells, id_col, vec_col)
-    qv = np.asarray(query_vec, dtype=float)
-    qn = np.linalg.norm(qv) or 1.0
-    order = np.argsort(-(cents @ (qv / qn)))
-    probe = [int(c) for c in order[:nprobe]]
+    qv = [float(x) for x in query_vec]
+    # ranking by dot(unit_centroid, q) == ranking by cosine (q's norm is
+    # a constant positive factor); ties to the lowest cell id
+    scores = [_fold_dot(c, qv) for c in cents]
+    probe = sorted(range(len(cents)), key=lambda i: (-scores[i], i))[:nprobe]
     assigned = vectors.withColumn("cell", ivf_cell(F.col(vec_col), cents))
     cand = assigned.filter(F.col("cell").isin(probe))
     q = F.array(*[F.lit(float(x)) for x in query_vec])

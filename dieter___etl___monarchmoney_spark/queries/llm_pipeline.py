@@ -2,10 +2,16 @@
 ``embeddings``: text analysis, dedup (exact → MinHash LSH), similarity
 search, multimodal plumbing.
 
-Oracle-checked wherever DuckDB can express the same computation (md5
-signatures, list folds); the genuinely non-SQL paths (SimHash bit votes,
-LSH ANN probing, mapInPandas decode) register rows-only and are
-validated in tests/test_llm_pipeline.py instead.
+Oracle-checked wherever DuckDB can express the same computation — which
+is almost everything: md5 signatures and list folds cover the text and
+dedup surface; SimHash bit votes become per-bit conditional sums over a
+hex-parsed hash; LSH bucket ids are sums of sign-bit CASEs over the
+seeded hyperplanes embedded as list literals (the planes are plan-time
+constants, so the SQL can carry them verbatim). Every float is produced
+by the same left-fold op sequence in both engines, so hashes match bit
+for bit. The genuinely non-SQL paths (HLL sketch internals, mapInPandas
+decode) register rows-only and are validated in
+tests/test_llm_pipeline.py instead.
 """
 
 from __future__ import annotations
@@ -47,6 +53,43 @@ from dieter___etl___monarchmoney_spark.sources.parquet import load_table
 # --------------------------------------------------------------------------
 
 _TOKS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _hexparse_sql(expr: str) -> str:
+    """DuckDB twin of Spark's conv(hex, 16, 10): fold hex digits into a
+    BIGINT (strpos on the digit alphabet, ×16 accumulate)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        f"ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT))), "
+        f"(acc, d) -> acc * 16 + d)"
+    )
+
+
+def _list_lit_sql(vals) -> str:
+    """A double[] literal; repr() round-trips each float exactly, so the
+    parsed literal equals Spark's F.lit(float(x)) bit for bit."""
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Left-fold dot product — same op order as operators.similarity.dot
+    (F.aggregate over zip_with), so doubles are engine-identical."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        f" x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+
+
+def _bucket_sql(vec_expr: str, planes) -> str:
+    """DuckDB twin of operators.similarity.lsh_signature: bit i set iff
+    vec · plane_i > 0, planes embedded as literals."""
+    terms = [
+        f"CASE WHEN {_dot_sql(vec_expr, _list_lit_sql(p))} > 0"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def _stop_sql(lang: str) -> str:
@@ -250,9 +293,30 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup_pairs(docs, "text", "doc_id")
 
 
-@query("simhash_buckets")  # bit-vote fold: not SQL-expressible → rows-only
+_SIMHASH_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    hs AS (SELECT doc_id, {_hexparse_sql("substr(md5(tok), 1, 8)")} AS h FROM toks),
+    votes AS (
+        SELECT doc_id,
+               {', '.join(f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS v{i}" for i in range(32))}
+        FROM hs GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id,
+               ({' + '.join(f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END" for i in range(32))})
+                   AS simhash
+        FROM votes
+    )
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS survivor_id
+    FROM sigs GROUP BY simhash
+"""
+
+
+@query("simhash_buckets", _SIMHASH_SQL)
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup buckets (hamming-0)."""
+    """SimHash near-dup buckets (hamming-0). The oracle reproduces the
+    bit votes as 32 conditional sums over a hex-parsed per-token hash —
+    signatures match exactly."""
     docs = load_table(spark, "documents", sf_dir)
     return simhash_buckets(docs, "text", "doc_id")
 
@@ -297,17 +361,64 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(vectors, _query_vec(spark, sf_dir), k=10)
 
 
-@query("ann_lsh_topk")  # seeded-hyperplane probe: rows-only (recall tested)
+def _planes_6x64():
+    from dieter___etl___monarchmoney_spark.operators.similarity import _hyperplanes
+
+    return _hyperplanes(64, 6, 42)
+
+
+def _ann_lsh_sql() -> str:
+    planes = _planes_6x64()
+    # multiprobe=1 on 6 bits: the query's bucket plus its 6 one-bit flips
+    probes = ", ".join(
+        ["qb"] + [f"xor(qb, CAST({1 << i} AS BIGINT))" for i in range(6)]
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qsig AS (SELECT {_bucket_sql('qv', planes)} AS qb FROM q),
+    cand AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e, qsig
+        WHERE {_bucket_sql('e.embedding', planes)} IN ({probes})
+    )
+    SELECT c.vec_id,
+           {_dot_sql('c.embedding', 'q.qv')}
+           / (sqrt({_dot_sql('c.embedding', 'c.embedding')})
+              * sqrt({_dot_sql('q.qv', 'q.qv')})) AS similarity
+    FROM cand c, q
+    ORDER BY similarity DESC, c.vec_id LIMIT 10
+    """
+
+
+@query("ann_lsh_topk", _ann_lsh_sql())
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (scale path for ANN)."""
+    """LSH-bucketed approximate top-k (scale path for ANN). The seeded
+    hyperplanes are plan-time constants, so the oracle embeds them as
+    list literals and reproduces bucket ids and similarities exactly."""
     vectors = load_table(spark, "embeddings", sf_dir)
     return lsh_ann_topk(vectors, _query_vec(spark, sf_dir), k=10, bits=6, multiprobe=1)
 
 
-@query("embedding_neardup_pairs")  # rows-only (verified in tests)
+def _neardup_sql() -> str:
+    planes = _planes_6x64()
+    return f"""
+    WITH s AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt({_dot_sql('embedding', 'embedding')})) AS unit,
+               {_bucket_sql('embedding', planes)} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_dot_sql('a.unit', 'b.unit')} AS similarity
+    FROM s a JOIN s b USING (bucket)
+    WHERE a.vec_id < b.vec_id AND {_dot_sql('a.unit', 'b.unit')} >= 0.9
+    """
+
+
+@query("embedding_neardup_pairs", _neardup_sql())
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH bucket self-join +
-    exact verify."""
+    """Embedding-cosine near-dup pairs via LSH bucket self-join + exact
+    verify, oracle-checked end to end (unit-normalization and the pair
+    dot use the same fold order in both engines)."""
     vectors = load_table(spark, "embeddings", sf_dir)
     return embedding_neardup_pairs(vectors, threshold=0.9, bits=6)
 

@@ -140,11 +140,43 @@ def q_budget_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_ann_topk")  # seeded-centroid probe: rows-only (recall tested)
+def _ivf_sql() -> str:
+    from dieter___etl___monarchmoney_spark.queries.llm_pipeline import _dot_sql
+
+    return f"""
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt({_dot_sql('embedding', 'embedding')})) AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (SELECT cell FROM cents, q ORDER BY {_dot_sql('cv', 'qv')} DESC, cell LIMIT 2),
+    scored AS (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_dot_sql('e.embedding', 'c.cv')} DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (SELECT vec_id, cell FROM scored WHERE rn = 1),
+    cand AS (SELECT vec_id FROM assigned WHERE cell IN (SELECT cell FROM probe))
+    SELECT e.vec_id,
+           {_dot_sql('e.embedding', 'q.qv')}
+           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('q.qv', 'q.qv')})) AS similarity
+    FROM embeddings e JOIN cand USING (vec_id), q
+    ORDER BY similarity DESC, e.vec_id LIMIT 10
+    """
+
+
+@query("ivf_ann_topk", _ivf_sql())
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: coarse-quantize to seeded centroids, probe
     the nearest cells, exact re-rank inside — the partition-pruned ANN
-    scale path (cells = partition keys at 100 TB)."""
+    scale path (cells = partition keys at 100 TB). Centroid
+    normalization, cell argmax, and probe ranking all use left-fold
+    arithmetic, so the oracle reproduces the probe set and result
+    exactly."""
     vectors = load_table(spark, "embeddings", sf_dir)
     row = (
         vectors.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
