@@ -161,12 +161,15 @@ def ngram_jaccard_pairs(
     self-join on shingle → per-pair intersection counts → Jaccard =
     |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
 
-    Scale shape: the self-join shuffles on the SHINGLE key (inverted
-    index), never on doc pairs, so cost is Σ df(shingle)² — set
-    ``doc_freq_cap`` to drop stop-shingles appearing in more than that
-    many docs (standard prune; a shingle shared by thousands of docs
-    carries no near-dup signal but quadratic join cost). Pairs sharing
-    zero shingles never materialize.
+    Scale shape: ONE shuffle keyed on the shingle builds the inverted
+    index (groupBy + collect_list); i<j pair combinations explode from
+    each posting list, so work is Σ df(shingle)² over only the shingles
+    shared by ≥2 docs — singleton shingles (the vast majority) never
+    leave the aggregate, and pairs sharing zero shingles never
+    materialize. ``doc_freq_cap`` drops stop-shingle posting lists
+    longer than the cap (lossy prune; a shingle shared by thousands of
+    docs carries no near-dup signal but quadratic pair cost — at 100 TB
+    this cap is what keeps the explode bounded).
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -175,18 +178,31 @@ def ngram_jaccard_pairs(
     sh = toks.select(
         "doc_id", F.explode(F.array_distinct(shingles_of(F.col("toks"), n))).alias("shingle")
     )
-    # feeds the count aggregate and both join sides — persist eagerly
+    # feeds the per-doc counts and the inverted index — persist eagerly
     sh = sh.persist()
     sh.count()
-    if doc_freq_cap is not None:
-        keep = sh.groupBy("shingle").count().filter(F.col("count") <= doc_freq_cap)
-        sh = sh.join(keep.select("shingle"), "shingle")
+    # |A| counts come from the FULL shingle sets (the Jaccard
+    # denominator), independent of any posting-list pruning
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    postings = postings.filter(F.size("ids") >= 2)
+    if doc_freq_cap is not None:
+        postings = postings.filter(F.size("ids") <= doc_freq_cap)
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        postings.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -201,6 +217,58 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def neardup_clusters(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Merge candidate near-dup PAIRS into CLUSTERS (connected
+    components): every doc gets ``cluster_id`` = the minimum doc id
+    reachable through the pair graph (its own id if unpaired) — the
+    assignment a dedup pipeline actually materializes (keep one survivor
+    per cluster, drop the rest).
+
+    Implementation: iterative min-label propagation — each round every
+    vertex takes the min of its own label and its neighbors' labels;
+    converges in O(graph diameter) rounds, and near-dup components are
+    tiny (pairs/triples), so 2-3 rounds in practice. Each round is one
+    shuffle join + aggregate; ``localCheckpoint`` truncates the lineage
+    so plans don't grow per round. At extreme scale swap the loop body
+    for the large-star/small-star contraction (same join shape, fewer
+    rounds on high-diameter graphs).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u"))
+        .unionByName(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("u")))
+        .persist()
+    )
+    edges.count()
+    labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("cluster_id"))
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("v").alias("u"), F.col("cluster_id").alias("nbr_label")),
+            "u",
+        ).groupBy("v").agg(F.min("nbr_label").alias("nbr_min"))
+        # carry the did-anything-improve flag in the checkpointed frame:
+        # one job materializes labels+flag, one cheap agg reads it back
+        new_labels = labels.join(nbr, "v", "left").select(
+            "v",
+            F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                "cluster_id"
+            ),
+            (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id"))
+            .cast("int")
+            .alias("chg"),
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = new_labels.agg(F.sum("chg")).collect()[0][0]
+        labels = new_labels.drop("chg")
+        if not changed:
+            break
+    return labels.select(F.col("v").alias(id_col), "cluster_id")
 
 
 def simhash32(col: Column | str) -> Column:

@@ -33,6 +33,7 @@ from dieter___etl___monarchmoney_spark.functions.text import (
 from dieter___etl___monarchmoney_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_dedup_pairs,
+    neardup_clusters,
     simhash_buckets,
     token_multiset_signature,
 )
@@ -291,6 +292,42 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup path. Signatures match the oracle bit for bit."""
     docs = load_table(spark, "documents", sf_dir)
     return minhash_lsh_dedup_pairs(docs, "text", "doc_id")
+
+
+#: transitive closure of the MinHash-LSH candidate pairs — DuckDB's
+#: recursive CTE plays the oracle for Spark's min-label propagation
+_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _MINHASH_SIG_SQL.lstrip().removeprefix("WITH ")
+    + """,
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS v, doc_b AS u FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(v, u) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v
+    )
+    SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY v
+    """
+)
+
+
+@query("neardup_clusters", _CLUSTERS_SQL)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → connected components: every document assigned
+    the min doc id reachable through the MinHash-LSH pair graph (the
+    cluster survivor). The dedup materialization step: keep
+    ``doc_id == cluster_id``, drop the rest."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_dedup_pairs(docs, "text", "doc_id")
+    return neardup_clusters(docs, pairs, "doc_id")
 
 
 _SIMHASH_SQL = f"""

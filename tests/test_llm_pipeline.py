@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from dieter___etl___monarchmoney_spark.functions.text import rolling_hash
 from dieter___etl___monarchmoney_spark.operators.dedup import (
     minhash_lsh_dedup_pairs,
+    neardup_clusters,
     shingles,
     simhash32,
 )
@@ -74,6 +75,31 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     # structure), so sign-LSH recall is modest by nature; hamming≤2
     # probing on 4 bits covers ~69% of buckets
     assert recall >= 0.4
+
+
+def test_neardup_clusters_transitive_merge(spark):
+    # pairs (1,2), (2,3) chain into one cluster labeled 1; (5,6) its own;
+    # 4 and 7 stay singletons
+    verts = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(verts, pairs, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_neardup_clusters_long_chain(spark):
+    # a 10-hop path needs multiple propagation rounds to converge
+    verts = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)], ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(verts, pairs, "doc_id").collect()
+    }
+    assert got == {i: 0 for i in range(10)}
 
 
 def test_ivf_ann_recall_vs_bruteforce(spark):
