@@ -171,19 +171,26 @@ def ngram_jaccard_pairs(
     docs carries no near-dup signal but quadratic pair cost — at 100 TB
     this cap is what keeps the explode bounded).
     """
+    # two selects on purpose: shingles_of references its input once per
+    # window, so the token array must be a REAL column first (see the
+    # shingles_of docstring) — inlining tokens() here re-runs the regex
+    # split per shingle
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.filter(tokens(text_col), lambda t: t != "").alias("toks"),
     )
-    sh = toks.select(
-        "doc_id", F.explode(F.array_distinct(shingles_of(F.col("toks"), n))).alias("shingle")
+    doc_sh = toks.select(
+        "doc_id", F.array_distinct(shingles_of(F.col("toks"), n)).alias("sh_arr")
     )
     # feeds the per-doc counts and the inverted index — persist eagerly
-    sh = sh.persist()
-    sh.count()
-    # |A| counts come from the FULL shingle sets (the Jaccard
-    # denominator), independent of any posting-list pruning
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    doc_sh = doc_sh.persist()
+    doc_sh.count()
+    # |A| counts are F.size on the pre-explode shingle array — the
+    # Jaccard denominator costs ZERO shuffles (the old groupBy(doc_id)
+    # re-aggregated what the array already knew) and is independent of
+    # any posting-list pruning below
+    counts = doc_sh.select("doc_id", F.size("sh_arr").alias("n_sh"))
+    sh = doc_sh.select("doc_id", F.explode("sh_arr").alias("shingle"))
     postings = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
@@ -239,36 +246,60 @@ def neardup_clusters(
     so plans don't grow per round. At extreme scale swap the loop body
     for the large-star/small-star contraction (same join shape, fewer
     rounds on high-diameter graphs).
+
+    The loop runs ONLY over vertices with at least one edge: in a dedup
+    corpus the pair graph is orders of magnitude smaller than the corpus
+    (most docs are singletons and provably keep their own id), so paying
+    per-round joins over the full vertex set would be almost entirely
+    dead weight — singletons rejoin label=own-id at the end, join-free.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u"))
         .unionByName(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("u")))
         .persist()
     )
-    edges.count()
-    labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("cluster_id"))
-    for _ in range(max_iter):
+    all_verts = vertices.select(F.col(id_col).alias("v"))
+    edge_verts = edges.select("v").distinct().persist()
+    labels = edge_verts.select("v", F.col("v").alias("cluster_id"))
+
+    def _hop(lbl: DataFrame, with_flag: bool) -> DataFrame:
         nbr = edges.join(
-            labels.select(F.col("v").alias("u"), F.col("cluster_id").alias("nbr_label")),
+            lbl.select(F.col("v").alias("u"), F.col("cluster_id").alias("nbr_label")),
             "u",
         ).groupBy("v").agg(F.min("nbr_label").alias("nbr_min"))
-        # carry the did-anything-improve flag in the checkpointed frame:
-        # one job materializes labels+flag, one cheap agg reads it back
-        new_labels = labels.join(nbr, "v", "left").select(
-            "v",
+        out = lbl.join(nbr, "v", "left")
+        cols = [
+            F.col("v"),
             F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
                 "cluster_id"
             ),
-            (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id"))
-            .cast("int")
-            .alias("chg"),
-        )
+        ]
+        if with_flag:
+            # carry the did-anything-improve flag in the checkpointed
+            # frame: one job materializes labels+flag, one cheap agg
+            # reads it back
+            cols.append(
+                (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id"))
+                .cast("int")
+                .alias("chg")
+            )
+        return out.select(*cols)
+
+    for _ in range(max_iter):
+        # TWO hops per checkpoint/convergence cycle: propagation is
+        # monotone, so an unchanged SECOND hop alone proves the fixpoint
+        # (even if the first hop moved labels) — halves the number of
+        # driver round-trips for the tiny-diameter graphs dedup produces
+        new_labels = _hop(_hop(labels, with_flag=False), with_flag=True)
         new_labels = new_labels.localCheckpoint()
         changed = new_labels.agg(F.sum("chg")).collect()[0][0]
         labels = new_labels.drop("chg")
         if not changed:
             break
-    return labels.select(F.col("v").alias(id_col), "cluster_id")
+    singletons = all_verts.join(edge_verts, "v", "left_anti").select(
+        "v", F.col("v").alias("cluster_id")
+    )
+    return labels.unionByName(singletons).select(F.col("v").alias(id_col), "cluster_id")
 
 
 def simhash32(col: Column | str) -> Column:

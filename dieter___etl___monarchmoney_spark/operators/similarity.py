@@ -34,6 +34,21 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def const_vec(values: Sequence[float]) -> Column:
+    """A constant vector as ONE array literal. ``F.array(*[F.lit(x)…])``
+    builds dim expression nodes; a 64-dim query times b planes makes
+    Catalyst analysis + codegen the dominant cost on probe queries. One
+    ``Literal(ArrayType)`` node keeps the plan O(1) in dim."""
+    return F.lit([float(x) for x in values])
+
+
+def const_mat(rows: Sequence[Sequence[float]]) -> Column:
+    """A constant matrix (hyperplanes, centroids) as ONE nested array
+    literal — paired with higher-order functions so the per-row logic is
+    a single lambda, never unrolled per plane/centroid."""
+    return F.lit([[float(x) for x in r] for r in rows])
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -51,7 +66,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force top-k by cosine similarity against a constant
     query vector. Ties broken by id for determinism."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = const_vec(query_vec)
     scored = vectors.select(
         F.col(id_col),
         cosine(F.col(vec_col), q).alias("similarity"),
@@ -67,14 +82,22 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit signature: bit i = 1 iff vec · plane_i > 0."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        sig = sig + F.when(dot(vec, p) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    """Sign-bit signature: bit i = 1 iff vec · plane_i > 0.
+
+    Planes ride along as ONE nested-array literal and the per-plane dot
+    is a higher-order-function lambda, so plan size is independent of
+    ``bits`` (the unrolled per-plane form made Catalyst analysis +
+    codegen ~4× the runtime of the scan itself). ``shiftleft`` needs a
+    literal shift, so bit weights come from a 2^i lookup array."""
+    planes_lit = const_mat(planes)
+    weights = F.lit([1 << i for i in range(len(planes))])
+    bits = F.transform(
+        planes_lit,
+        lambda p, i: F.when(dot(vec, p) > 0, F.element_at(weights, i + F.lit(1))).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
 def lsh_ann_topk(
@@ -106,7 +129,7 @@ def lsh_ann_topk(
             probe.add(sig)
     bucketed = vectors.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
     cand = bucketed.filter(F.col("bucket").isin([int(s) for s in probe]))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = const_vec(query_vec)
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("similarity"))
     return scored.orderBy(F.col("similarity").desc(), F.col(id_col)).limit(k)
 
@@ -156,14 +179,10 @@ def ivf_cell(vec: Column, centroids: Sequence[Sequence[float]]) -> Column:
     (unit) centroids — pure column expressions, ties to the lowest cell.
     The norm of ``vec`` is constant across cells so plain dot ranks the
     same as cosine."""
-    scores = [
-        dot(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids
-    ]
-    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
-    cell = F.lit(len(centroids) - 1)
-    for i in range(len(centroids) - 2, -1, -1):
-        cell = F.when(scores[i] == best, F.lit(i)).otherwise(cell)
-    return cell
+    scores = F.transform(const_mat(centroids), lambda c: dot(vec, c))
+    # array_position = FIRST index of the max → ties to the lowest cell,
+    # same rule the oracle uses; 1-based, hence the −1
+    return (F.array_position(scores, F.array_max(scores)) - F.lit(1)).cast("int")
 
 
 def ivf_ann_topk(
@@ -189,7 +208,7 @@ def ivf_ann_topk(
     probe = sorted(range(len(cents)), key=lambda i: (-scores[i], i))[:nprobe]
     assigned = vectors.withColumn("cell", ivf_cell(F.col(vec_col), cents))
     cand = assigned.filter(F.col("cell").isin(probe))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = const_vec(query_vec)
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("similarity"))
     return scored.orderBy(F.col("similarity").desc(), F.col(id_col)).limit(k)
 
@@ -228,4 +247,7 @@ def embedding_neardup_pairs(
     verified = pairs.select(
         "id_a", "id_b", dot(F.col("unit_a"), F.col("unit_b")).alias("similarity")
     ).filter(F.col("similarity") >= threshold)
-    return verified.distinct()
+    # no distinct: each vector lives in exactly ONE bucket, so a pair can
+    # only come out of the join once — a dedup here would be a free extra
+    # full shuffle of the result
+    return verified
