@@ -7,6 +7,7 @@ Importing this package registers every query into
 from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     budget,
     core,
+    curation,
     filters,
     forecast_nested,
     llm_pipeline,

@@ -1,0 +1,171 @@
+"""Corpus-curation queries: the composed operations a training-data
+pipeline runs over a crawled corpus before tokenization — deterministic
+train/val/test splitting, quality+dedup curation end-to-end, and corpus
+shape statistics.
+
+These are compositions of the primitives in ``operators/dedup.py`` and
+``functions/text.py``; registering them separately proves the pieces
+compose into the pipeline a user would actually run, and gives the
+oracle a shot at the full chain (filter → window-dedup → anti-join),
+not just each stage alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.functions.text import (
+    fingerprint_md5,
+    quality_score,
+    token_count,
+)
+from dieter___etl___monarchmoney_spark.operators.dedup import minhash_lsh_dedup_pairs
+from dieter___etl___monarchmoney_spark.queries.llm_pipeline import (
+    _MINHASH_SIG_SQL,
+    _QUALITY_SQL,
+    _TOKS_SQL,
+    _hexparse_sql,
+)
+from dieter___etl___monarchmoney_spark.registry import query
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+
+# --------------------------------------------------------------------------
+# Deterministic split assignment
+# --------------------------------------------------------------------------
+
+#: md5-derived bucket in [0, 100): hash the STRING form of the id so the
+#: assignment is stable across storage types and engines. At 100 TB this
+#: is the only split strategy that survives re-partitioning, backfills,
+#: and incremental appends — row_number()-style splits reshuffle
+#: membership whenever data moves; a content-keyed hash never does.
+_BUCKET_SQL = f"{_hexparse_sql('substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)')} % 100"
+
+
+@query(
+    "train_val_test_split",
+    f"""
+    SELECT doc_id,
+           {_BUCKET_SQL} AS bucket,
+           CASE WHEN {_BUCKET_SQL} < 90 THEN 'train'
+                WHEN {_BUCKET_SQL} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment from an md5 hash of the doc id —
+    deterministic, engine-independent, stable under repartitioning (no
+    RNG, no row ordering dependence)."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_curation",
+    _MINHASH_SIG_SQL
+    + rf""",
+    near_dup_losers AS (
+        SELECT DISTINCT b.doc_id AS doc_id
+        FROM bands a JOIN bands b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT doc_id, text, {_QUALITY_SQL} AS quality, len({_TOKS_SQL}) AS n_tokens
+        FROM documents
+    ),
+    passing AS (
+        SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM scored WHERE quality >= 0.5
+    ),
+    exact_survivors AS (
+        SELECT doc_id, quality, n_tokens,
+               MIN(doc_id) OVER (PARTITION BY fp) AS group_min
+        FROM passing
+    )
+    SELECT doc_id, quality, n_tokens
+    FROM exact_survivors
+    WHERE doc_id = group_min
+      AND doc_id NOT IN (SELECT doc_id FROM near_dup_losers)
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain in one query: quality-filter → exact-dup
+    survivor (min id per normalized-text fingerprint, via a window — no
+    second scan) → greedy near-dup drop (any doc that is the HIGHER id
+    of a MinHash-LSH candidate pair loses). Returns the curated corpus
+    with its quality and token-count metadata.
+
+    Scale shape: one scan scores + fingerprints; the window dedup
+    shuffles once on the fingerprint; the near-dup drop is a broadcast
+    anti-join against the (tiny relative to corpus) loser set.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    losers = (
+        minhash_lsh_dedup_pairs(docs, "text", "doc_id")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    scored = docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+        fingerprint_md5("text").alias("fp"),
+    )
+    passing = scored.filter(F.col("quality") >= 0.5)
+    survivors = passing.withColumn(
+        "group_min", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).filter(F.col("doc_id") == F.col("group_min"))
+    return survivors.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "quality", "n_tokens"
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus shape statistics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "token_length_histogram",
+    f"""
+    SELECT (len({_TOKS_SQL}) // 16) * 16 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           SUM(len({_TOKS_SQL})) AS total_tokens,
+           CAST(SUM(len({_TOKS_SQL})) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (16-token) document-length histogram — the corpus
+    shape summary that sizes tokenizer batches and sequence-length
+    packing. Integer sums, so the avg double is engine-identical; at any
+    scale this is one map-side-combinable aggregate on a derived key."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_tok = token_count("text")
+    return (
+        docs.select(
+            (F.floor(n_tok / 16) * 16).alias("bucket_lo"), n_tok.alias("n_tokens")
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )

@@ -153,15 +153,21 @@ def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_quality_scores",
-    rf"""
-    SELECT doc_id,
+#: DuckDB twin of functions.text.quality_score — shared with the
+#: composed curation queries (queries/curation.py)
+_QUALITY_SQL = rf"""(
            0.4 * LEAST(CAST(len({_TOKS_SQL}) AS DOUBLE) / 64.0, 1.0)
          + 0.4 * LEAST(CAST({_stop_sql('en')} AS DOUBLE) / 10.0, 1.0)
          + 0.2 * (1.0 - LEAST(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
                               / GREATEST(CAST(len({_TOKS_SQL}) AS DOUBLE), 1.0), 1.0))
-           AS quality,
+)"""
+
+
+@query(
+    "text_quality_scores",
+    rf"""
+    SELECT doc_id,
+           {_QUALITY_SQL} AS quality,
            len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
     FROM documents
     """,

@@ -1,0 +1,75 @@
+"""Unit tests for the corpus-curation composition queries
+(queries/curation.py): split determinism, curation invariants,
+histogram consistency. Oracle parity is covered by the registry gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.queries.curation import (
+    q_corpus_curation,
+    q_token_length_histogram,
+    q_train_val_test_split,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_split_deterministic_and_total(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    total = docs.count()
+    a = q_train_val_test_split(spark, SF_SMOKE)
+    assert a.count() == total
+    # same assignment on re-run (no RNG, no ordering dependence)
+    b = q_train_val_test_split(spark, SF_SMOKE)
+    assert a.exceptAll(b).count() == 0
+    rows = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # 90/5/5 within loose tolerance on a few hundred docs
+    assert rows["train"] / total > 0.8
+    assert 0 < rows.get("val", 0) < 0.15 * total
+    assert 0 < rows.get("test", 0) < 0.15 * total
+
+
+def test_split_buckets_in_range(spark):
+    out = q_train_val_test_split(spark, SF_SMOKE)
+    bad = out.filter((F.col("bucket") < 0) | (F.col("bucket") >= 100)).count()
+    assert bad == 0
+    # split labels must agree with the bucket ranges
+    wrong = out.filter(
+        ((F.col("bucket") < 90) & (F.col("split") != "train"))
+        | (F.col("bucket").between(90, 94) & (F.col("split") != "val"))
+        | ((F.col("bucket") >= 95) & (F.col("split") != "test"))
+    ).count()
+    assert wrong == 0
+
+
+def test_corpus_curation_invariants(spark):
+    from dieter___etl___monarchmoney_spark.functions.text import fingerprint_md5
+    from dieter___etl___monarchmoney_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = q_corpus_curation(spark, SF_SMOKE).persist()
+    # all survivors pass the quality bar
+    assert out.filter(F.col("quality") < 0.5).count() == 0
+    # no two survivors share a normalized-text fingerprint
+    fps = (
+        out.join(docs, "doc_id")
+        .select(fingerprint_md5("text").alias("fp"))
+        .groupBy("fp")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert fps == 0
+    # no survivor is the higher id of a MinHash candidate pair
+    losers = minhash_lsh_dedup_pairs(docs, "text", "doc_id").select(
+        F.col("doc_b").alias("doc_id")
+    )
+    assert out.join(losers, "doc_id").count() == 0
+
+
+def test_token_length_histogram_totals(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    hist = q_token_length_histogram(spark, SF_SMOKE).collect()
+    assert sum(r["n_docs"] for r in hist) == docs.count()
+    assert all(r["bucket_lo"] % 16 == 0 for r in hist)
+    assert all(abs(r["avg_tokens"] - r["total_tokens"] / r["n_docs"]) < 1e-9 for r in hist)
