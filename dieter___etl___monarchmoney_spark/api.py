@@ -33,6 +33,7 @@ from dieter___etl___monarchmoney_spark.operators.aggregates import (
     monthly_rollup,
     transactions_summary,
 )
+from dieter___etl___monarchmoney_spark.operators.budgets import budget_pipeline
 from dieter___etl___monarchmoney_spark.operators.maintenance import (
     delete_rows,
     insert_rows,
@@ -59,6 +60,8 @@ class FinanceWarehouse:
         "tags",
         "balances",
         "recurring",
+        "budgets",
+        "subscription",
     )
 
     def __init__(self, spark: SparkSession, root: str):
@@ -137,6 +140,49 @@ class FinanceWarehouse:
     def get_institutions(self) -> DataFrame:
         """monarchmoney.py:1024-1107."""
         return self.table("accounts").select("institutionName").distinct()
+
+    # -- budgets (monarchmoney.py:1109-1342) -------------------------------
+
+    def get_budgets(
+        self,
+        start_date: str | None = None,
+        end_date: str | None = None,
+        **_: object,
+    ) -> DataFrame:
+        """monarchmoney.py:1109-1342 — the flattened budget tree (category
+        rows + group rollups + total rows, with rollover/remaining/
+        cumulative math) for a month window. Defaults mirror the
+        reference (monarchmoney.py:1307-1331): first day of last month →
+        last day of next month; one-sided input raises the reference's
+        error (monarchmoney.py:1333-1336). The ``use_*_goals`` kwargs are
+        accepted for signature parity and ignored (goals are not a
+        warehouse entity)."""
+        if (start_date is None) != (end_date is None):
+            raise Exception(
+                "You must specify both a startDate and endDate, not just one of them."
+            )
+        if start_date is None:
+            import calendar
+
+            today = dt.date.today()
+            last_m = today.month - 1 or 12
+            last_y = today.year - (1 if today.month == 1 else 0)
+            start_date = dt.date(last_y, last_m, 1).isoformat()
+            next_m = 1 if today.month == 12 else today.month + 1
+            next_y = today.year + (1 if today.month == 12 else 0)
+            end_date = dt.date(
+                next_y, next_m, calendar.monthrange(next_y, next_m)[1]
+            ).isoformat()
+        rows = self.table("budgets").filter(
+            F.col("Month").between(F.lit(start_date), F.lit(end_date))
+        )
+        return budget_pipeline(rows)
+
+    def get_subscription_details(self) -> DataFrame:
+        """monarchmoney.py:1344-1365 — the household's subscription row
+        (id, paymentSource, referralCode, isOnFreeTrial,
+        hasPremiumEntitlement)."""
+        return self.table("subscription")
 
     # -- transaction reads (monarchmoney.py:1367-1554, 1979-2177) ----------
 

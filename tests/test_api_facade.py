@@ -49,6 +49,18 @@ def wh(spark, tmp_path_factory):
         ["account_id", "date", "balance", "accountType"]))
     w.save("recurring", spark.createDataFrame(
         [("r1", dt.date(2024, 3, 1), -55.5, False)], ["id", "date", "amount", "isPast"]))
+    w.save("budgets", spark.createDataFrame(
+        [
+            ("c1", "Food", "Expenses", "expense", dt.date(2024, 1, 1), 200.0, 120.0, 0.0),
+            ("c1", "Food", "Expenses", "expense", dt.date(2024, 2, 1), 200.0, 80.0, 80.0),
+            ("c2", "Housing", "Expenses", "expense", dt.date(2024, 1, 1), 900.0, 955.5, 0.0),
+        ],
+        ["category_id", "CategoryName", "CategoryGroupName", "GroupType",
+         "Month", "PlannedAmount", "ActualAmount", "RolloverAmount"]))
+    w.save("subscription", spark.createDataFrame(
+        [("sub1", "STRIPE", None, False, True)],
+        "id string, paymentSource string, referralCode string, "
+        "isOnFreeTrial boolean, hasPremiumEntitlement boolean"))
     return w
 
 
@@ -83,6 +95,30 @@ def test_transactions_filter_surface(wh):
 def test_tags_live_counts(wh):
     tags = {r["name"]: r["transactionCount"] for r in wh.get_transaction_tags().collect()}
     assert tags == {"joint": 2, "big": 1}
+
+
+def test_budgets_window_and_rollups(wh):
+    out = wh.get_budgets("2024-01-01", "2024-02-28").collect()
+    cat = {(r["CategoryName"], str(r["Month"])): r for r in out if r["GroupOrder"] == 0}
+    # remaining = planned + rollover − actual; cumulative runs per category
+    jan_food = cat[("Food", "2024-01-01")]
+    assert jan_food["RemainingAmount"] == pytest.approx(200.0 - 120.0)
+    feb_food = cat[("Food", "2024-02-01")]
+    assert feb_food["RemainingAmount"] == pytest.approx(200.0 + 80.0 - 80.0)
+    assert feb_food["CumulativeActualAmount"] == pytest.approx(200.0)
+    # group rollup + grand total rows exist
+    assert any(r["GroupOrder"] != 0 for r in out)
+    # one-sided window raises the reference's error text
+    with pytest.raises(Exception, match="both a startDate and endDate"):
+        wh.get_budgets(start_date="2024-01-01")
+    # month filter drops feb when window ends in jan
+    jan_only = wh.get_budgets("2024-01-01", "2024-01-31").collect()
+    assert all(str(r["Month"]) <= "2024-01-31" for r in jan_only if r["Month"])
+
+
+def test_subscription_details(wh):
+    row = wh.get_subscription_details().collect()[0]
+    assert row["hasPremiumEntitlement"] is True and row["paymentSource"] == "STRIPE"
 
 
 def test_cashflow_with_window(wh):
