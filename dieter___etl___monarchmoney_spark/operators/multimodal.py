@@ -79,6 +79,78 @@ def decode_stub(
     return df.select(id_col, bin_col).mapInPandas(run, DECODED_SCHEMA)
 
 
+def feature_extract_stub(
+    df: DataFrame, bin_col: str, id_col: str = "doc_id", dim: int = 8, fake: bool = False
+) -> DataFrame:
+    """Feature extraction (media blob → embedding vector) via
+    mapInPandas. The fake path derives the vector deterministically from
+    the md5 digest of the bytes (byte i / 255), so the whole Arrow
+    round-trip — batch in, vector column out — can be checked against a
+    SQL oracle bit for bit, not just rows-only: the strongest guarantee
+    a stubbed media path can give."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "feature extraction requires a model runtime not present "
+                    "in this environment; pass fake=True to exercise plumbing"
+                )
+            vecs = pdf[bin_col].map(
+                lambda b: [x / 255.0 for x in hashlib.md5(bytes(b)).digest()[:dim]]
+            )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "embedding": vecs})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def resize_stub(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str = "doc_id",
+    max_side: int = 256,
+    fake: bool = False,
+) -> DataFrame:
+    """Image resize (stub): 1→1 mapInPandas keeping aspect ratio of the
+    fake-decoded dimensions, clamped to ``max_side``. Returns the resized
+    dims + the (fake) output byte count."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("image resize unavailable; pass fake=True")
+            n = pdf[bin_col].map(len)
+            w = (n % 640).clip(lower=1)
+            h = (n % 480).clip(lower=1)
+            scale = (max_side / w.combine(h, max)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": (w * scale).astype("int32"),
+                    "height": (h * scale).astype("int32"),
+                    "n_bytes": (w * scale * h * scale * 3).astype("int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
 def frame_sample_stub(
     df: DataFrame, bin_col: str, id_col: str = "doc_id", every_n: int = 10, fake: bool = False
 ) -> DataFrame:

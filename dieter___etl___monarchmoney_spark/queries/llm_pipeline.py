@@ -40,6 +40,9 @@ from dieter___etl___monarchmoney_spark.operators.dedup import (
 from dieter___etl___monarchmoney_spark.operators.multimodal import (
     binary_metadata,
     decode_stub,
+    feature_extract_stub,
+    frame_sample_stub,
+    resize_stub,
 )
 from dieter___etl___monarchmoney_spark.operators.similarity import (
     cosine_topk,
@@ -495,3 +498,45 @@ def q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blob", F.encode(F.col("text"), "UTF-8")
     )
     return decode_stub(docs, "blob", "doc_id", fake=True)
+
+
+@query(
+    "multimodal_feature_extract",
+    f"""
+    SELECT doc_id, i - 1 AS dim,
+           CAST({_hexparse_sql("substr(md5(text), 2*i-1, 2)")} AS DOUBLE) / 255.0
+               AS feat
+    FROM documents CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)
+    """,
+)
+def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the REAL Arrow/pandas path, with the
+    md5-derived fake extractor — the pandas-produced vector is checked
+    element-wise against a pure-SQL oracle, proving the mapInPandas
+    plumbing (batching, schema, value marshalling) is lossless."""
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    feats = feature_extract_stub(docs, "blob", "doc_id", dim=8, fake=True)
+    return feats.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "feat")
+    )
+
+
+@query("multimodal_frame_sample")  # 1→N mapInPandas plumbing: rows-only
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    (1→N shape through mapInPandas), fake decode."""
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    return frame_sample_stub(docs, "blob", "doc_id", every_n=10, fake=True)
+
+
+@query("multimodal_resize")  # 1→1 mapInPandas plumbing: rows-only
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing (fake dims), clamped to 256."""
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "blob", F.encode(F.col("text"), "UTF-8")
+    )
+    return resize_stub(docs, "blob", "doc_id", max_side=256, fake=True)

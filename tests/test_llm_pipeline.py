@@ -18,7 +18,9 @@ from dieter___etl___monarchmoney_spark.operators.dedup import (
 )
 from dieter___etl___monarchmoney_spark.operators.multimodal import (
     decode_stub,
+    feature_extract_stub,
     frame_sample_stub,
+    resize_stub,
 )
 from dieter___etl___monarchmoney_spark.operators.similarity import (
     cosine_topk,
@@ -165,6 +167,28 @@ def test_multimodal_stubs(spark):
     frames = frame_sample_stub(blobs, "blob", "doc_id", every_n=1, fake=True).collect()
     assert {r["doc_id"] for r in frames} == {1, 2}
     assert len([r for r in frames if r["doc_id"] == 2]) == 3  # 100//32 frames
+
+
+def test_feature_extract_matches_hashlib(spark):
+    import hashlib
+
+    docs = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    blobs = docs.withColumn("blob", F.encode("text", "UTF-8"))
+    row = feature_extract_stub(blobs, "blob", "doc_id", dim=8, fake=True).collect()[0]
+    want = [x / 255.0 for x in hashlib.md5(b"hello world").digest()[:8]]
+    assert row["embedding"] == want
+    with pytest.raises(Exception, match="NotImplementedError|feature extraction"):
+        feature_extract_stub(blobs, "blob", "doc_id", fake=False).collect()
+
+
+def test_resize_clamps_to_max_side(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "y" * 40)], ["doc_id", "text"]
+    ).withColumn("blob", F.encode("text", "UTF-8"))
+    out = {r["doc_id"]: r for r in resize_stub(docs, "blob", "doc_id", max_side=64, fake=True).collect()}
+    assert all(r["width"] <= 64 and r["height"] <= 64 for r in out.values())
+    # small image (40x40 fake dims) is NOT upscaled
+    assert out[2]["width"] == 40 and out[2]["height"] == 40
 
 
 def test_rolling_hash_deterministic(spark):
