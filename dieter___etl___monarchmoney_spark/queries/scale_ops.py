@@ -183,3 +183,51 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv = [float(x) for x in row["embedding"]]
     return ivf_ann_topk(vectors, qv, k=10, n_cells=8, nprobe=2)
+
+
+@query(
+    "skew_salted_cashflow",
+    f"""
+    SELECT returnflag AS "key",
+           {_MSUM.format(x='amount')} AS sum,
+           COUNT(*) AS count
+    FROM ({TRANSACTIONS_SQL})
+    GROUP BY returnflag
+    """,
+)
+def q_skew_salted_cashflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: SUM/COUNT of amount by returnflag — three
+    hot keys over the whole fact, the worst-case skew shape. The salted
+    two-phase pattern (operators/skew.salted_money_aggregate) spreads
+    each hot key over 16 reducers before a tiny per-key combine; decimal
+    sums make the result independent of the salt layout, so a plain
+    GROUP BY is the oracle."""
+    from dieter___etl___monarchmoney_spark.operators.skew import salted_money_aggregate
+
+    txns = transactions(spark, sf_dir)
+    return salted_money_aggregate(txns, "returnflag", "amount", salt_buckets=16).select(
+        F.col("returnflag").alias("key"), "sum", "count"
+    )
+
+
+@query(
+    "transaction_point_lookup",
+    f"""
+    SELECT txn_id, order_id, amount, txn_date
+    FROM ({TRANSACTIONS_SQL})
+    WHERE txn_id = (SELECT MIN(txn_id) FROM ({TRANSACTIONS_SQL}))
+    """,
+)
+def q_transaction_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — single-row lookup by primary key (get_transaction_details
+    monarchmoney.py:1979-2127). The driver knows the key (here the min
+    txn_id, fetched first); the lookup itself is a literal equality
+    filter Catalyst pushes to the scan — on a layout sorted/partitioned
+    by id this is row-group-pruned I/O, not a table scan."""
+    from dieter___etl___monarchmoney_spark.operators.transactions import point_lookup
+
+    txns = transactions(spark, sf_dir)
+    key = txns.agg(F.min("txn_id")).collect()[0][0]
+    return point_lookup(txns, "txn_id", key).select(
+        "txn_id", "order_id", "amount", "txn_date"
+    )
