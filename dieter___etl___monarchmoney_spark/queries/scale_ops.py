@@ -220,14 +220,22 @@ def q_skew_salted_cashflow(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_transaction_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 — single-row lookup by primary key (get_transaction_details
-    monarchmoney.py:1979-2127). The driver knows the key (here the min
-    txn_id, fetched first); the lookup itself is a literal equality
-    filter Catalyst pushes to the scan — on a layout sorted/partitioned
-    by id this is row-group-pruned I/O, not a table scan."""
+    monarchmoney.py:1979-2127). txn_id is DERIVED (a concat over the
+    natural key), so an equality on it alone cannot reach the parquet
+    scan; the scale-correct lookup decomposes the key and pushes the
+    sargable component equalities (order/part/supp keys → row-group
+    pruning) while keeping the full composite equality as a residual
+    filter. test_plans.py asserts the pushdown stays."""
     from dieter___etl___monarchmoney_spark.operators.transactions import point_lookup
 
     txns = transactions(spark, sf_dir)
     key = txns.agg(F.min("txn_id")).collect()[0][0]
-    return point_lookup(txns, "txn_id", key).select(
+    okey, _ln, pkey, skey = key.split("-")
+    sargable = txns.filter(
+        (F.col("order_id") == int(okey))
+        & (F.col("category_id") == int(pkey))
+        & (F.col("merchant_id") == int(skey))
+    )
+    return point_lookup(sargable, "txn_id", key).select(
         "txn_id", "order_id", "amount", "txn_date"
     )

@@ -42,6 +42,28 @@ def test_column_pruning_reaches_scan(spark):
     assert "l_shipdate" not in plan.split("ReadSchema")[1].split("\n")[0]
 
 
+def test_point_lookup_pushes_key_filter(spark):
+    plan = _plan(QUERIES["transaction_point_lookup"](spark, SF_ORACLE))
+    # the decomposed natural-key equalities must reach the parquet scan
+    # (row-group pruning); the composite txn_id equality stays residual
+    assert "EqualTo(l_orderkey" in plan
+    assert "EqualTo(l_partkey" in plan
+
+
+def test_curation_anti_join_broadcasts(spark):
+    plan = _plan(QUERIES["corpus_curation"](spark, SF_ORACLE))
+    # the near-dup loser set must broadcast (tiny vs corpus): the anti
+    # join must not sort-merge
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_aggregate_two_phase(spark):
+    plan = _plan(QUERIES["skew_salted_cashflow"](spark, SF_ORACLE))
+    # two aggregate exchanges: (key, salt) then key — the skew spread
+    assert plan.count("hashpartitioning") >= 2
+
+
 def test_partition_pruning_on_date_partitioned_sink(spark, tmp_path):
     """The incremental sink story: written partitioned by month, a month
     filter must prune partitions at the scan (PartitionFilters)."""
