@@ -113,34 +113,58 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _pair_combos(ids: Column) -> Column:
+    """All i<j pairs from a SORTED id array, as structs (doc_a, doc_b) —
+    the explode side of the inverted-index pattern shared by LSH banding
+    and exact-Jaccard candidate generation."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = MINHASH_BANDS,
     rows_per_band: int = MINHASH_ROWS,
 ) -> DataFrame:
     """LSH banding: docs sharing ALL minhashes in any band become a
-    candidate pair. Implemented as one self-join per band on the band
-    key, unioned and de-duplicated — each join shuffles on the band
-    bucket, never on the cross product.
+    candidate pair.
 
-    The signature frame is persisted AND eagerly materialized first: it
-    feeds 8 join sides, and a lazy persist inside a single action still
-    races all branches against an unpopulated cache (at cluster scale
-    you'd checkpoint signatures to a bucketed table and reuse them
-    across dedup runs)."""
-    signatures = signatures.persist()
-    signatures.count()
-    pairs = None
-    for b in range(bands):
-        cols = [f"mh{b * rows_per_band + r + 1}" for r in range(rows_per_band)]
-        key = F.concat_ws("|", F.lit(str(b)), *[F.col(c) for c in cols])
-        left = signatures.select(F.col("doc_id").alias("doc_a"), key.alias("band_key"))
-        right = signatures.select(F.col("doc_id").alias("doc_b"), key.alias("band_key"))
-        cand = left.join(right, "band_key").filter(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b"
-        )
-        pairs = cand if pairs is None else pairs.unionByName(cand)
-    return pairs.distinct()
+    One shuffle, not one self-join per band: every doc explodes to
+    ``bands`` (band_key) rows, a single groupBy builds the posting list
+    per bucket, and i<j combos explode out of lists of length ≥ 2 —
+    singleton buckets (the overwhelming majority) never leave the
+    aggregate, and the signature frame is scanned once instead of
+    feeding 2×bands join sides (which needed an eager persist just to
+    avoid recomputation). The final distinct collapses pairs that
+    collide in several bands."""
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows_per_band + r + 1}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select("doc_id", F.explode(keys).alias("band_key"))
+    postings = (
+        banded.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    return (
+        postings.select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
 
 
 def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -197,18 +221,8 @@ def ngram_jaccard_pairs(
     postings = postings.filter(F.size("ids") >= 2)
     if doc_freq_cap is not None:
         postings = postings.filter(F.size("ids") <= doc_freq_cap)
-    ids = F.col("ids")
-    combos = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     inter = (
-        postings.select(F.explode(combos).alias("p"))
+        postings.select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

@@ -71,3 +71,28 @@ def snapshot_with_metadata(df: DataFrame, run_ts: str) -> DataFrame:
     """F16 — stamp the load timestamp column the way every sheet write
     does (loadedAtUtc, MonarchMoneyMain-v3.py:1269-1275)."""
     return df.withColumn("loadedAtUtc", F.lit(run_ts).cast("timestamp"))
+
+
+def save_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Write a catalog table bucketed (and sorted) by ``bucket_key``.
+
+    The co-located-join primitive: two facts bucketed the same way join
+    WITHOUT any exchange — at 100 TB the shuffle of a fact-fact join is
+    usually the single largest cost in the plan, and pre-bucketing both
+    sides on the join key amortizes it into the write path once instead
+    of paying it per query. ``sort=True`` additionally pre-sorts within
+    buckets so the sort-merge join skips its sort step.
+    test_plans.py::test_bucketed_join_needs_no_exchange pins the
+    exchange-free plan."""
+    w = df.write.mode("overwrite").option("path", path)
+    w = w.bucketBy(n_buckets, bucket_key)
+    if sort:
+        w = w.sortBy(bucket_key)
+    w.saveAsTable(name)

@@ -64,6 +64,32 @@ def test_salted_aggregate_two_phase(spark):
     assert plan.count("hashpartitioning") >= 2
 
 
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Co-located fact-fact join: both sides bucketed on the join key →
+    the join runs with ZERO exchanges (the 100 TB shuffle cost is paid
+    once at write time, not per query)."""
+    from dieter___etl___monarchmoney_spark.sources.sinks import save_bucketed_table
+    from dieter___etl___monarchmoney_spark.sources.star_model import transactions
+
+    txns = transactions(spark, "/root/testdata/sf0.001")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_orderkey").alias("order_id"), "o_orderdate", "o_totalprice"
+    )
+    save_bucketed_table(txns, "b_txns", str(tmp_path / "b_txns"), "order_id", 8)
+    save_bucketed_table(orders, "b_orders", str(tmp_path / "b_orders"), "order_id", 8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_txns").join(spark.table("b_orders"), "order_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_txns")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
 def test_partition_pruning_on_date_partitioned_sink(spark, tmp_path):
     """The incremental sink story: written partitioned by month, a month
     filter must prune partitions at the scan (PartitionFilters)."""
