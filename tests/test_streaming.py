@@ -77,3 +77,71 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert len(got) >= 2  # at least the first session per user closed
     for row in got:
         assert row in batch
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """The REAL watermark semantics (not just availableNow equivalence):
+    with a 1-day watermark and append output, an event arriving in a
+    later micro-batch for an already-closed daily window is DROPPED —
+    the emitted window total includes only the on-time rows. This is the
+    Spark-native upgrade of the reference's window-replacement late-data
+    story (T2, MonarchMoneyMain-v3.py:1312-1333)."""
+    import os
+    import time
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        # move the single part file into the source dir with a controlled
+        # mtime so the file source processes files in this order
+        part = [f for f in os.listdir(tmp_path / name) if f.startswith("part-")][0]
+        dest = src / f"{name}.parquet"
+        os.rename(tmp_path / name / part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    d = dt.datetime
+    t0 = time.time() - 1000
+    # batch 1: one on-time jan-1 event + a jan-5 event that pushes the
+    # watermark to jan-4 (past the jan-1 window's end)
+    write_file("b1", [(d(2024, 1, 1, 10), "pay", 10.0), (d(2024, 1, 5, 9), "pay", 1.0)], t0)
+    # batch 2: advances time further; during this batch the jan-1 window
+    # is EVICTED from state and emitted (watermark guarantees are
+    # one-directional: a late row can still merge while the window's
+    # state lives, so the drop demonstration needs eviction first)
+    write_file("b2", [(d(2024, 1, 7, 9), "pay", 1.0)], t0 + 100)
+    # batch 3: a LATE jan-1 event — state is gone, row is dropped
+    write_file("b3", [(d(2024, 1, 1, 23), "pay", 100.0)], t0 + 200)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"))
+        .select(F.col("w.start").cast("date").alias("date"), "event_type", "total_value")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_late_drop").collect()
+    jan1 = [r for r in rows if str(r["date"]) == "2024-01-01"]
+    # jan-1 emitted exactly once, with ONLY the on-time value; the late
+    # 100.0 was dropped against the advanced watermark, never re-emitted
+    assert [r["total_value"] for r in jan1] == [10.0]
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
