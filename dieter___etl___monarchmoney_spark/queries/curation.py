@@ -169,3 +169,103 @@ def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Relevance search + per-language stats
+# --------------------------------------------------------------------------
+
+#: fixed query terms for the ranked-search query (present in the corpus)
+_TERMS = ("spark", "table", "merge")
+
+
+@query(
+    "term_relevance_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE tok IN {tuple(_TERMS)!r} GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.tok,
+               tf.tf * (n.n - df.df + 0.5) / (df.df + 0.5) AS w
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    pivoted AS (
+        SELECT doc_id,
+               {", ".join(f"COALESCE(MAX(CASE WHEN tok = '{t}' THEN w END), 0.0) AS w{i}" for i, t in enumerate(_TERMS))}
+        FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, w0 + w1 + w2 AS score
+    FROM pivoted
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q_term_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked document search: log-free BM25 core — per-term weight
+    tf·(N−df+0.5)/(df+0.5), summed over the query terms in a FIXED
+    order via pivot columns. Deliberately log-free: ln() can differ in
+    the last ulp between libm implementations, while integer counts and
+    one division per term are bit-identical across engines. Scale shape:
+    one token explode filtered to the query terms (predicate before any
+    shuffle), tiny df/N broadcast, top-k via TakeOrderedAndProject."""
+    from dieter___etl___monarchmoney_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok").isin(list(_TERMS)))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id",
+        "tok",
+        (
+            F.col("tf") * (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("w"),
+    )
+    pivot_cols = [
+        F.coalesce(F.max(F.when(F.col("tok") == t, F.col("w"))), F.lit(0.0)).alias(f"w{i}")
+        for i, t in enumerate(_TERMS)
+    ]
+    pivoted = w.groupBy("doc_id").agg(*pivot_cols)
+    score = F.col("w0") + F.col("w1") + F.col("w2")
+    return (
+        pivoted.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "corpus_stats_by_lang",
+    f"""
+    SELECT lang AS lang_tag,
+           COUNT(*) AS n_docs,
+           SUM(len({_TOKS_SQL})) AS total_tokens,
+           MIN({_QUALITY_SQL}) AS min_quality,
+           MAX({_QUALITY_SQL}) AS max_quality
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus shape: doc count, total tokens, and the
+    quality envelope. min/max of doubles (order-independent) instead of
+    a double SUM — aggregation-order-proof by construction."""
+    from dieter___etl___monarchmoney_spark.functions.text import quality_score, token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy(F.col("lang").alias("lang_tag")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.min(quality_score("text")).alias("min_quality"),
+        F.max(quality_score("text")).alias("max_quality"),
+    )
