@@ -269,3 +269,96 @@ def q_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(quality_score("text")).alias("min_quality"),
         F.max(quality_score("text")).alias("max_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup + sequence packing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "incremental_dedup",
+    r"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    ),
+    history AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+    batch AS (
+        SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS batch_min
+        FROM fp WHERE doc_id >= 250
+    )
+    SELECT doc_id, fp
+    FROM batch
+    WHERE doc_id = batch_min
+      AND fp NOT IN (SELECT fp FROM history)
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup the way a 100 TB pipeline actually runs it: a NEW batch is
+    checked against the persisted fingerprint store of everything
+    ingested before (here: doc_id < 250 plays history, the rest the
+    arriving batch) — never recompute over the full corpus. Within-batch
+    dups collapse via a window min; cross-history dups drop via an
+    anti-join against the (relatively tiny) distinct-fingerprint store.
+    At scale the store is a bucketed table keyed on fingerprint
+    (sources/sinks.save_bucketed_table), so the anti-join co-locates
+    without an exchange."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", fingerprint_md5("text").alias("fp")
+    )
+    history = docs.filter(F.col("doc_id") < 250).select("fp").distinct()
+    batch = docs.filter(F.col("doc_id") >= 250)
+    batch = batch.withColumn(
+        "batch_min", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).filter(F.col("doc_id") == F.col("batch_min"))
+    return batch.join(F.broadcast(history), "fp", "left_anti").select("doc_id", "fp")
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM sized
+    )
+    SELECT doc_id, lang, n_tokens,
+           cum_before // 2048 AS pack_id,
+           cum_before % 2048 AS pack_offset
+    FROM c
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: per language, docs in id order fill
+    2048-token packs; each doc gets its pack id and token offset — the
+    assignment step before concatenating examples for training. Pure
+    integer window math (cumulative sum of token counts), so the oracle
+    matches exactly. Scale shape: the window partitions by lang (or any
+    shard key), so no global ordering bottleneck — each shard packs
+    independently, the realistic layout for a sharded tokenizer run."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(cum_before / 2048).alias("pack_id"),
+        (cum_before % 2048).alias("pack_offset"),
+    )
