@@ -362,3 +362,43 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cum_before / 2048).alias("pack_id"),
         (cum_before % 2048).alias("pack_offset"),
     )
+
+
+@query(
+    "text_repetition_scores",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len({_TOKS_SQL}) - 2, 0)),
+                   i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1] || ' ' || {_TOKS_SQL}[i+2]
+               ) AS sh
+        FROM documents
+    )
+    SELECT doc_id,
+           len(sh) AS n_shingles,
+           CASE WHEN len(sh) = 0 THEN 0.0
+                ELSE CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh)
+           END AS dup_shingle_frac
+    FROM s
+    """,
+)
+def q_text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition heuristic (the Gopher-rules style duplicate-3-gram
+    fraction): 1 − distinct/total shingles per doc — high values flag
+    boilerplate and degenerate generations for removal before training.
+    Array-only math per row (no explode, no shuffle): integer counts and
+    one division, engine-identical."""
+    from dieter___etl___monarchmoney_spark.functions.text import tokens
+    from dieter___etl___monarchmoney_spark.operators.dedup import shingles_of
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    sh = toks.select("doc_id", shingles_of(F.col("toks"), 3).alias("sh"))
+    n = F.size("sh")
+    frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct("sh"))).cast("double") / n
+    )
+    return sh.select(
+        "doc_id", n.alias("n_shingles"), frac.alias("dup_shingle_frac")
+    )
