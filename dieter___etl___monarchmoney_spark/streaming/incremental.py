@@ -129,12 +129,17 @@ def run_incremental_load(
         merged = replace_window_merge(existing, fresh, date_col, start)
     else:
         merged = fresh
-    n = merged.count()
-    fresh_n = fresh.count()
     # can't overwrite a path we're still reading: stage then swap (a
-    # lakehouse deployment would use Delta replaceWhere / MERGE instead)
+    # lakehouse deployment would use Delta replaceWhere / MERGE instead).
+    # Write FIRST, count from the staged parquet after: counting the
+    # unmaterialized plan would scan the source once per count and then
+    # again for the write — at scale that triples the extract cost;
+    # parquet counts come from row-group metadata, not a data scan.
     staging = sink_path.rstrip("/") + "._staging"
     merged.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    n = staged.count()
+    fresh_n = staged.filter(F.col(date_col) >= F.lit(start.isoformat())).count()
     import shutil
 
     if os.path.exists(sink_path):
