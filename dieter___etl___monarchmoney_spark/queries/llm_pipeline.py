@@ -9,9 +9,11 @@ hex-parsed hash; LSH bucket ids are sums of sign-bit CASEs over the
 seeded hyperplanes embedded as list literals (the planes are plan-time
 constants, so the SQL can carry them verbatim). Every float is produced
 by the same left-fold op sequence in both engines, so hashes match bit
-for bit. The genuinely non-SQL paths (HLL sketch internals, mapInPandas
-decode) register rows-only and are validated in
-tests/test_llm_pipeline.py instead.
+for bit. Even the mapInPandas media stubs are oracle-checked — the fakes
+are deterministic functions of the bytes, so the Arrow round-trip is
+hash-verified end to end. The only rows-only query is the HLL vocab
+sketch (engine-specific estimator), validated against the exact count
+in tests/test_llm_pipeline.py.
 """
 
 from __future__ import annotations
@@ -490,10 +492,23 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(docs, "blob").select("doc_id", "n_bytes")
 
 
-@query("multimodal_decode_fake")  # mapInPandas plumbing: rows-only
+@query(
+    "multimodal_decode_fake",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+           'fake' AS format
+    FROM documents
+    """,
+)
 def q_multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode plumbing with the deterministic fake decoder
-    (real decode stubbed — no media libs in this container)."""
+    (real decode stubbed — no media libs in this container). The fake is
+    a pure function of the byte length, so even this pandas path is
+    oracle-checked — the whole multimodal surface is hash-verified, not
+    just row-counted."""
     docs = load_table(spark, "documents", sf_dir).withColumn(
         "blob", F.encode(F.col("text"), "UTF-8")
     )
@@ -523,19 +538,44 @@ def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")  # 1→N mapInPandas plumbing: rows-only
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (SELECT doc_id, greatest(n // 32, 1) AS n_frames, n FROM b)
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, n_frames - 1, 10)) AS INT) AS frame_no,
+           n AS n_bytes
+    FROM f
+    """,
+)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame
-    (1→N shape through mapInPandas), fake decode."""
+    """Video frame-sampling plumbing: one output row per sampled frame —
+    the 1→N shape through mapInPandas, oracle-checked against a
+    generate_series expansion of the same deterministic fake."""
     docs = load_table(spark, "documents", sf_dir).withColumn(
         "blob", F.encode(F.col("text"), "UTF-8")
     )
     return frame_sample_stub(docs, "blob", "doc_id", every_n=10, fake=True)
 
 
-@query("multimodal_resize")  # 1→1 mapInPandas plumbing: rows-only
+@query(
+    "multimodal_resize",
+    """
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (SELECT doc_id, greatest(n % 640, 1) AS w, greatest(n % 480, 1) AS h FROM b),
+    s AS (SELECT doc_id, w, h, least(256.0 / greatest(w, h), 1.0) AS sc FROM d)
+    SELECT doc_id,
+           CAST(trunc(w * sc) AS INT) AS width,
+           CAST(trunc(h * sc) AS INT) AS height,
+           CAST(trunc(w * sc * h * sc * 3) AS BIGINT) AS n_bytes
+    FROM s
+    """,
+)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize plumbing (fake dims), clamped to 256."""
+    """Aspect-preserving resize plumbing (fake dims), clamped to 256.
+    The oracle multiplies in the SAME left-to-right order as the pandas
+    expression, so the truncated output bytes match bit for bit."""
     docs = load_table(spark, "documents", sf_dir).withColumn(
         "blob", F.encode(F.col("text"), "UTF-8")
     )
