@@ -239,3 +239,36 @@ def q_transaction_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_lookup(sargable, "txn_id", key).select(
         "txn_id", "order_id", "amount", "txn_date"
     )
+
+
+@query(
+    "asof_view_attribution",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           v.asof_ts, v.asof_event_id, v.asof_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+        SELECT user_id, ts AS asof_ts, event_id AS asof_event_id, value AS asof_value
+        FROM events WHERE event_type = 'view'
+    ) v ON p.user_id = v.user_id AND v.asof_ts <= p.ts
+    """,
+)
+def q_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase attributed to the
+    user's most recent view at or before it — an operator Spark lacks,
+    built as union-tag + window carry (ONE shuffle on user_id, no range
+    join, no pair explosion). DuckDB's native ASOF JOIN is the oracle,
+    so two entirely different algorithms must agree row for row."""
+    from dieter___etl___monarchmoney_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(purchases, views, keys=["user_id"], ts_col="ts", tiebreak=["event_id"])
+    return out.select(
+        "event_id", "user_id", "ts", "asof_ts", "asof_event_id", "asof_value"
+    )

@@ -46,3 +46,32 @@ def test_search_predicate(spark):
     )
     got = transactions_query(df, search="apple", search_columns=("plaidName", "notes"))
     assert sorted(r["id"] for r in got.collect()) == ["x", "y"]
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: inclusive same-instant match, latest-before wins,
+    unmatched left keeps nulls, keys never cross."""
+    import datetime as dt
+
+    from dieter___etl___monarchmoney_spark.operators.asof import asof_join
+
+    t = dt.datetime
+    left = spark.createDataFrame(
+        [(1, "u1", t(2024, 1, 1, 12)), (2, "u1", t(2024, 1, 1, 9)),
+         (3, "u2", t(2024, 1, 1, 12))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", t(2024, 1, 1, 10), 100), ("u1", t(2024, 1, 1, 12), 200),
+         ("u3", t(2024, 1, 1, 1), 999)],
+        "user_id string, ts timestamp, rv long",
+    )
+    out = {r["event_id"]: r for r in asof_join(
+        left, right, keys=["user_id"], ts_col="ts", tiebreak=["rv"]
+    ).collect()}
+    # event 1 at 12:00 matches the 12:00 right row (inclusive <=)
+    assert out[1]["asof_rv"] == 200
+    # event 2 at 9:00 precedes every u1 right row -> nulls
+    assert out[2]["asof_rv"] is None and out[2]["asof_ts"] is None
+    # u2 has no right rows at all; u3's rows must not leak across keys
+    assert out[3]["asof_rv"] is None
