@@ -185,15 +185,18 @@ def ngram_jaccard_pairs(
     self-join on shingle → per-pair intersection counts → Jaccard =
     |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
 
-    Scale shape: ONE shuffle keyed on the shingle builds the inverted
-    index (groupBy + collect_list); i<j pair combinations explode from
-    each posting list, so work is Σ df(shingle)² over only the shingles
-    shared by ≥2 docs — singleton shingles (the vast majority) never
-    leave the aggregate, and pairs sharing zero shingles never
-    materialize. ``doc_freq_cap`` drops stop-shingle posting lists
-    longer than the cap (lossy prune; a shingle shared by thousands of
-    docs carries no near-dup signal but quadratic pair cost — at 100 TB
-    this cap is what keeps the explode bounded).
+    Scale shape: TWO shuffles total. The inverted index builds in one
+    groupBy keyed on the shingle, with each posting entry carrying its
+    doc's total shingle count — so the Jaccard denominators ride along
+    and the per-doc count join (two extra shuffles in the naive plan)
+    never exists. i<j pair combinations explode from each posting list,
+    so work is Σ df(shingle)² over only the shingles shared by ≥2 docs —
+    singleton shingles (the vast majority) never leave the aggregate,
+    and pairs sharing zero shingles never materialize. ``doc_freq_cap``
+    drops stop-shingle posting lists longer than the cap (lossy prune; a
+    shingle shared by thousands of docs carries no near-dup signal but
+    quadratic pair cost — at 100 TB this cap is what keeps the explode
+    bounded).
     """
     # two selects on purpose: shingles_of references its input once per
     # window, so the token array must be a REAL column first (see the
@@ -206,37 +209,42 @@ def ngram_jaccard_pairs(
     doc_sh = toks.select(
         "doc_id", F.array_distinct(shingles_of(F.col("toks"), n)).alias("sh_arr")
     )
-    # feeds the per-doc counts and the inverted index — persist eagerly
-    doc_sh = doc_sh.persist()
-    doc_sh.count()
-    # |A| counts are F.size on the pre-explode shingle array — the
-    # Jaccard denominator costs ZERO shuffles (the old groupBy(doc_id)
-    # re-aggregated what the array already knew) and is independent of
-    # any posting-list pruning below
-    counts = doc_sh.select("doc_id", F.size("sh_arr").alias("n_sh"))
-    sh = doc_sh.select("doc_id", F.explode("sh_arr").alias("shingle"))
-    postings = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    # one row per (shingle, doc) with the doc's |A| stapled on — the
+    # denominator is F.size on the pre-explode array (zero shuffles)
+    sh = doc_sh.select(
+        F.explode("sh_arr").alias("shingle"),
+        F.struct(F.col("doc_id"), F.size("sh_arr").alias("n_sh")).alias("m"),
     )
+    postings = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("m")).alias("ids"))
     postings = postings.filter(F.size("ids") >= 2)
     if doc_freq_cap is not None:
         postings = postings.filter(F.size("ids") <= doc_freq_cap)
+    ids = F.col("ids")
+    combos = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     inter = (
-        postings.select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
+        postings.select(F.explode(combos).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n_sh").alias("n_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n_sh").alias("n_b"),
+        )
+        .groupBy("doc_a", "n_a", "doc_b", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
-    return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
