@@ -210,11 +210,17 @@ def ngram_jaccard_pairs(
         "doc_id", F.array_distinct(shingles_of(F.col("toks"), n)).alias("sh_arr")
     )
     # one row per (shingle, doc) with the doc's |A| stapled on — the
-    # denominator is F.size on the pre-explode array (zero shuffles)
+    # denominator is F.size on the pre-explode array (zero shuffles).
+    # explode_OUTER on purpose: plain explode makes Catalyst infer a
+    # size(sh_arr)>0 filter, and predicate pushdown then re-inlines the
+    # whole tokenize+shingle expression into a scan-level Filter — the
+    # pipeline ran ~6× at sf0.1 (split() appeared 11× in the optimized
+    # plan). outer explode infers nothing; null shingles (short docs)
+    # drop in a filter that stays ABOVE the Generate.
     sh = doc_sh.select(
-        F.explode("sh_arr").alias("shingle"),
+        F.explode_outer("sh_arr").alias("shingle"),
         F.struct(F.col("doc_id"), F.size("sh_arr").alias("n_sh")).alias("m"),
-    )
+    ).filter(F.col("shingle").isNotNull())
     postings = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("m")).alias("ids"))
     postings = postings.filter(F.size("ids") >= 2)
     if doc_freq_cap is not None:

@@ -107,3 +107,13 @@ def test_partition_pruning_on_date_partitioned_sink(spark, tmp_path):
     n_all = spark.read.parquet(path).count()
     n_month = scan.count()
     assert 0 < n_month < n_all
+
+def test_ngram_jaccard_tokenizes_once(spark):
+    """Regression: plain explode over the shingle array let Catalyst
+    infer a size()>0 filter whose pushdown re-inlined the tokenize+
+    shingle pipeline into a scan-level Filter (split() appeared 11x in
+    the optimized plan; the query ran ~6x slower at sf0.1). explode_outer
+    must keep the expensive expression in exactly one Project."""
+    df = QUERIES["ngram_jaccard_pairs"](spark, SF_ORACLE)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("split(") == 1
