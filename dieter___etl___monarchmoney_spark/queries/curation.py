@@ -402,3 +402,160 @@ def q_text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.select(
         "doc_id", n.alias("n_shingles"), frac.alias("dup_shingle_frac")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+#: 4-gram shingles in DuckDB list form (mirrors shingles_of(toks, 4))
+_SH4_SQL = (
+    f"list_transform(generate_series(1, greatest(len({_TOKS_SQL}) - 3, 0)), "
+    f"i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1] || ' ' || {_TOKS_SQL}[i+2]"
+    f" || ' ' || {_TOKS_SQL}[i+3])"
+)
+
+
+@query(
+    "decontamination_overlap",
+    f"""
+    WITH s AS (SELECT doc_id, source, {_SH4_SQL} AS sh FROM documents),
+    bench AS (
+        SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE source = 'src0'
+    ),
+    docsh AS (
+        SELECT doc_id, unnest(list_distinct(sh)) AS shingle
+        FROM s WHERE source <> 'src0'
+    )
+    SELECT doc_id, COUNT(*) AS n_overlap
+    FROM docsh JOIN bench USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination: flag training docs sharing
+    word 4-grams with a held-out eval set (source 'src0' stands in for
+    the benchmark; production uses 8-13-gram windows). Returns each
+    contaminated doc with its count of distinct overlapping 4-grams — the filter step drops (or audits)
+    them before training.
+
+    Scale shape: the benchmark side is an eval suite (MBs) against a
+    100 TB corpus, so its distinct-shingle set BROADCASTS and the
+    overlap check is a map-side hash semi-join + one groupBy(doc_id) —
+    the corpus is scanned exactly once and never shuffled on the
+    shingle. In production the join key would be xxhash64(shingle) to
+    shrink the broadcast ~10×; string keys kept here for oracle parity.
+    """
+    from dieter___etl___monarchmoney_spark.functions.text import tokens
+    from dieter___etl___monarchmoney_spark.operators.dedup import shingles_of
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id", "source", tokens("text").alias("toks")
+    ).select("doc_id", "source", F.array_distinct(shingles_of(F.col("toks"), 4)).alias("sh"))
+    bench = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    docsh = sh.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    return (
+        docsh.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window chunking
+# --------------------------------------------------------------------------
+
+
+@query(
+    "chunk_sliding_windows",
+    f"""
+    WITH sized AS (SELECT doc_id, len({_TOKS_SQL}) AS n FROM documents),
+    chunks AS (
+        SELECT doc_id, n,
+               unnest(generate_series(0, (greatest(n - 64, 0) + 31) // 32)) AS chunk_idx
+        FROM sized
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 32 AS tok_start,
+           least(64, n - chunk_idx * 32) AS chunk_tokens
+    FROM chunks
+    """,
+)
+def q_chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-feed chunking: overlapping 64-token windows with stride
+    32 per document (chunk count = 1 + ceil(max(n-64,0)/32), so the tail
+    is always covered and every chunk start < n). Emits (doc_id,
+    chunk_idx, tok_start, chunk_tokens) — the slice plan a downstream
+    embedder or packer executes.
+
+    Scale shape: pure per-row array math (sequence + explode) — no
+    shuffle at all; chunk boundaries are integer arithmetic on the
+    token count, never materializing chunk text until a consumer slices
+    it. Integer-exact in both engines.
+    """
+    from dieter___etl___monarchmoney_spark.functions.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select("doc_id", token_count("text").alias("n"))
+    n = F.col("n")
+    n_last = (F.greatest(n - 64, F.lit(0)) + 31).cast("long") / 32
+    chunks = sized.select(
+        "doc_id", "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.floor(n_last))).alias("chunk_idx"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * 32).alias("tok_start"),
+        F.least(F.lit(64).cast("long"), n - F.col("chunk_idx") * 32).alias("chunk_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-balanced sampling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "language_balanced_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 20
+    """,
+)
+def q_language_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling for language balance: exactly (up to) 20 docs per
+    language, chosen by ranking on md5(doc_id) — deterministic,
+    seed-free, stable under repartitioning and incremental appends
+    (a doc's hash never changes, so the sample only changes where new
+    docs out-hash old ones).
+
+    Scale shape: one shuffle partitioned by lang. A dominant language
+    funnelling through one window task is the skew risk at 100 TB; the
+    lossless fix is a hash-threshold PRE-FILTER (keep md5 < t with t
+    sized so ~3x the quota survives, then rank exactly) — the rank-K
+    winners by construction all fall under any t that admits >K docs.
+    The window form here is the exact-semantics core both paths share.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 20)
+    )
