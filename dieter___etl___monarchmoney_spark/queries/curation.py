@@ -544,12 +544,11 @@ def q_language_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a doc's hash never changes, so the sample only changes where new
     docs out-hash old ones).
 
-    Scale shape: one shuffle partitioned by lang. A dominant language
-    funnelling through one window task is the skew risk at 100 TB; the
-    lossless fix is a hash-threshold PRE-FILTER (keep md5 < t with t
-    sized so ~3x the quota survives, then rank exactly) — the rank-K
-    winners by construction all fall under any t that admits >K docs.
-    The window form here is the exact-semantics core both paths share.
+    Scale shape: one shuffle partitioned by lang, and the rank<=K
+    predicate pushes into a PARTIAL WindowGroupLimit (pinned by plan
+    test): every map task ships at most K rows per lang, so the
+    post-shuffle task for even a dominant language sees <= K x
+    n_map_partitions rows, never the language's full volume.
     """
     docs = load_table(spark, "documents", sf_dir)
     w = Window.partitionBy("lang").orderBy(

@@ -117,3 +117,30 @@ def test_ngram_jaccard_tokenizes_once(spark):
     df = QUERIES["ngram_jaccard_pairs"](spark, SF_ORACLE)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("split(") == 1
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The eval-suite shingle set must broadcast (map-side semi-join);
+    the 100 TB corpus side must never shuffle on the shingle."""
+    plan = _plan(QUERIES["decontamination_overlap"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_windows_shuffle_free(spark):
+    """Chunk planning is per-row integer math — the plan must contain no
+    Exchange at all (AQE leaves nothing to re-plan)."""
+    plan = _plan(QUERIES["chunk_sliding_windows"](spark, SF_ORACLE))
+    assert "Exchange" not in plan
+
+
+def test_language_sample_single_shuffle(spark):
+    """Quota sampling ranks within lang partitions: exactly one exchange
+    (hash by lang, no global sort), and the rank<=20 filter must push
+    into a PARTIAL WindowGroupLimit so each map task ships at most 20
+    rows per lang — the property that makes the window skew-safe."""
+    plan = _plan(QUERIES["language_balanced_sample"](spark, SF_ORACLE))
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(lang" in plan
+    assert "rangepartitioning" not in plan
+    assert "row_number(), 20, Partial" in plan
