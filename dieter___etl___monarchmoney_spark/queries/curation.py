@@ -453,13 +453,20 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", "source", tokens("text").alias("toks")
     ).select("doc_id", "source", F.array_distinct(shingles_of(F.col("toks"), 4)).alias("sh"))
+    # explode_OUTER on both branches: plain explode makes Catalyst infer
+    # size(sh)>0 and push it into the scans, re-inlining the tokenize+
+    # 4-gram pipeline (split() appeared 26x in the optimized plan and the
+    # query cost a flat ~25s at sf0.1). See dedup.ngram_jaccard_pairs.
     bench = (
         sh.filter(F.col("source") == "src0")
-        .select(F.explode("sh").alias("shingle"))
+        .select(F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
-    docsh = sh.filter(F.col("source") != "src0").select(
-        "doc_id", F.explode("sh").alias("shingle")
+    docsh = (
+        sh.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
     return (
         docsh.join(F.broadcast(bench), "shingle")

@@ -471,6 +471,47 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(vectors, threshold=0.9, bits=6)
 
 
+@query(
+    "embedding_centroids_by_label",
+    """
+    WITH pos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+    ex AS (
+        SELECT e.label, p.pos,
+               CAST(e.embedding[p.pos] AS DOUBLE) AS v
+        FROM embeddings e CROSS JOIN pos p
+    )
+    SELECT label, pos,
+           ROUND(SUM(v) / COUNT(*), 6) AS centroid
+    FROM ex GROUP BY label, pos
+    """,
+)
+def q_embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class mean embedding (the centroid table behind IVF training,
+    cluster diagnostics, and nearest-centroid classification), flat as
+    (label, dimension, value) rows. The mean is rounded to 6dp: double
+    summation order differs between engines (and across AQE re-plans) by
+    ~1e-15 relative, vs a 1e-6 rounding quantum — deterministic with a
+    nine-order-of-magnitude margin. (DECIMAL would be exact, but DuckDB's
+    FLOAT→DECIMAL cast scales in float arithmetic and corrupts the 8th
+    digit, so decimal cannot cross-check float inputs.)
+
+    Scale shape: posexplode fans each vector into d rows, but the
+    groupBy(label, pos) partial-aggregates map-side, so the shuffle
+    carries at most |labels| x d rows PER MAP TASK regardless of corpus
+    size — centroids over 100 TB of vectors move megabytes.
+    """
+    vectors = load_table(spark, "embeddings", sf_dir)
+    ex = vectors.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    return (
+        ex.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6
+            ).alias("centroid")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

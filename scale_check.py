@@ -1,0 +1,101 @@
+"""Scale-growth harness: measure how the heavy corpus operators grow as
+the documents table is replicated 1x / 2x / 4x.
+
+The SCALE.md claims (single-shuffle inverted indexes, broadcast
+decontamination, map-side-combined aggregates) predict ~linear wall
+time in corpus size. This script checks that prediction empirically:
+each replica k rewrites every doc_id into a fresh range and rotates
+vowels by k (so cross-replica shingles don't collide and the duplicate
+STRUCTURE — the thing that drives posting-list sizes — is replicated,
+not quadratically inflated).
+
+Usage: python scale_check.py [--scales 1,2,4] [--sf /root/testdata/sf0.1]
+Prints one JSON line per (scale, query) and a final summary of the
+4x/1x growth ratio per query (linear scaling => ratio ~4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark import registry
+from dieter___etl___monarchmoney_spark.session import get_spark
+
+#: the operators whose scale story SCALE.md stakes out
+QUERIES = (
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "simhash_buckets",
+    "corpus_curation",
+    "decontamination_overlap",
+    "text_repetition_scores",
+)
+
+VOWELS = "aeiou"
+
+
+def build_scaled_docs(spark, sf_dir: str, scale: int, out_dir: str) -> None:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = []
+    for k in range(scale):
+        rot = VOWELS[k % 5 :] + VOWELS[: k % 5]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 100_000_000)).alias("doc_id"),
+                F.translate("text", VOWELS, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    union.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,2,4")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    spark = get_spark(app_name="scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = registry.load()
+
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    root = Path(tempfile.mkdtemp(prefix="scale_check_"))
+    try:
+        for scale in scales:
+            out = str(root / f"x{scale}")
+            build_scaled_docs(spark, args.sf, scale, out)
+            for name in QUERIES:
+                t0 = time.time()
+                n = queries[name](spark, out).count()
+                dt = round(time.time() - t0, 2)
+                results[name][scale] = dt
+                print(json.dumps({"scale": scale, "query": name, "sec": dt, "rows": n}), flush=True)
+        lo, hi = min(scales), max(scales)
+        summary = {
+            q: {
+                "ratio": round(results[q][hi] / max(results[q][lo], 0.01), 2),
+                "ideal": float(hi // lo),
+            }
+            for q in QUERIES
+        }
+        print(json.dumps({"growth_ratios": summary}), flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -122,9 +122,14 @@ def test_ngram_jaccard_tokenizes_once(spark):
 def test_decontamination_broadcasts_benchmark(spark):
     """The eval-suite shingle set must broadcast (map-side semi-join);
     the 100 TB corpus side must never shuffle on the shingle."""
-    plan = _plan(QUERIES["decontamination_overlap"](spark, SF_ORACLE))
+    df = QUERIES["decontamination_overlap"](spark, SF_ORACLE)
+    plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the 4-gram pipeline must run once per branch (see the explode_outer
+    # note in the query: inferred size()>0 pushdown once inlined it 26x)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("split(") == 2
 
 
 def test_chunk_windows_shuffle_free(spark):
