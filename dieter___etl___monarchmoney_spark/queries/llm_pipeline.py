@@ -512,6 +512,86 @@ def q_embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "nearest_centroid_confusion",
+    """
+    WITH pos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+    cent AS (
+        SELECT e.label, p.pos,
+               ROUND(SUM(CAST(e.embedding[p.pos] AS DOUBLE)) / COUNT(*), 6) AS c
+        FROM embeddings e CROSS JOIN pos p
+        GROUP BY e.label, p.pos
+    ),
+    dist AS (
+        SELECT e.vec_id, e.label AS true_label, c.label AS cand,
+               SUM((CAST(e.embedding[c.pos] AS DOUBLE) - c.c) ** 2) AS d2
+        FROM embeddings e CROSS JOIN cent c
+        GROUP BY e.vec_id, e.label, c.label
+    ),
+    assigned AS (
+        SELECT vec_id, true_label, cand,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY d2, cand
+               ) AS rn
+        FROM dist
+    )
+    SELECT true_label, cand AS assigned_label, COUNT(*) AS n_vectors
+    FROM assigned WHERE rn = 1
+    GROUP BY true_label, cand
+    """,
+)
+def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit: assign every vector to its
+    closest per-label mean embedding (L2, ties to the lowest label) and
+    report the label-vs-assigned confusion counts — the standard check
+    for label quality / cluster separation before training on weak
+    labels.
+
+    Scale shape: centroids are computed in-engine (the map-side-combined
+    aggregate from embedding_centroids_by_label), and the tiny
+    labels x dims result ships back into the plan as ONE nested-array
+    literal evaluated by higher-order functions — so the assignment pass
+    is a single scan with zero joins and zero shuffles before the final
+    |labels|^2-row aggregate. Centroids are rounded to 6dp (see
+    embedding_centroids_by_label); distances stay unrounded — argmin
+    only flips if two centroids are equidistant to ~1e-15, far inside
+    the rounding determinism margin.
+    """
+    from dieter___etl___monarchmoney_spark.operators.similarity import const_mat
+
+    vectors = load_table(spark, "embeddings", sf_dir)
+    ex = vectors.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    cent_flat = ex.groupBy("label", "pos0").agg(
+        F.round(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias("c")
+    )
+    cent_rows = (
+        cent_flat.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos0", "c"))).alias("pc"))
+        .orderBy("label")
+        .collect()
+    )
+    labels = [r["label"] for r in cent_rows]
+    mat = [[p["c"] for p in r["pc"]] for r in cent_rows]
+
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d2s = F.transform(
+        const_mat(mat),
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # first index of the min → ties to the lowest label (labels sorted)
+    idx = F.array_position(d2s, F.array_min(d2s)).cast("int")
+    assigned = F.element_at(F.lit(labels), idx)
+    return (
+        vectors.select(F.col("label").alias("true_label"), assigned.alias("assigned_label"))
+        .groupBy("true_label", "assigned_label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
