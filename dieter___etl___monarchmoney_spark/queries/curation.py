@@ -565,3 +565,179 @@ def q_language_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
         .filter(F.col("sample_rank") <= 20)
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document boilerplate segment removal
+# --------------------------------------------------------------------------
+
+#: non-overlapping 3-token segments (trailing partial segment dropped),
+#: DuckDB list form — mirrors the Spark transform/slice expression
+_SEG_SQL = rf"""
+    SELECT doc_id, array_to_string(t[i*3+1 : i*3+3], ' ') AS seg
+    FROM toks, unnest(
+        CASE WHEN len(t) // 3 > 0
+             THEN generate_series(0, len(t) // 3 - 1) ELSE [] END) AS u(i)
+"""
+
+
+@query(
+    "boilerplate_segment_audit",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    segs AS ({_SEG_SQL}),
+    bp AS (
+        SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3
+    ),
+    per_doc AS (
+        SELECT s.doc_id, COUNT(*) AS n_segments, COUNT(bp.seg) AS n_boilerplate
+        FROM segs s LEFT JOIN bp ON s.seg = bp.seg
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_segments, 0) AS n_segments,
+           COALESCE(n_boilerplate, 0) AS n_boilerplate,
+           (COALESCE(n_segments, 0) - COALESCE(n_boilerplate, 0)) * 3 AS tokens_kept
+    FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    """,
+)
+def q_boilerplate_segment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet/RefinedWeb line-dedup
+    trick, over fixed 3-token segments since the synthetic corpus has no
+    line structure): a segment occurring in >= 3 distinct documents is
+    boilerplate (headers, navigation chrome, license banners); each doc
+    reports how many of its segments are boilerplate and how many tokens
+    survive their removal.
+
+    Scale shape: one shuffle keyed on the segment builds the frequency
+    table; the surviving boilerplate set is a tiny fraction of the corpus
+    (202 of 7.3k distinct segments at sf0.01), so flagging is a BROADCAST
+    left join — the corpus is never shuffled on the segment for the audit
+    pass. At 100 TB the frequency side would be keyed on xxhash64(seg)
+    and thresholded before the broadcast, exactly as here."""
+    from dieter___etl___monarchmoney_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks_df = docs.select("doc_id", tokens("text").alias("toks"))
+    n_seg = F.floor(F.size("toks") / 3).cast("int")
+    segs = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(F.slice(F.col("toks"), i * 3 + 1, F.lit(3)), " "),
+        ),
+    ).otherwise(F.lit(None).cast("array<string>"))
+    # segs referenced exactly once by explode_outer: no sibling expression,
+    # so Catalyst cannot infer a size()>0 filter and re-inline the
+    # tokenize+segment pipeline into the scan (see ngram_jaccard_pairs).
+    exploded = toks_df.select("doc_id", segs.alias("segs")).select(
+        "doc_id", F.explode_outer("segs").alias("seg")
+    )
+    bp = (
+        exploded.filter(F.col("seg").isNotNull())
+        .groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("seg", F.lit(1).alias("is_bp"))
+    )
+    n_keep = F.count("seg") - F.count("is_bp")
+    return (
+        exploded.join(F.broadcast(bp), "seg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("seg").alias("n_segments"),
+            F.count("is_bp").alias("n_boilerplate"),
+            (n_keep * 3).alias("tokens_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction audit
+# --------------------------------------------------------------------------
+
+#: digit runs of >= 4 — account-number-shaped identifiers (the synthetic
+#: star schema carries them in customer names; prod adds email/phone/SSN
+#: alternations to the same plumbing)
+_PII_PAT = "[0-9]{4,}"
+
+
+@query(
+    "pii_redaction_audit",
+    f"""
+    SELECT c_custkey,
+           regexp_replace(c_name, '{_PII_PAT}', '[ID]', 'g') AS name_redacted,
+           len(regexp_extract_all(c_name, '{_PII_PAT}')) AS n_ids_redacted,
+           length(c_name) - length(regexp_replace(c_name, '{_PII_PAT}', '', 'g'))
+               AS n_chars_redacted
+    FROM customer
+    """,
+)
+def q_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing before exporting training data: replace
+    account-number-shaped digit runs with a '[ID]' sentinel and report
+    per-row how many identifiers and characters were removed (the audit
+    trail a redaction pass must emit). Pure regexp column expressions —
+    JVM-side, codegen'd, scan-speed at any corpus size; the pattern set
+    is a deliberate RE2-and-Java-compatible subset so the oracle runs the
+    identical regex."""
+    cust = load_table(spark, "customer", sf_dir)
+    name = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace(name, _PII_PAT, "[ID]").alias("name_redacted"),
+        F.size(F.regexp_extract_all(name, F.lit(_PII_PAT), F.lit(0))).alias(
+            "n_ids_redacted"
+        ),
+        (F.length(name) - F.length(F.regexp_replace(name, _PII_PAT, ""))).alias(
+            "n_chars_redacted"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global training shuffle
+# --------------------------------------------------------------------------
+
+
+@query(
+    "global_shuffle_assignment",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, h,
+               {_hexparse_sql("substr(h, 1, 8)")} % 8 AS shard
+        FROM h
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS shard_pos
+    FROM s
+    """,
+)
+def q_global_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order shuffle without a global sort: salt the doc id with
+    an epoch tag, hash, derive a shard (hash % 8) and a position within
+    the shard (rank by hash). Reading shards in order replays one global
+    pseudo-random permutation; changing the salt reshuffles every epoch —
+    deterministically, with no RNG state and no coordination.
+
+    Scale shape: ONE shuffle, hash-partitioned by shard — each shard
+    orders its own slice independently, so there is no global ordering
+    bottleneck (the rangepartition+sort a naive ORDER BY rand() plan
+    would pay, plus its non-reproducibility across retries)."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("bigint") % 8
+    )
+    hashed = docs.select("doc_id", h.alias("h")).select(
+        "doc_id", "h", shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("shard_pos")
+    )

@@ -73,3 +73,53 @@ def test_token_length_histogram_totals(spark):
     assert sum(r["n_docs"] for r in hist) == docs.count()
     assert all(r["bucket_lo"] % 16 == 0 for r in hist)
     assert all(abs(r["avg_tokens"] - r["total_tokens"] / r["n_docs"]) < 1e-9 for r in hist)
+
+
+def test_boilerplate_audit_invariants(spark):
+    from dieter___etl___monarchmoney_spark.queries.curation import (
+        q_boilerplate_segment_audit,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = q_boilerplate_segment_audit(spark, SF_SMOKE)
+    rows = out.collect()
+    # every document is audited exactly once
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["n_boilerplate"] <= r["n_segments"]
+        assert r["tokens_kept"] == (r["n_segments"] - r["n_boilerplate"]) * 3
+    # the synthetic corpus repeats short word patterns: some boilerplate
+    # must actually be detected, else the threshold is degenerate
+    assert any(r["n_boilerplate"] > 0 for r in rows)
+
+
+def test_pii_redaction_removes_all_digit_runs(spark):
+    from dieter___etl___monarchmoney_spark.queries.curation import q_pii_redaction_audit
+
+    out = q_pii_redaction_audit(spark, SF_SMOKE)
+    leaked = out.filter(F.col("name_redacted").rlike("[0-9]{4,}")).count()
+    assert leaked == 0
+    # customer names carry zero-padded keys: every row redacts something
+    assert out.filter(F.col("n_ids_redacted") == 0).count() == 0
+    assert out.filter(F.col("n_chars_redacted") <= 0).count() == 0
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    from dieter___etl___monarchmoney_spark.queries.curation import (
+        q_global_shuffle_assignment,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = q_global_shuffle_assignment(spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # shard positions are contiguous 1..n within each shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+    # deterministic: a second run assigns identically
+    again = q_global_shuffle_assignment(spark, SF_SMOKE)
+    assert out.exceptAll(again).count() == 0

@@ -149,3 +149,32 @@ def test_language_sample_single_shuffle(spark):
     assert "hashpartitioning(lang" in plan
     assert "rangepartitioning" not in plan
     assert "row_number(), 20, Partial" in plan
+
+
+def test_boilerplate_flagging_broadcasts(spark):
+    """The surviving boilerplate set is tiny relative to the corpus, so
+    the flagging pass must be a broadcast left join (the corpus is never
+    shuffled on the segment for the audit), and the tokenize+segment
+    pipeline must run once per branch — not re-inlined into scans by an
+    inferred size()>0 filter (see ngram_jaccard_pairs)."""
+    df = QUERIES["boilerplate_segment_audit"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("split(") == 2
+
+
+def test_global_shuffle_single_exchange_no_sort_bottleneck(spark):
+    """Epoch shuffling must not plan a global sort: one hash exchange on
+    the shard key, never a rangepartitioning step."""
+    plan = _plan(QUERIES["global_shuffle_assignment"](spark, SF_ORACLE))
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_pii_redaction_shuffle_free(spark):
+    """Redaction is pure per-row regexp math — no Exchange at all."""
+    plan = _plan(QUERIES["pii_redaction_audit"](spark, SF_ORACLE))
+    assert "Exchange" not in plan
