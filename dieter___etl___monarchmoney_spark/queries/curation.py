@@ -741,3 +741,112 @@ def q_global_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select(
         "doc_id", "shard", F.row_number().over(w).alias("shard_pos")
     )
+
+
+# --------------------------------------------------------------------------
+# Domain-mixture rebalancing
+# --------------------------------------------------------------------------
+
+#: per-source token budget for the mixture (chosen so, at sf0.01, some
+#: sources are downsampled and some kept whole — both branches exercised)
+_MIX_BUDGET = 1200.0
+
+
+@query(
+    "source_mixture_sample",
+    f"""
+    WITH src AS (
+        SELECT source, SUM(len({_TOKS_SQL})) AS src_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source,
+               LEAST(1.0, {_MIX_BUDGET} / src_tokens) AS keep_frac
+        FROM src
+    ),
+    d AS (
+        SELECT doc_id, source,
+               {_hexparse_sql("substr(md5('mix0:' || CAST(doc_id AS VARCHAR)), 1, 8)")}
+                   / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT d.doc_id, d.source, w.keep_frac
+    FROM d JOIN w USING (source)
+    WHERE d.u < w.keep_frac
+    """,
+)
+def q_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (the Pile-style mixing step): cap every
+    source at a fixed token budget by keeping each of its documents with
+    probability min(1, budget/source_tokens) — decided by a salted hash
+    threshold, not an RNG, so the SAME documents are kept on every run,
+    every retry, and every engine. Over-represented sources are
+    downsampled toward the budget in expectation; small sources pass
+    through whole.
+
+    Scale shape: one map-side-combinable aggregate builds the per-source
+    token totals (#sources rows — KBs), which BROADCAST back onto the
+    corpus scan; the keep/drop decision is then per-row hash math. The
+    corpus itself is never shuffled."""
+    from dieter___etl___monarchmoney_spark.functions.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    src = docs.groupBy("source").agg(F.sum(token_count("text")).alias("src_tokens"))
+    w = src.select(
+        "source",
+        F.least(F.lit(1.0), F.lit(_MIX_BUDGET) / F.col("src_tokens")).alias(
+            "keep_frac"
+        ),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix0:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    d = docs.select("doc_id", "source", u.alias("u"))
+    return (
+        d.join(F.broadcast(w), "source")
+        .filter(F.col("u") < F.col("keep_frac"))
+        .select("doc_id", "source", "keep_frac")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-language quality deciles
+# --------------------------------------------------------------------------
+
+
+@query(
+    "quality_decile_assignment",
+    f"""
+    SELECT doc_id, lang,
+           {_QUALITY_SQL} AS quality,
+           NTILE(10) OVER (PARTITION BY lang ORDER BY {_QUALITY_SQL}, doc_id)
+               AS q_decile
+    FROM documents
+    """,
+)
+def q_quality_decile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free quality filtering: assign every document its
+    per-language quality decile (NTILE(10) ordered by the quality score,
+    doc_id tie-break), so a downstream pass can 'keep the top 30%' of
+    EACH language — an absolute quality cutoff would gut low-resource
+    languages whose score distribution sits lower.
+
+    Scale shape: one shuffle hash-partitioned by lang, each language
+    ranked independently — no global sort. At extreme per-language skew
+    the same hash-threshold pre-pass as quota sampling applies (rank
+    only the candidate band around each decile boundary)."""
+    from dieter___etl___monarchmoney_spark.functions.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select("doc_id", "lang", quality_score("text").alias("quality"))
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return scored.select(
+        "doc_id", "lang", "quality", F.ntile(10).over(w).alias("q_decile")
+    )

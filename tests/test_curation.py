@@ -123,3 +123,65 @@ def test_global_shuffle_is_a_permutation(spark):
     # deterministic: a second run assigns identically
     again = q_global_shuffle_assignment(spark, SF_SMOKE)
     assert out.exceptAll(again).count() == 0
+
+
+def test_source_mixture_downsamples_toward_budget(spark):
+    from dieter___etl___monarchmoney_spark.functions.text import token_count
+    from dieter___etl___monarchmoney_spark.queries.curation import (
+        q_source_mixture_sample,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    out = q_source_mixture_sample(spark, SF_ORACLE)
+    # kept docs are a subset; keep_frac is a valid probability
+    assert out.count() <= docs.count()
+    assert out.filter((F.col("keep_frac") <= 0) | (F.col("keep_frac") > 1)).count() == 0
+    # sources kept whole (keep_frac == 1) retain every document
+    whole = out.filter(F.col("keep_frac") == 1.0).groupBy("source").count()
+    totals = docs.groupBy("source").count().withColumnRenamed("count", "n_total")
+    mismatched = (
+        whole.join(totals, "source").filter(F.col("count") != F.col("n_total")).count()
+    )
+    assert mismatched == 0
+    # downsampled sources land near their token budget in expectation
+    kept_tokens = (
+        out.filter(F.col("keep_frac") < 1.0)
+        .join(docs.select("doc_id", token_count("text").alias("n_tok")), "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("kept"))
+    )
+    for r in kept_tokens.collect():
+        assert 400 <= r["kept"] <= 2400, r  # 1200 +- generous hash noise
+    # deterministic across runs
+    again = q_source_mixture_sample(spark, SF_ORACLE)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_quality_deciles_balanced_per_lang(spark):
+    from dieter___etl___monarchmoney_spark.queries.curation import (
+        q_quality_decile_assignment,
+    )
+    from tests.conftest import SF_ORACLE
+
+    out = q_quality_decile_assignment(spark, SF_ORACLE)
+    sizes = out.groupBy("lang", "q_decile").count().collect()
+    per_lang: dict[str, list] = {}
+    for r in sizes:
+        assert 1 <= r["q_decile"] <= 10
+        per_lang.setdefault(r["lang"], []).append(r["count"])
+    for lang, counts in per_lang.items():
+        assert len(counts) == 10, lang
+        assert max(counts) - min(counts) <= 1, lang  # NTILE balance
+    # deciles order by quality: every doc in decile d has quality <= any in d+1
+    agg = (
+        out.groupBy("lang", "q_decile")
+        .agg(F.min("quality").alias("lo"), F.max("quality").alias("hi"))
+        .orderBy("lang", "q_decile")
+        .collect()
+    )
+    prev = {}
+    for r in agg:
+        if r["lang"] in prev:
+            assert r["lo"] >= prev[r["lang"]] - 1e-12
+        prev[r["lang"]] = r["hi"]

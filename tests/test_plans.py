@@ -178,3 +178,21 @@ def test_pii_redaction_shuffle_free(spark):
     """Redaction is pure per-row regexp math — no Exchange at all."""
     plan = _plan(QUERIES["pii_redaction_audit"](spark, SF_ORACLE))
     assert "Exchange" not in plan
+
+
+def test_source_mixture_broadcasts_weights(spark):
+    """The per-source weight table is #sources rows: it must broadcast
+    back onto the corpus scan; the corpus is never shuffled for the
+    keep/drop decision (the only exchanges are the token-total agg)."""
+    plan = _plan(QUERIES["source_mixture_sample"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_deciles_single_shuffle_no_global_sort(spark):
+    """Decile ranking partitions by language: one hash exchange, never a
+    rangepartitioning/global sort."""
+    plan = _plan(QUERIES["quality_decile_assignment"](spark, SF_ORACLE))
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(lang" in plan
+    assert "rangepartitioning" not in plan
