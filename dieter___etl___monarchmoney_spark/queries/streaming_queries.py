@@ -10,6 +10,7 @@ from dieter___etl___monarchmoney_spark.sources.parquet import load_table
 from dieter___etl___monarchmoney_spark.streaming.sessionize import sessionize_batch
 from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
     daily_rollup_stream,
+    dedup_stream,
     read_events_stream,
     run_available_now,
 )
@@ -67,3 +68,23 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exercised in tests."""
     events = load_table(spark, "events", sf_dir)
     return sessionize_batch(events)
+
+
+@query(
+    "streaming_event_dedup",
+    """
+    SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS event_date
+    FROM events
+    """,
+)
+def q_streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via dropDuplicatesWithinWatermark (append mode):
+    one row per (user, event type, day) with state bounded by the
+    event-time watermark. On a batch-complete source the emitted set
+    equals batch DISTINCT over the keys, so the oracle is plain SELECT
+    DISTINCT — proving the stateful streaming path computes the same
+    answer the relational form does."""
+    stream = dedup_stream(read_events_stream(spark, sf_dir))
+    return run_available_now(
+        stream, f"event_dedup_{abs(hash(sf_dir)) % 10_000}", output_mode="append"
+    )

@@ -61,18 +61,43 @@ def daily_rollup_stream(events: DataFrame, watermark: str = "1 day") -> DataFram
     )
 
 
-def run_available_now(stream_df: DataFrame, name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming DataFrame with the availableNow trigger into
     an in-memory sink and return the materialized result. ``complete``
     output mode emits final (watermark-closed) aggregates for
-    batch-complete sources."""
+    batch-complete sources; stateful non-aggregate operators (streaming
+    dedup) require ``append``."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming dedup: at most one emitted row per (user_id,
+    event_type, event day), state expired by the event-time watermark —
+    the streaming form of the incremental loader's replace-window dedup
+    guarantee (SURVEY.md §2.7 note: key-based dedup as the robust
+    upgrade over window replacement). Only the key columns are emitted,
+    so which physical duplicate arrived first cannot leak into the
+    result. At scale, dedup state is partitioned by key and bounded by
+    the watermark horizon — memory is O(active keys), not O(stream)."""
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            F.col("ts"),
+            F.col("ts").cast("date").alias("event_date"),
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "event_date"])
+        .select("user_id", "event_type", "event_date")
+    )

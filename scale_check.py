@@ -36,6 +36,8 @@ QUERIES = (
     "corpus_curation",
     "decontamination_overlap",
     "text_repetition_scores",
+    "boilerplate_segment_audit",
+    "source_mixture_sample",
 )
 
 VOWELS = "aeiou"

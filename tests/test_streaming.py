@@ -145,3 +145,76 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
         for p in q.recentProgress
     )
     assert dropped == 1
+
+
+def test_streaming_dedup_state_lifecycle(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics across micro-batches: a
+    duplicate key is suppressed while its state lives, and once the
+    watermark passes, the old-dated re-arrival is dropped as LATE rather
+    than re-emitted — so a key is never emitted twice."""
+    import os
+    import time
+
+    from dieter___etl___monarchmoney_spark.streaming.stream_reader import dedup_stream
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = [f for f in os.listdir(tmp_path / name) if f.startswith("part-")][0]
+        dest = src / f"{name}.parquet"
+        os.rename(tmp_path / name / part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    d = dt.datetime
+    t0 = time.time() - 1000
+    # b1: two physical duplicates of (u1, pay, jan-1) in one batch
+    write_file("b1", [(1, "pay", d(2024, 1, 1, 10)), (1, "pay", d(2024, 1, 1, 11))], t0)
+    # b2: the same key again while its dedup state is alive -> suppressed
+    write_file("b2", [(1, "pay", d(2024, 1, 1, 12))], t0 + 100)
+    # b3: a fresh key far in the future -> emits, advances the watermark
+    write_file("b3", [(2, "pay", d(2024, 1, 5, 9))], t0 + 200)
+    # b4: (u1, pay, jan-1) re-arrives after state eviction -> late, dropped
+    write_file("b4", [(1, "pay", d(2024, 1, 1, 13))], t0 + 300)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_dedup_lifecycle")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["user_id"], r["event_type"], str(r["event_date"]))
+        for r in spark.table("t_dedup_lifecycle").collect()
+    )
+    assert rows == [(1, "pay", "2024-01-01"), (2, "pay", "2024-01-05")]
+
+
+def test_streaming_dedup_removes_duplicates(spark):
+    from dieter___etl___monarchmoney_spark.queries.streaming_queries import (
+        q_streaming_event_dedup,
+    )
+
+    events = load_table(spark, "events", SF_SMOKE)
+    out = q_streaming_event_dedup(spark, SF_SMOKE)
+    n_in, n_out = events.count(), out.count()
+    # the synthetic events table genuinely repeats keys
+    assert n_out < n_in
+    assert (
+        n_out
+        == events.select(
+            "user_id", "event_type", F.col("ts").cast("date")
+        ).distinct().count()
+    )
