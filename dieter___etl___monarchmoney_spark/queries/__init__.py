@@ -5,6 +5,7 @@ Importing this package registers every query into
 """
 
 from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
+    analytics_ops,
     budget,
     core,
     curation,

@@ -1,0 +1,333 @@
+"""Time-series / product-analytics operators over the events series.
+
+The reference's balance-history surface (SURVEY.md §2.1 S6, §2.4 A5-A6,
+§2.5 W4) is a date × balance time series consumed for trend reporting;
+these queries widen that family with the standard analytics shapes a
+warehouse team would run on the same series: trailing moving averages
+(range-frame windows), a wide pivot by series key, funnel conversion,
+retention cohorts, and exact distribution quantiles.
+
+Scale notes (each query's plan shape at 100 TB):
+
+- ``moving_average_7d`` pre-aggregates to one row per day BEFORE the
+  window (the window input is O(days), not O(events)); the range frame
+  runs on a single ordered partition of ~365×years rows — driver-scale
+  small after the first aggregate, so the unpartitioned window is safe.
+- ``event_type_daily_pivot`` passes an EXPLICIT pivot value list, so
+  Spark skips the extra collect-distinct job and the plan is one
+  aggregate pass (pivot with inferred values scans twice).
+- ``conversion_funnel`` chains per-stage mins on co-partitioned
+  ``user_id`` equi-joins: every join after the first reuses the same
+  hash partitioning (one shuffle total on user_id under AQE), and the
+  final result is a single global row via partial aggregation.
+- ``weekly_retention_cohorts`` derives the cohort key with a window min
+  over ``user_id`` — one shuffle, no join — then a grouped
+  count-distinct that reuses the same user_id clustering.
+- ``percentile_stats_by_lang`` uses Spark's exact ``percentile``
+  aggregate (sort-based within each lang group); for a sketch-based
+  scale path at 100 TB swap ``percentile_approx`` — kept exact here so
+  the DuckDB oracle (``quantile_cont``, same (n-1)p linear
+  interpolation) hash-matches.
+
+Money/balance sums follow the decimal-before-SUM determinism rule
+(functions/money.py): exact at ≤4dp, order-independent, cast back to
+DOUBLE at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.functions.money import MONEY_DECIMAL, money_sum
+from dieter___etl___monarchmoney_spark.registry import query
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+
+_MSUM = f"CAST(SUM(CAST({{x}} AS {MONEY_DECIMAL})) AS DOUBLE)"
+
+
+def _msum(x: str) -> str:
+    return _MSUM.format(x=x)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "moving_average_7d",
+    f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS date,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+               SUM(CAST(value AS DECIMAL(18,6))) AS bal,
+               COUNT(*) AS n_points
+        FROM events GROUP BY 1, 2
+    )
+    SELECT date,
+           CAST(bal AS DOUBLE) AS balance,
+           CAST(SUM(bal) OVER w AS DOUBLE) AS trailing_sum_7d,
+           CAST(SUM(bal) OVER w AS DOUBLE) / SUM(n_points) OVER w AS avg_per_event_7d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS days_in_frame
+    FROM daily
+    WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_moving_average_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving aggregate over the daily balance series
+    (the trend view of aggregateSnapshots, monarchmoney.py:326-333; W4's
+    lag generalized to a range frame).
+
+    The frame is a RANGE frame on the day number — calendar-correct
+    under gaps (a missing day still ages out of the frame), unlike a
+    6-ROWS-PRECEDING frame.  Sums stay DECIMAL inside the frame so the
+    windowed accumulation is exact and order-independent; the average
+    divides two exact quantities as the final double op.
+    """
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("date"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day_num"
+        ),
+    ).agg(
+        F.sum(F.col("value").cast(MONEY_DECIMAL)).alias("bal"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "date",
+        F.col("bal").cast("double").alias("balance"),
+        F.sum("bal").over(w).cast("double").alias("trailing_sum_7d"),
+        (F.sum("bal").over(w).cast("double") / F.sum("n_points").over(w)).alias(
+            "avg_per_event_7d"
+        ),
+        F.count(F.lit(1)).over(w).alias("days_in_frame"),
+    )
+
+
+_PIVOT_COLS = ", ".join(
+    _msum("CASE WHEN event_type = '" + t + "' THEN value END") + " AS " + t
+    for t in EVENT_TYPES
+)
+
+
+@query(
+    "event_type_daily_pivot",
+    f"""
+    SELECT CAST(ts AS DATE) AS date,
+           {_PIVOT_COLS}
+    FROM events GROUP BY 1
+    """,
+)
+def q_event_type_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide daily series, one column per event type (the spreadsheet
+    shape of snapshotsByAccountType, monarchmoney.py:292-305: date rows ×
+    account-type columns).
+
+    Pivot values are passed explicitly (EVENT_TYPES) so the plan is ONE
+    aggregate pass — Spark's value-inferring pivot runs a prior distinct
+    job over the full fact.  A conditional decimal sum per value keeps
+    partial aggregation exact.
+    """
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.col("ts").cast("date").alias("date"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(money_sum("value"))
+    )
+
+
+@query(
+    "conversion_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t4 FROM events e
+        JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_view,
+           (SELECT COUNT(*) FROM s3) AS n_click,
+           (SELECT COUNT(*) FROM s4) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM s4) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s1) AS signup_to_purchase_rate
+    """,
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → click → purchase: a
+    user advances a stage only with a strictly LATER event of the next
+    type (the recurring-stream forecast consumer's "did the expected
+    event happen after" question, monarchmoney.py:2678-2715, as a
+    multi-stage operator).
+
+    Spark-first single pass: the naive form is a chain of four
+    per-stage min-aggregate joins on ``user_id`` (the oracle SQL keeps
+    that shape — two independent algorithms must agree).  Here the
+    whole progression is ONE scan + ONE user_id shuffle: per user,
+    sort the (ts, type) pairs and fold them left-to-right with the
+    higher-order ``aggregate``, carrying (t1..t4) stage timestamps as
+    the fold state.  Each stage fires on the first event of the right
+    type strictly after the previous stage's timestamp — identical
+    semantics to the join chain's ``MIN(ts) WHERE ts > t_prev`` because
+    the array is time-sorted.  Per-user state is one array of that
+    user's events (bounded by per-user activity, not table size; a
+    whale user would cap via a per-user limit upstream).  The final
+    stage counts come from partial aggregation of the per-user structs;
+    no join, no recomputation of the fact scan per stage.
+    """
+    events = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    per_user = events.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    stages = per_user.select(
+        F.aggregate(
+            "evs",
+            F.struct(
+                F.lit(None).cast("timestamp").alias("t1"),
+                F.lit(None).cast("timestamp").alias("t2"),
+                F.lit(None).cast("timestamp").alias("t3"),
+                F.lit(None).cast("timestamp").alias("t4"),
+            ),
+            lambda acc, e: F.struct(
+                F.when(
+                    acc["t1"].isNull() & (e["event_type"] == "signup"), e["ts"]
+                )
+                .otherwise(acc["t1"])
+                .alias("t1"),
+                F.when(
+                    acc["t2"].isNull()
+                    & (e["event_type"] == "view")
+                    & acc["t1"].isNotNull()
+                    & (e["ts"] > acc["t1"]),
+                    e["ts"],
+                )
+                .otherwise(acc["t2"])
+                .alias("t2"),
+                F.when(
+                    acc["t3"].isNull()
+                    & (e["event_type"] == "click")
+                    & acc["t2"].isNotNull()
+                    & (e["ts"] > acc["t2"]),
+                    e["ts"],
+                )
+                .otherwise(acc["t3"])
+                .alias("t3"),
+                F.when(
+                    acc["t4"].isNull()
+                    & (e["event_type"] == "purchase")
+                    & acc["t3"].isNotNull()
+                    & (e["ts"] > acc["t3"]),
+                    e["ts"],
+                )
+                .otherwise(acc["t4"])
+                .alias("t4"),
+            ),
+        ).alias("s")
+    )
+    return stages.agg(
+        F.count(F.col("s.t1")).alias("n_signup"),
+        F.count(F.col("s.t2")).alias("n_view"),
+        F.count(F.col("s.t3")).alias("n_click"),
+        F.count(F.col("s.t4")).alias("n_purchase"),
+    ).select(
+        "n_signup",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        (F.col("n_purchase").cast("double") / F.col("n_signup")).alias(
+            "signup_to_purchase_rate"
+        ),
+    )
+
+
+@query(
+    "weekly_retention_cohorts",
+    """
+    WITH tagged AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_d
+        FROM events
+    )
+    SELECT CAST(DATE_TRUNC('week', first_d) AS DATE) AS cohort_week,
+           date_diff('week', CAST(DATE_TRUNC('week', first_d) AS DATE),
+                     CAST(DATE_TRUNC('week', d) AS DATE)) AS weeks_since,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+)
+def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = ISO week of a user's first
+    event; count distinct users active N weeks later (the engagement
+    view of the reference's recurring/forecast stream).
+
+    The cohort key comes from a window MIN over ``user_id`` — one
+    shuffle, no self-join — and the following count-distinct groups by
+    (cohort_week, weeks_since) on data already clustered by user, so the
+    distinct's first partial phase is cheap.  Weeks are Monday-anchored
+    (`date_trunc('week')` agrees between Spark and DuckDB).
+    """
+    events = load_table(spark, "events", sf_dir)
+    tagged = events.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.min(F.col("ts").cast("date"))
+        .over(Window.partitionBy("user_id"))
+        .alias("first_d"),
+    )
+    cohort = F.trunc("first_d", "week")
+    week = F.trunc("d", "week")
+    return tagged.groupBy(
+        cohort.alias("cohort_week"),
+        ((F.datediff(week, cohort)) / 7).cast("bigint").alias("weeks_since"),
+    ).agg(F.count_distinct("user_id").alias("active_users"))
+
+
+@query(
+    "percentile_stats_by_lang",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.50) AS p50,
+           quantile_cont(n_chars, 0.75) AS p75,
+           quantile_cont(n_chars, 0.95) AS p95,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_percentile_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length-distribution quantiles per language — the curation
+    dashboard behind the length-based quality filters
+    (functions/text.py): where to put min/max length cutoffs per lang.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    (n-1)·p linear-interpolation definition, so the oracle hash-matches
+    exactly.  At 100 TB the drop-in scale path is ``percentile_approx``
+    (t-digest sketch, mergeable map-side); the exact form is kept here
+    because it is the oracle-checkable ground truth the sketch would be
+    validated against.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, 0.25D)").alias("p25"),
+        F.expr("percentile(n_chars, 0.50D)").alias("p50"),
+        F.expr("percentile(n_chars, 0.75D)").alias("p75"),
+        F.expr("percentile(n_chars, 0.95D)").alias("p95"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -196,3 +196,48 @@ def test_quality_deciles_single_shuffle_no_global_sort(spark):
     assert plan.count("Exchange (") == 1
     assert "hashpartitioning(lang" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_moving_average_aggregates_before_window(spark):
+    """The 7-day range-frame window runs over the DAILY aggregate (O(days)
+    rows), never the raw event stream: the plan's Window sits above a
+    final HashAggregate, and the fact is scanned once."""
+    plan = _plan(QUERIES["moving_average_7d"](spark, SF_ORACLE))
+    assert "Window" in plan
+    assert plan.count("InMemoryFileIndex") == 1
+    assert plan.index("Window") < plan.index("Scan parquet")  # formatted plan lists top-down
+
+
+def test_pivot_single_pass(spark):
+    """Explicit pivot values ⇒ one aggregate pass over one scan — no
+    value-inferring distinct job, no second scan of the fact."""
+    plan = _plan(QUERIES["event_type_daily_pivot"](spark, SF_ORACLE))
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "Expand" not in plan  # pivot compiles to conditional aggs, not grouping-set expand
+
+
+def test_funnel_single_scan_no_join(spark):
+    """The four-stage funnel folds each user's time-sorted events once:
+    one fact scan, one user_id shuffle, zero joins (the oracle runs the
+    4-join chain — two algorithms, same rows)."""
+    plan = _plan(QUERIES["conversion_funnel"](spark, SF_ORACLE))
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "Join" not in plan
+
+
+def test_retention_cohorts_window_not_join(spark):
+    """Cohort derivation is a window MIN over user_id — no self-join; the
+    only exchanges are the user_id clustering and the final group-by."""
+    plan = _plan(QUERIES["weekly_retention_cohorts"](spark, SF_ORACLE))
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_percentile_stats_exact_aggregate(spark):
+    """Exact percentile runs as an ObjectHashAggregate partial/final pair
+    over one scan (the 100 TB swap is percentile_approx; this exact form
+    is its oracle-checked ground truth)."""
+    plan = _plan(QUERIES["percentile_stats_by_lang"](spark, SF_ORACLE))
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "percentile" in plan
