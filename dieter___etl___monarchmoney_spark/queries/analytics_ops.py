@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from dieter___etl___monarchmoney_spark.functions.money import MONEY_DECIMAL, money_sum
 from dieter___etl___monarchmoney_spark.registry import query
 from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+from dieter___etl___monarchmoney_spark.sources.star_model import TRANSACTIONS_SQL
 
 _MSUM = f"CAST(SUM(CAST({{x}} AS {MONEY_DECIMAL})) AS DOUBLE)"
 
@@ -330,4 +331,94 @@ def q_percentile_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_chars, 0.75D)").alias("p75"),
         F.expr("percentile(n_chars, 0.95D)").alias("p95"),
         F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "range_banded_join",
+    """
+    SELECT p.event_id AS purchase_id, er.event_id AS error_id,
+           p.user_id AS user_id,
+           date_diff('microsecond', p.ts, er.ts) AS gap_micros
+    FROM events p
+    JOIN events er ON p.user_id = er.user_id
+    WHERE p.event_type = 'purchase' AND er.event_type = 'error'
+      AND date_diff('microsecond', p.ts, er.ts) > 0
+      AND date_diff('microsecond', p.ts, er.ts) <= 300000000
+    """,
+)
+def q_range_banded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join: every error within 5 minutes AFTER a
+    purchase by the same user (the "did the expected follow-up event
+    happen in its window" probe over the recurring stream,
+    monarchmoney.py:2678-2715 — a range join the reference has no
+    operator for, SURVEY.md §2.3 note).
+
+    Spark side runs the band-bucketing algorithm
+    (operators/rangejoin.py): quantize to 5-minute buckets, explode the
+    left side into its two candidate buckets, equi-join on
+    (user_id, bucket), residual-filter the exact band — one hash shuffle
+    per side, no nested-loop, no per-user cross product. The oracle is
+    the naive inequality join; two different algorithms must agree
+    row-for-row. Timestamps compare in integer microseconds (both
+    engines store µs for this column), so the band edges cannot drift.
+    """
+    from dieter___etl___monarchmoney_spark.operators.rangejoin import (
+        banded_interval_join,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    joined = banded_interval_join(
+        purchases, errors, key="user_id", left_ts="p_ts", right_ts="e_ts",
+        band_seconds=300,
+    )
+    return joined.select("purchase_id", "error_id", "user_id", "gap_micros")
+
+
+@query(
+    "monthly_merchant_dense_rank",
+    f"""
+    WITH m AS (
+        SELECT CAST(DATE_TRUNC('month', txn_date) AS DATE) AS month,
+               merchant_id, {_msum('amount')} AS total
+        FROM ({TRANSACTIONS_SQL}) GROUP BY 1, 2
+    )
+    SELECT month, merchant_id, total, rnk
+    FROM (
+        SELECT month, merchant_id, total,
+               DENSE_RANK() OVER (PARTITION BY month ORDER BY total DESC) AS rnk
+        FROM m
+    )
+    WHERE rnk <= 3
+    """,
+)
+def q_monthly_merchant_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 merchants per month by total amount with DENSE_RANK — the
+    ranking shape the reference's per-merchant counts (A7,
+    monarchmoney.py:1490) lead to once a time axis exists. Ties share a
+    rank in both engines, so the emitted SET is deterministic without a
+    tiebreaker column.
+
+    Scale shape: aggregate first (months × merchants — orders of
+    magnitude smaller than the fact), THEN window over the tiny
+    aggregate partitioned by month; the rank never sees fact-table
+    cardinality and there is no global sort.
+    """
+    from dieter___etl___monarchmoney_spark.sources.star_model import transactions
+
+    txns = transactions(spark, sf_dir)
+    monthly = txns.groupBy(
+        F.trunc("txn_date", "month").alias("month"), "merchant_id"
+    ).agg(money_sum("amount").alias("total"))
+    w = Window.partitionBy("month").orderBy(F.col("total").desc())
+    return (
+        monthly.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("month", "merchant_id", "total", "rnk")
     )

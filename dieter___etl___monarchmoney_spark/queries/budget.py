@@ -112,3 +112,81 @@ def q_budget_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("RolloverAmount", F.lit(0.0))
     )
     return budget_pipeline(per_cat_month)
+
+
+_AUDIT_SQL = f"""
+WITH b AS ({_BUDGET_SQL}),
+key_counts AS (
+    SELECT COUNT(*) AS n FROM b
+    GROUP BY Month, CategoryGroupName, CategoryName, GroupOrder
+)
+SELECT
+  (SELECT COUNT(*) FROM b) AS n_rows,
+  (SELECT COUNT(*) FROM b WHERE GroupOrder = 0) AS n_category_rows,
+  (SELECT COUNT(*) FROM b WHERE GroupOrder = 998) AS n_group_rows,
+  (SELECT COUNT(*) FROM b WHERE GroupOrder = 999) AS n_total_rows,
+  (SELECT COUNT(*) FROM b
+   WHERE (GroupType = 'income' AND DebitCreditFlag <> 'Credit')
+      OR (GroupType = 'expense' AND DebitCreditFlag <> 'Debit'))
+      AS n_flag_violations,
+  (SELECT COUNT(*) FROM b
+   WHERE RemainingAmount <> PlannedAmount + RolloverAmount - ActualAmount)
+      AS n_remaining_violations,
+  (SELECT COUNT(*) FROM b
+   WHERE GroupOrder = 0 AND CumulativeActualAmount < ActualAmount)
+      AS n_cumulative_regressions,
+  CAST((SELECT COALESCE(SUM(n - 1), 0) FROM key_counts WHERE n > 1) AS BIGINT)
+      AS n_duplicate_keys
+"""
+
+
+@query("reconciliation_audit", _AUDIT_SQL)
+def q_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's MANUAL validation protocol automated (SURVEY.md §5:
+    reconciliation checklists in .DevContext/Budget_Specs.md:173-204 —
+    debit/credit flag consistency, remaining = planned + rollover −
+    actual, cumulative ≥ actual, expected volume, no duplicate keys) as a
+    one-row data-quality audit the engine computes itself.
+
+    Every check is a conditional count over the budget sheet: violations
+    are REPORTED, not asserted, so the same query serves as a
+    post-load gate (fail the pipeline if any *_violations > 0) or a
+    monitoring metric. One pass over the (already small) budget output
+    plus a key-duplication group-by; at scale this shape runs as cheap
+    partial aggregation over whatever table it audits.
+    """
+    b = q_budget_pipeline_full(spark, sf_dir)
+    flags = b.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("GroupOrder") == 0, 1)).alias("n_category_rows"),
+        F.count(F.when(F.col("GroupOrder") == 998, 1)).alias("n_group_rows"),
+        F.count(F.when(F.col("GroupOrder") == 999, 1)).alias("n_total_rows"),
+        F.count(
+            F.when(
+                ((F.col("GroupType") == "income") & (F.col("DebitCreditFlag") != "Credit"))
+                | ((F.col("GroupType") == "expense") & (F.col("DebitCreditFlag") != "Debit")),
+                1,
+            )
+        ).alias("n_flag_violations"),
+        F.count(
+            F.when(
+                F.col("RemainingAmount")
+                != F.col("PlannedAmount") + F.col("RolloverAmount") - F.col("ActualAmount"),
+                1,
+            )
+        ).alias("n_remaining_violations"),
+        F.count(
+            F.when(
+                (F.col("GroupOrder") == 0)
+                & (F.col("CumulativeActualAmount") < F.col("ActualAmount")),
+                1,
+            )
+        ).alias("n_cumulative_regressions"),
+    )
+    dups = (
+        b.groupBy("Month", "CategoryGroupName", "CategoryName", "GroupOrder")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("n_duplicate_keys"))
+    )
+    return flags.crossJoin(dups)

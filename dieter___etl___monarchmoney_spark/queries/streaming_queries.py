@@ -88,3 +88,35 @@ def q_streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         stream, f"event_dedup_{abs(hash(sf_dir)) % 10_000}", output_mode="append"
     )
+
+
+@query(
+    "streaming_enriched_rollup",
+    """
+    SELECT CAST(e.ts AS DATE) AS date, n.n_name AS nation,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CAST(e.ts AS DATE), n.n_name
+    """,
+)
+def q_streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (the streaming operator family the batch J1
+    enrichment maps to): the event stream joins the static customer →
+    nation dimension — broadcast to every micro-batch, no stream-side
+    shuffle for the join — then rolls up daily totals per nation under a
+    watermark. On a batch-complete source the result equals the batch
+    join + GROUP BY, which is the oracle."""
+    from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
+        enriched_rollup_stream,
+    )
+
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    dim = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("nation"))
+    stream = enriched_rollup_stream(read_events_stream(spark, sf_dir), dim)
+    return run_available_now(stream, f"enriched_rollup_{abs(hash(sf_dir)) % 10_000}")

@@ -101,3 +101,34 @@ def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "event_date"])
         .select("user_id", "event_type", "event_date")
     )
+
+
+def enriched_rollup_stream(
+    events: DataFrame, dim: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a static
+    dimension (broadcast per micro-batch — the streaming twin of J1's
+    account-name map probe, MonarchMoneyMain-v3.py:1104-1110,1272-1274),
+    then the watermarked daily rollup by the enriched key. The static
+    side is re-read per micro-batch, so a dim refresh between batches is
+    picked up without restarting the query."""
+    from pyspark.sql.functions import broadcast
+
+    joined = events.join(
+        broadcast(dim.select(F.col("c_custkey").alias("user_id"), "nation")),
+        "user_id",
+    )
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "nation")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("date"),
+            "nation",
+            "total_value",
+            "n_events",
+        )
+    )

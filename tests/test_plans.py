@@ -241,3 +241,22 @@ def test_percentile_stats_exact_aggregate(spark):
     plan = _plan(QUERIES["percentile_stats_by_lang"](spark, SF_ORACLE))
     assert plan.count("InMemoryFileIndex") == 1
     assert "percentile" in plan
+
+
+def test_range_join_no_nested_loop(spark):
+    """The banded interval join must plan as an equi-join on
+    (key, bucket) — never a broadcast-nested-loop or cartesian product
+    (what Spark falls back to for raw inequality join conditions)."""
+    plan = _plan(QUERIES["range_banded_join"](spark, SF_ORACLE))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dense_rank_windows_aggregate_not_fact(spark):
+    """Top-3 per month ranks the (month × merchant) aggregate, not the
+    fact: the Window sits above the final HashAggregate, partitioned by
+    month (hash exchange, no global rangepartitioning sort)."""
+    plan = _plan(QUERIES["monthly_merchant_dense_rank"](spark, SF_ORACLE))
+    assert "Window" in plan
+    assert "hashpartitioning(month" in plan
+    assert "rangepartitioning" not in plan
