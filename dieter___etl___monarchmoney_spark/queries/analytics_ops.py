@@ -165,7 +165,7 @@ def q_event_type_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM s3) AS n_click,
            (SELECT COUNT(*) FROM s4) AS n_purchase,
            CAST((SELECT COUNT(*) FROM s4) AS DOUBLE)
-             / (SELECT COUNT(*) FROM s1) AS signup_to_purchase_rate
+             / NULLIF((SELECT COUNT(*) FROM s1), 0) AS signup_to_purchase_rate
     """,
 )
 def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,9 +249,10 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view",
         "n_click",
         "n_purchase",
-        (F.col("n_purchase").cast("double") / F.col("n_signup")).alias(
-            "signup_to_purchase_rate"
-        ),
+        (
+            F.col("n_purchase").cast("double")
+            / F.nullif(F.col("n_signup"), F.lit(0))
+        ).alias("signup_to_purchase_rate"),
     )
 
 

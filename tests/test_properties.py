@@ -68,3 +68,124 @@ def test_replace_window_merge_partitions_cleanly(spark, rows, wm):
     assert sorted((r["id"], r["d"]) for r in merged.collect()) == sorted(
         (r["id"], r["d"]) for r in df.collect()
     )
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.integers(0, 2000),  # left ts (seconds)
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2000)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.sampled_from([60, 300, 900]),
+)
+def test_banded_interval_join_matches_naive(spark, lrows, rrows, band):
+    """The band-bucketed equi-join emits exactly the pairs the naive
+    nested-loop definition does — including band-edge ties (gap == band
+    is IN, gap == 0 is OUT) and keys present on only one side."""
+    import datetime as _dt
+
+    from dieter___etl___monarchmoney_spark.operators.rangejoin import (
+        banded_interval_join,
+    )
+
+    epoch = _dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, k, epoch + _dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lrows)],
+        "lid long, k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, k, epoch + _dt.timedelta(seconds=s)) for i, (k, s) in enumerate(rrows)],
+        "rid long, k long, rts timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"], r["gap_micros"])
+        for r in banded_interval_join(
+            left, right, key="k", left_ts="lts", right_ts="rts", band_seconds=band
+        ).collect()
+    }
+    want = {
+        (li, ri, (rs - ls) * 1_000_000)
+        for li, (lk, ls) in enumerate(lrows)
+        for ri, (rk, rs) in enumerate(rrows)
+        if lk == rk and 0 < (rs - ls) * 1_000_000 <= band * 1_000_000
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user
+            st.sampled_from(["signup", "view", "click", "purchase", "error"]),
+            st.integers(0, 120),  # ts seconds
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_fold_matches_sequential_scan(spark, rows):
+    """The HOF fold over time-sorted events reaches exactly the stages a
+    straight per-user sequential scan reaches — including duplicate
+    timestamps (strict > means an equal-ts next-stage event does NOT
+    advance) and out-of-order arrival (the fold sorts first)."""
+    import datetime as _dt
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dieter___etl___monarchmoney_spark.queries.analytics_ops import (
+        q_conversion_funnel,
+    )
+
+    epoch = _dt.datetime(2024, 1, 1)
+
+    def naive():
+        order = ["signup", "view", "click", "purchase"]
+        reached = [0, 0, 0, 0]
+        for u in {r[0] for r in rows}:
+            evs = sorted((sec, typ) for (uu, typ, sec) in rows if uu == u)
+            stage_ts = [None, None, None, None]
+            for sec, typ in evs:
+                if typ not in order:
+                    continue
+                i = order.index(typ)
+                if stage_ts[i] is None and (
+                    i == 0 or (stage_ts[i - 1] is not None and sec > stage_ts[i - 1])
+                ):
+                    stage_ts[i] = sec
+            for i in range(4):
+                if stage_ts[i] is not None:
+                    reached[i] += 1
+        return reached
+
+    events = spark.createDataFrame(
+        [
+            (i, u, t, epoch + _dt.timedelta(seconds=s), 1.0, "{}")
+            for i, (u, t, s) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        # q_conversion_funnel reads {sf_dir}/events.parquet — give it one
+        events.select(
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).withColumn("ts", F.expr("us * CAST(1000 AS BIGINT)")).drop("us").write.parquet(
+            f"{d}/events.parquet"
+        )
+        row = q_conversion_funnel(spark, d).collect()[0]
+    got = [row["n_signup"], row["n_view"], row["n_click"], row["n_purchase"]]
+    assert got == naive()
