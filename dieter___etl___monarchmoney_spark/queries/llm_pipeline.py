@@ -341,6 +341,60 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(docs, pairs, "doc_id")
 
 
+_SURVIVORS_SQL = f"""
+    SELECT cluster_id,
+           MAX(j.n_chars) AS best_n_chars,
+           MIN(CASE WHEN rnk = 1 THEN j.doc_id END) AS survivor_id,
+           COUNT(*) AS cluster_size
+    FROM (
+        SELECT a.doc_id, a.cluster_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                                  ORDER BY d.n_chars DESC, a.doc_id) AS rnk
+        FROM ({_CLUSTERS_SQL}) a
+        JOIN documents d ON a.doc_id = d.doc_id
+    ) j
+    GROUP BY cluster_id
+"""
+
+
+@query("dedup_survivors", _SURVIVORS_SQL)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: one SURVIVOR per
+    near-dup cluster under an explicit keep-policy — longest document
+    wins, smallest doc_id breaks ties (policy is a (quality, id) sort
+    key; swap in any score column).
+
+    Spark side needs no window at all: join the cluster assignment to
+    the corpus and take ``max(struct(n_chars, -doc_id, …))`` per
+    cluster — a plain partial-aggregable MAX, one shuffle on
+    cluster_id, no per-cluster sort. The oracle keeps the textbook
+    ROW_NUMBER formulation; both must pick identical survivors because
+    the (n_chars DESC, doc_id ASC) keep-policy is a total order."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_dedup_pairs(docs, "text", "doc_id")
+    assigned = neardup_clusters(docs, pairs, "doc_id")
+    j = assigned.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("doc_id"),
+                )
+            ).alias("m"),
+        )
+        .select(
+            "cluster_id",
+            F.col("m.n_chars").alias("best_n_chars"),
+            F.col("m.doc_id").alias("survivor_id"),
+            "cluster_size",
+        )
+    )
+
+
 _SIMHASH_SQL = f"""
     WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
     hs AS (SELECT doc_id, {_hexparse_sql("substr(md5(tok), 1, 8)")} AS h FROM toks),
