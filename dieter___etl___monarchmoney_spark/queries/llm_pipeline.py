@@ -755,3 +755,31 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blob", F.encode(F.col("text"), "UTF-8")
     )
     return resize_stub(docs, "blob", "doc_id", max_side=256, fake=True)
+
+
+@query(
+    "exact_dedup_removed",
+    r"""
+    SELECT doc_id FROM documents
+    EXCEPT ALL
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    """,
+)
+def q_exact_dedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DROP side of exact dedup — every doc that is NOT its
+    fingerprint group's survivor — via the set-difference operator
+    (`exceptAll`), the one relational set op the reference never needed
+    (SURVEY.md §2.7 'No intersect/except') but a user of the engine
+    will reach for.
+
+    Scale shape: exceptAll plans as a hash aggregation on the id with
+    count subtraction — one shuffle on doc_id for each side, no join
+    explosion; the survivor side is the already-tiny min-per-group
+    aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    survivors = exact_dedup_groups(docs, "text", "doc_id").select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    return docs.select("doc_id").exceptAll(survivors)

@@ -533,3 +533,110 @@ def q_cashflow_by_merchant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cashflow_by_key(
         txns.join(F.broadcast(supp), "merchant_id", "inner"), "merchant_name"
     )
+
+
+@query(
+    "cashflow_cube",
+    f"""
+    SELECT CAST(DATE_TRUNC('month', txn_date) AS DATE) AS month, returnflag,
+           {_msum('amount')} AS total, COUNT(*) AS n,
+           GROUPING(CAST(DATE_TRUNC('month', txn_date) AS DATE), returnflag) AS gid
+    FROM ({TRANSACTIONS_SQL})
+    GROUP BY CUBE (CAST(DATE_TRUNC('month', txn_date) AS DATE), returnflag)
+    """,
+)
+def q_cashflow_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (month, returnflag): all four grains — per cell, per
+    month, per flag, grand total — in one aggregate pass (completes the
+    grouping-set surface next to ROLLUP in budget_totals_rollup and the
+    explicit GROUPING SETS in budget_grouping_sets; SURVEY.md §2.4
+    note). ``gid`` is the grouping bit-vector (F.grouping_id ==
+    DuckDB's GROUPING), which consumers use to route each grain to its
+    report row — and which disambiguates a NULL group key from an
+    aggregated-out one. Decimal sums keep every grain's partial
+    aggregation exact."""
+    txns = transactions(spark, sf_dir)
+    month = F.date_trunc("month", "txn_date").cast("date")
+    return (
+        txns.cube(month.alias("month"), "returnflag")
+        .agg(
+            money_sum("amount").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+@query(
+    "cashflow_report_all",
+    f"""
+    WITH base AS (
+        SELECT p.p_brand AS cat, p.p_type AS grp, s.s_name AS merch, t.amount
+        FROM ({TRANSACTIONS_SQL}) t
+        JOIN part p ON t.category_id = p.p_partkey
+        JOIN supplier s ON t.merchant_id = s.s_suppkey
+    )
+    SELECT CASE WHEN GROUPING(cat) = 0 THEN 'by_category'
+                WHEN GROUPING(grp) = 0 THEN 'by_category_group'
+                WHEN GROUPING(merch) = 0 THEN 'by_merchant'
+                ELSE 'summary' END AS section,
+           COALESCE(cat, grp, merch, '(all)') AS key,
+           {_msum('amount')} AS sum_amount,
+           COALESCE({_msum('CASE WHEN amount > 0 THEN amount END')}, 0.0) AS sum_income,
+           COALESCE({_msum('CASE WHEN amount < 0 THEN amount END')}, 0.0) AS sum_expense,
+           COUNT(*) AS n
+    FROM base
+    GROUP BY GROUPING SETS ((cat), (grp), (merch), ())
+    """,
+)
+def q_cashflow_report_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship multi-aggregate report (SURVEY.md §3.3:
+    get_cashflow runs byCategory + byCategoryGroup + byMerchant +
+    summary as four aliased aggregations over ONE filtered scan,
+    monarchmoney.py:2264-2328) — expressed the Spark-first way: one
+    GROUPING SETS aggregate over the dim-enriched fact. Four sections,
+    ONE scan, ONE shuffle; the union-of-four-groupBys alternative scans
+    the fact four times. GROUPING() bits route each output row to its
+    report section."""
+    txns = transactions(spark, sf_dir)
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("part_key"),
+        F.col("p_brand").alias("cat"),
+        F.col("p_type").alias("grp"),
+    )
+    supplier = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("supp_key"), F.col("s_name").alias("merch")
+    )
+    base = (
+        txns.join(F.broadcast(part), txns.category_id == part.part_key)
+        .join(F.broadcast(supplier), txns.merchant_id == supplier.supp_key)
+        .select("cat", "grp", "merch", "amount")
+    )
+    pos = F.when(F.col("amount") > 0, F.col("amount"))
+    neg = F.when(F.col("amount") < 0, F.col("amount"))
+    gs = base.groupingSets(
+        [[F.col("cat")], [F.col("grp")], [F.col("merch")], []],
+        F.col("cat"),
+        F.col("grp"),
+        F.col("merch"),
+    ).agg(
+        money_sum("amount").alias("sum_amount"),
+        F.coalesce(money_sum(pos), F.lit(0.0)).alias("sum_income"),
+        F.coalesce(money_sum(neg), F.lit(0.0)).alias("sum_expense"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("cat").cast("int").alias("g_cat"),
+        F.grouping("grp").cast("int").alias("g_grp"),
+        F.grouping("merch").cast("int").alias("g_merch"),
+    )
+    return gs.select(
+        F.when(F.col("g_cat") == 0, "by_category")
+        .when(F.col("g_grp") == 0, "by_category_group")
+        .when(F.col("g_merch") == 0, "by_merchant")
+        .otherwise("summary")
+        .alias("section"),
+        F.coalesce("cat", "grp", "merch", F.lit("(all)")).alias("key"),
+        "sum_amount",
+        "sum_income",
+        "sum_expense",
+        "n",
+    )

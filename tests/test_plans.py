@@ -260,3 +260,32 @@ def test_dense_rank_windows_aggregate_not_fact(spark):
     assert "Window" in plan
     assert "hashpartitioning(month" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_cashflow_report_single_scan_grouping_sets(spark):
+    """The four-section cashflow report (SURVEY §3.3) runs as ONE
+    grouping-sets aggregate: one lineitem scan, an Expand (the
+    grouping-set row replication), broadcast dim joins — not four
+    scans unioned."""
+    plan = _plan(QUERIES["cashflow_report_all"](spark, SF_ORACLE))
+    # one fact + two dim scans — the fact is NOT scanned once per section
+    assert plan.count("InMemoryFileIndex") == 3
+    assert "Expand" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Union" not in plan
+
+
+def test_cube_single_pass(spark):
+    """CUBE compiles to Expand + one aggregate over one scan."""
+    plan = _plan(QUERIES["cashflow_cube"](spark, SF_ORACLE))
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_except_all_no_join_explosion(spark):
+    """exceptAll plans as aggregation-based set difference, not a
+    nested-loop or cartesian join."""
+    plan = _plan(QUERIES["exact_dedup_removed"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
