@@ -145,7 +145,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT (len({_TOKS_SQL}) // 16) * 16 AS bucket_lo,
            COUNT(*) AS n_docs,
-           SUM(len({_TOKS_SQL})) AS total_tokens,
+           CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS total_tokens,
            CAST(SUM(len({_TOKS_SQL})) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM documents
     GROUP BY 1
@@ -249,7 +249,7 @@ def q_term_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT lang AS lang_tag,
            COUNT(*) AS n_docs,
-           SUM(len({_TOKS_SQL})) AS total_tokens,
+           CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS total_tokens,
            MIN({_QUALITY_SQL}) AS min_quality,
            MAX({_QUALITY_SQL}) AS max_quality
     FROM documents
@@ -331,8 +331,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sized
     )
     SELECT doc_id, lang, n_tokens,
-           cum_before // 2048 AS pack_id,
-           cum_before % 2048 AS pack_offset
+           CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+           CAST(cum_before % 2048 AS BIGINT) AS pack_offset
     FROM c
     """,
 )

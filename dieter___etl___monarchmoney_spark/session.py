@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # nanosecond INT64 parquet timestamps (if a producer ever writes
+        # them) surface as raw longs instead of failing the scan; the
+        # loader branches on the read dtype (sources/parquet.py). Set
+        # here, once, instead of as a read side-effect.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

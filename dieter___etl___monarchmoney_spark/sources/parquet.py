@@ -41,26 +41,47 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one star-schema table as a DataFrame.
 
-    ``events.ts`` is a nanosecond parquet timestamp, which Spark's reader
-    rejects (PARQUET_TYPE_ILLEGAL); we read it as a raw long and expose
-    both ``ts`` (microsecond timestamp, lossy by <1µs) and ``ts_ns`` (the
-    exact long) — ordering/joins that must match a ns-precision oracle
-    use ``ts_ns``.
+    ``events`` gets a normalized event-time contract regardless of how the
+    producer stored ``ts``:
+
+    - ``ts``: session-zone TIMESTAMP (testdata stores ``timestamp[us]``,
+      which Spark 4 reads as TIMESTAMP_NTZ; under the UTC session the
+      cast to TIMESTAMP is wall-clock-identical to DuckDB's naive read);
+    - ``ts_ns``: exact nanosecond BIGINT for oracle-precision ordering.
+      From a µs source this is ``unix_micros * 1000``; a producer that
+      writes INT64-nanos parquet surfaces as a raw LONG (session conf
+      ``nanosAsLong``, set once in the session factory) and keeps full
+      ns precision.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
+        df = _normalize_event_time(df)
+    return df
 
-        df = spark.read.parquet(path)
-        # integer `div`, NOT floor(x/1000): double division of ~1e18 ns
-        # values rounds at the 0.25µs ulp and can cross the floor boundary
+
+def _normalize_event_time(df: DataFrame) -> DataFrame:
+    """Branch on the *actual* read dtype of ``ts`` (never assume the
+    producer's physical type) and emit the (``ts`` TIMESTAMP, ``ts_ns``
+    BIGINT) contract documented on :func:`load_table`."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, T.LongType):
+        # raw nanoseconds (legacy nanosAsLong read). Integer `div`, NOT
+        # floor(x/1000): double division of ~1e18 ns values rounds at the
+        # 0.25µs ulp and can cross the floor boundary.
         return df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
-    return spark.read.parquet(path)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+        )
+    raise TypeError(f"events.ts has unsupported dtype {dtype}")
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

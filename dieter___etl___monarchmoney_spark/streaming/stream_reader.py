@@ -12,11 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events schema as stored (ts is a nanosecond INT64 — see sources/parquet.py)
+#: events schema as stored — ``ts`` is ``timestamp[us]`` without UTC
+#: adjustment, which Spark 4 reads as TIMESTAMP_NTZ (see sources/parquet.py)
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -28,17 +29,18 @@ EVENTS_RAW_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (availableNow-style
     batch-complete source). At scale this is the same code over a
-    growing directory — new files become micro-batches."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    growing directory — new files become micro-batches. Event time is
+    normalized to the same (``ts`` TIMESTAMP, ``ts_ns`` BIGINT) contract
+    as the batch loader, branching on the declared dtype."""
+    from ..sources.parquet import _normalize_event_time
+
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)  # file source wants a directory; glob picks the table
     )
-    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-    )
+    return _normalize_event_time(raw)
 
 
 def daily_rollup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
