@@ -94,8 +94,20 @@ class FinanceWarehouse:
         return self.table("accounts")
 
     def get_account_type_options(self) -> DataFrame:
-        """monarchmoney.py:214-246 — the distinct type/subtype matrix."""
-        return self.table("accounts").select("type", "subtype").distinct()
+        """monarchmoney.py:214-246 — one row per account type with its
+        possible subtypes (``accountTypeOptions[].type.possibleSubtypes``;
+        golden fixture tests/get_account_type_options.json, 10 entries
+        with ``loan`` duplicated server-side — a distinct matrix yields
+        the 9 unique types). Ordered by type name for determinism; the
+        server's display ordering is presentation, not data."""
+        return (
+            self.table("accounts")
+            .select("type", "subtype")
+            .distinct()
+            .groupBy("type")
+            .agg(F.sort_array(F.collect_set("subtype")).alias("possibleSubtypes"))
+            .orderBy("type")
+        )
 
     def get_recent_account_balances(self, start_date: str) -> DataFrame:
         """monarchmoney.py:248-274."""
@@ -131,11 +143,46 @@ class FinanceWarehouse:
         return hist.join(F.broadcast(acc), "account_id", "left")
 
     def get_account_holdings(self, account_id) -> DataFrame:
-        """monarchmoney.py:725-793 — holdings connection for an account;
-        warehouse stores holdings flat (the connector unwraps edges)."""
-        return self.table("balances").filter(
+        """monarchmoney.py:725-793 — holdings connection for an account
+        (golden shape tests/get_account_holdings.json:1-45). The
+        warehouse's position history lives in ``balances``; this packs
+        the account's latest snapshot per position type into the
+        reference's ``edges[].node`` envelope and unwraps it through the
+        production F14 path (functions/nested.py:unwrap_connection),
+        with the W4 one-day change lag from the prior snapshot (NULL on
+        a first observation, matching the fixture's null
+        securityPriceChange*)."""
+        from pyspark.sql import Window
+
+        from dieter___etl___monarchmoney_spark.functions.nested import (
+            unwrap_connection,
+        )
+
+        hist = self.table("balances").filter(
             F.col("account_id") == F.lit(account_id)
         )
+        w = Window.partitionBy("account_id", "accountType").orderBy("date")
+        latest = Window.partitionBy("account_id", "accountType").orderBy(
+            F.col("date").desc()
+        )
+        snap = (
+            hist.withColumn(
+                "one_day_change", F.col("balance") - F.lag("balance").over(w)
+            )
+            .withColumn("rn", F.row_number().over(latest))
+            .filter(F.col("rn") == 1)
+        )
+        node = F.struct(
+            F.col("account_id"),
+            F.col("accountType").alias("type_display"),
+            F.col("balance").alias("total_value"),
+            F.col("one_day_change"),
+            F.col("date").alias("last_synced_at"),
+        )
+        conn = snap.groupBy("account_id").agg(
+            F.collect_list(F.struct(node.alias("node"))).alias("edges")
+        )
+        return unwrap_connection(conn.select("edges"))
 
     def get_institutions(self) -> DataFrame:
         """monarchmoney.py:1024-1107."""

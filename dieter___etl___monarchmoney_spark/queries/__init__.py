@@ -15,6 +15,7 @@ last.
 
 from dieter___etl___monarchmoney_spark import registry as _registry
 from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
+    holdings,
     relational,
     scale_ops,
     streaming_queries,
@@ -48,6 +49,7 @@ _MODULE_RANK = {
     f"{__name__}.{m}": i
     for i, m in enumerate(
         (
+            "holdings",
             "relational",
             "scale_ops",
             "streaming_queries",

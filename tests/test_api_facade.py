@@ -66,7 +66,11 @@ def wh(spark, tmp_path_factory):
 
 def test_reads(wh):
     assert wh.get_accounts().count() == 2
-    assert wh.get_account_type_options().count() == 2
+    # both fixture accounts are depository -> one type row, two subtypes
+    opts = wh.get_account_type_options().collect()
+    assert len(opts) == 1
+    assert opts[0]["type"] == "depository"
+    assert opts[0]["possibleSubtypes"] == ["checking", "savings"]
     assert wh.get_transaction_categories().count() == 2
     assert wh.get_institutions().count() == 2
     assert wh.get_aggregate_snapshots().count() == 2  # two distinct dates
@@ -155,3 +159,71 @@ def test_mutations_roundtrip(wh):
     assert wh.delete_transaction_categories(["cat-Utilities"]) == [True]
     # refresh plumbing is a truthful no-op
     assert wh.request_accounts_refresh_and_wait(["a1"]) is True
+
+def test_account_holdings_connection(wh):
+    """S5 — holdings connection round trip over the warehouse
+    (monarchmoney.py:725-793; golden shape
+    tests/get_account_holdings.json:1-45): latest snapshot per position
+    type, W4 one-day change from the prior snapshot."""
+    rows = wh.get_account_holdings("a1").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["account_id"] == "a1"
+    assert r["type_display"] == "depository"
+    assert r["total_value"] == pytest.approx(950.0)
+    assert r["one_day_change"] == pytest.approx(50.0)  # 950 - 900
+    # first-observation accounts have a NULL change, like the reference
+    # fixture's null securityPriceChange*
+    r2 = wh.get_account_holdings("a2").collect()[0]
+    assert r2["one_day_change"] is None
+
+
+#: the reference's golden type/subtype matrix
+#: (tests/get_account_type_options.json, asserted positionally in
+#: test_monarchmoney.py:122-158: 10 entries, 'loan' duplicated
+#: server-side -> 9 unique types). Data fixture, not code.
+_GOLDEN_TYPE_MATRIX = {
+    "depository": ["cash_management", "cd", "checking", "money_market",
+                   "paypal", "prepaid", "savings"],
+    "brokerage": None,  # 47 subtypes; spot-check membership below
+    "real_estate": ["primary_home", "rental_property", "secondary_home"],
+    "vehicle": ["bicycle", "boat", "car", "motorcycle", "other", "snowmobile"],
+    "valuables": ["art", "collectibles", "furniture", "jewelry", "other"],
+    "credit": ["credit_card"],
+    "loan": ["auto", "business", "commercial", "construction", "consumer",
+             "home", "home_equity", "line_of_credit", "loan", "mortgage",
+             "overdraft", "student"],
+    "other_asset": ["other"],
+    "other_liability": ["other"],
+}
+
+
+def test_account_type_options_golden(spark, tmp_path):
+    """Golden-fixture parity for get_account_type_options
+    (monarchmoney.py:214-246): feed an accounts table enumerating the
+    reference fixture's full type/subtype matrix and assert the
+    per-type possibleSubtypes come back exactly."""
+    from dieter___etl___monarchmoney_spark.api import FinanceWarehouse
+
+    w = FinanceWarehouse(spark, str(tmp_path / "golden_wh"))
+    combos = []
+    brokerage_sample = ["brokerage", "ira", "roth", "st_401k", "cryptocurrency",
+                       "hsa_like_misnamed"]  # subset incl. a non-fixture extra
+    for typ, subs in _GOLDEN_TYPE_MATRIX.items():
+        for sub in (subs or brokerage_sample):
+            combos.append((f"id-{typ}-{sub}", f"{typ}/{sub}", typ, sub, 0.0, "Inst"))
+    w.save("accounts", spark.createDataFrame(
+        combos,
+        ["id", "displayName", "type", "subtype", "currentBalance", "institutionName"],
+    ))
+    got = {r["type"]: r["possibleSubtypes"] for r in w.get_account_type_options().collect()}
+    assert len(got) == 9  # 10 fixture entries, 'loan' duplicated
+    assert sorted(got) == sorted(_GOLDEN_TYPE_MATRIX)
+    for typ, subs in _GOLDEN_TYPE_MATRIX.items():
+        if subs is not None:
+            assert got[typ] == subs, typ
+    assert got["brokerage"] == sorted(brokerage_sample)
+    # positional parity with the reference's asserts: first three type
+    # names by the fixture's ordering are present
+    for name in ("depository", "brokerage", "real_estate"):
+        assert name in got
