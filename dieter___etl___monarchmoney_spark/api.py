@@ -77,15 +77,16 @@ class FinanceWarehouse:
         return read_sink(self.spark, self._path(name))
 
     def save(self, name: str, df: DataFrame) -> None:
-        """Overwrite safely even when ``df`` reads from the same path."""
-        staging = self._path(name) + "._staging"
-        df.write.mode("overwrite").parquet(staging)
-        import shutil
+        """Overwrite safely even when ``df`` reads from the same path —
+        staged write + Hadoop-FileSystem swap (object-store-portable).
+        CRUD mutations rewrite the whole entity table because parquet
+        has no row-level ops; the *windowed* load path never does this —
+        etl.py's transactions_stage overwrites only the reload window's
+        partitions (streaming/incremental.py:overwrite_window_partitions).
+        """
+        from dieter___etl___monarchmoney_spark.sources.sinks import staged_overwrite
 
-        target = self._path(name)
-        if os.path.exists(target):
-            shutil.rmtree(target)
-        os.rename(staging, target)
+        staged_overwrite(df, self._path(name))
 
     # -- account reads (monarchmoney.py:130-354, 725-1022) -----------------
 
@@ -500,13 +501,9 @@ class FinanceWarehouse:
             ).drop("_k")
         except Exception:
             merged = row
-        staging = path + "._staging"
-        merged.write.mode("overwrite").parquet(staging)
-        import shutil
+        from dieter___etl___monarchmoney_spark.sources.sinks import staged_overwrite
 
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(staging, path)
+        staged_overwrite(merged, path)
 
     def upload_account_balance_history(self, account_id, balances: DataFrame) -> None:
         """monarchmoney.py:2642-2665 — CSV upload becomes a balance-table

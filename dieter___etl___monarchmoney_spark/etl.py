@@ -33,8 +33,9 @@ from dieter___etl___monarchmoney_spark.sources.sinks import (
 from dieter___etl___monarchmoney_spark.sources.star_model import transactions_with_account
 from dieter___etl___monarchmoney_spark.streaming.incremental import (
     derive_window,
+    month_floor,
+    overwrite_window_partitions,
     read_watermark,
-    replace_window_merge,
     write_watermark,
 )
 
@@ -83,9 +84,14 @@ def transactions_stage(
     sink = os.path.join(out_dir, "transactions")
     wm = read_watermark(spark, control)
     start, end = derive_window(wm, now, backfill_days=backfill_days)
+    # the sink is month-partitioned, so the reload window widens to the
+    # watermark's month: the boundary partition is re-extracted whole
+    # and the merge becomes a partition overwrite — pre-window
+    # partitions are never read, listed, or rewritten (T2 at scale).
+    part_start = month_floor(start)
 
     fresh = transactions_with_account(spark, sf_dir).filter(
-        (F.col("txn_date") >= F.lit(start.isoformat()))
+        (F.col("txn_date") >= F.lit(part_start.isoformat()))
         & (F.col("txn_date") <= F.lit(end.date().isoformat()))
     )
     # J1 enrichment + F16 load stamp
@@ -95,21 +101,12 @@ def transactions_stage(
     )
     fresh = snapshot_with_metadata(fresh, end.strftime("%Y-%m-%d %H:%M:%S"))
 
-    try:
-        existing = read_sink(spark, sink)
-        merged = replace_window_merge(existing, fresh, "txn_date", start)
-    except Exception:
-        merged = fresh
-    staging = sink + "._staging"
-    merged.write.mode("overwrite").parquet(staging)
-    import shutil
-
-    if os.path.exists(sink):
-        shutil.rmtree(sink)
-    os.rename(staging, sink)
+    partitions = overwrite_window_partitions(fresh, sink, "txn_date", part_start)
     write_watermark(spark, control, end)
     return {
         "window_start": start.isoformat(),
+        "partition_start": part_start.isoformat(),
+        "partitions": partitions,
         "rows": read_sink(spark, sink).count(),
     }
 

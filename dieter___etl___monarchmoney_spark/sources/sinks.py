@@ -28,6 +28,56 @@ def write_table(
     w.save(path)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """The Hadoop FileSystem for ``path`` — the storage API that exists
+    on HDFS and object stores alike, unlike local ``shutil``/``os``."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def staged_overwrite(df: DataFrame, path: str) -> None:
+    """K1 for self-referencing rewrites: a path can't be overwritten
+    while a plan still reads it, so stage to a sibling directory and
+    swap via the Hadoop FileSystem API (portable to HDFS/object stores;
+    a lakehouse deployment would use Delta ``replaceWhere``/MERGE and
+    skip the swap entirely)."""
+    staging = path.rstrip("/") + "._staging"
+    df.write.mode("overwrite").parquet(staging)
+    spark = df.sparkSession
+    fs, target, jvm = _hadoop_fs(spark, path)
+    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+    if fs.exists(target):
+        fs.delete(target, True)
+    fs.rename(staging_path, target)
+
+
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursive delete through the Hadoop FileSystem API (K6 plumbing)."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        return bool(fs.delete(jpath, True))
+    return False
+
+
+def list_partition_values(
+    spark: SparkSession, path: str, partition_col: str
+) -> list[str]:
+    """Partition values present in a ``partition_col=value``-laid-out
+    table, read from the directory listing (no data scan)."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    prefix = partition_col + "="
+    vals = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            vals.append(name[len(prefix):])
+    return sorted(vals)
+
+
 def write_json(df: DataFrame, path: str) -> None:
     """K3 — JSON debug/demo dump (_save_debug MonarchMoneyMain-v3.py:
     231-241; monarchmoney/main.py:21-70)."""

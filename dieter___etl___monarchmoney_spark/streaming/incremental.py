@@ -17,8 +17,6 @@ rewrite. Both forms are provided.
 from __future__ import annotations
 
 import datetime as dt
-import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,19 +79,80 @@ def replace_window_merge(
     return kept.unionByName(fresh, allowMissingColumns=True)
 
 
+#: sink partition granularity: month keeps directory counts sane for a
+#: multi-year daily-grain fact (a 100 TB deployment with heavier daily
+#: volume would partition daily — same code, ``yyyy-MM-dd`` format).
+PARTITION_COL = "txn_month"
+_PARTITION_FMT = "yyyy-MM"
+
+
+def month_floor(d: dt.date) -> dt.date:
+    """Reload windows must align to the sink's partition grain: widening
+    the window start to its month keeps the boundary partition complete
+    after a partition overwrite (rows before the watermark day but
+    inside its month are re-extracted, not dropped)."""
+    return d.replace(day=1)
+
+
 def overwrite_window_partitions(
     fresh: DataFrame, sink_path: str, date_col: str, window_start: dt.date
-) -> None:
+) -> dict:
     """T2 at scale — dynamic partition overwrite of only the reload
-    window's date partitions. The sink is written partitioned by the
-    date column; at 100 TB this touches just the window, not the table."""
-    (
-        fresh.filter(F.col(date_col) >= F.lit(window_start.isoformat()))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(date_col)
-        .parquet(sink_path)
+    window's partitions; the table is never fully rewritten and the
+    pre-window partitions are never even listed by the write.
+
+    ``window_start`` must be partition-aligned (see :func:`month_floor`);
+    ``fresh`` is filtered to the window, stamped with the derived
+    partition column, and written with ``partitionOverwriteMode=dynamic``
+    so only partitions that receive fresh rows are replaced. Window
+    partitions that exist in the sink but got NO fresh rows are then
+    cleared through the Hadoop FileSystem API (replace semantics: the
+    reference drops everything at/after the window start), which works
+    on object stores — no local-FS staging, no rmtree.
+
+    Returns a manifest: ``replaced`` (partitions overwritten),
+    ``cleared`` (stale window partitions deleted), ``kept`` (pre-window
+    partitions untouched) — the observable proof that a reload touched
+    only its window.
+    """
+    from dieter___etl___monarchmoney_spark.sources.sinks import (
+        delete_path,
+        list_partition_values,
     )
+
+    spark = fresh.sparkSession
+    part_start = window_start.strftime("%Y-%m")
+    before = list_partition_values(spark, sink_path, PARTITION_COL)
+    windowed = fresh.filter(
+        F.col(date_col) >= F.lit(window_start.isoformat())
+    ).withColumn(PARTITION_COL, F.date_format(F.col(date_col), _PARTITION_FMT))
+    # the window extract is read twice (write + replaced-partition
+    # manifest), so persist it: at scale a reload window is a sliver of
+    # the table (a day/month of data), cheap to hold across the two uses.
+    windowed.persist()
+    try:
+        (
+            windowed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PARTITION_COL)
+            .parquet(sink_path)
+        )
+        # partitions that actually received fresh rows — asked of the
+        # extract itself (post-write directory listings would conflate
+        # replaced with stale-but-still-present partitions).
+        replaced = sorted(
+            r[0] for r in windowed.select(PARTITION_COL).distinct().collect()
+        )
+    finally:
+        windowed.unpersist()
+    stale = [p for p in before if p >= part_start and p not in replaced]
+    for p in stale:
+        delete_path(spark, f"{sink_path}/{PARTITION_COL}={p}")
+    return {
+        "replaced": replaced,
+        "cleared": stale,
+        "kept": [p for p in before if p < part_start],
+    }
 
 
 def run_incremental_load(
@@ -129,22 +188,28 @@ def run_incremental_load(
         merged = replace_window_merge(existing, fresh, date_col, start)
     else:
         merged = fresh
-    # can't overwrite a path we're still reading: stage then swap (a
-    # lakehouse deployment would use Delta replaceWhere / MERGE instead).
-    # Write FIRST, count from the staged parquet after: counting the
-    # unmaterialized plan would scan the source once per count and then
-    # again for the write — at scale that triples the extract cost;
-    # parquet counts come from row-group metadata, not a data scan.
+    # can't overwrite a path we're still reading: stage then swap via the
+    # Hadoop FileSystem API — works on object stores, unlike shutil (a
+    # lakehouse deployment would use Delta replaceWhere / MERGE instead;
+    # the date-partitioned form of this lifecycle is etl.py's
+    # transactions_stage over overwrite_window_partitions, which touches
+    # only the window's partitions). Write FIRST, count from the staged
+    # parquet after: counting the unmaterialized plan would scan the
+    # source once per count and then again for the write — at scale that
+    # triples the extract cost; parquet counts come from row-group
+    # metadata, not a data scan.
+    from dieter___etl___monarchmoney_spark.sources.sinks import _hadoop_fs
+
     staging = sink_path.rstrip("/") + "._staging"
     merged.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
     n = staged.count()
     fresh_n = staged.filter(F.col(date_col) >= F.lit(start.isoformat())).count()
-    import shutil
-
-    if os.path.exists(sink_path):
-        shutil.rmtree(sink_path)
-    os.rename(staging, sink_path)
+    fs, target, jvm = _hadoop_fs(spark, sink_path)
+    staging_jpath = jvm.org.apache.hadoop.fs.Path(staging)
+    if fs.exists(target):
+        fs.delete(target, True)
+    fs.rename(staging_jpath, target)
     if fresh_n > 0 or advance_on_empty:
         write_watermark(spark, control_path, end)
     return {
