@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 from dieter___etl___monarchmoney_spark.functions.money import clean_currency, money_sum
 from dieter___etl___monarchmoney_spark.operators.aggregates import cashflow_by_key
 from dieter___etl___monarchmoney_spark.operators.transactions import (
-    paginate_row_number,
     transactions_query,
 )
 from dieter___etl___monarchmoney_spark.operators.windows import (
@@ -293,10 +292,20 @@ def q_one_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_row_number_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5 — explicit row_number pagination (results(offset,limit,orderBy)
-    monarchmoney.py:1444-1452)."""
+    """W5 — rank-semantics pagination (results(offset,limit,orderBy)
+    monarchmoney.py:1444-1452), registered in its scale-safe form:
+    offset/limit over the ordered fact, which Spark plans as
+    TakeOrderedAndProject — each partition keeps its top offset+limit
+    candidates and only those merge on the driver; no single-partition
+    global sort (the oracle's ROW_NUMBER formulation returns the
+    identical page). The explicit row_number variant survives as
+    operators/transactions.py:paginate_row_number, documented as a
+    page-sized-input utility; tests/test_plans.py pins this plan to
+    TakeOrderedAndProject with no Exchange SinglePartition."""
     txns = transactions(spark, sf_dir).select("txn_id", "txn_date", "amount")
-    return paginate_row_number(txns, ("txn_date", "txn_id"), 500, 100)
+    return transactions_query(
+        txns, order_by=("txn_date", "txn_id"), offset=500, limit=100
+    )
 
 
 # --------------------------------------------------------------------------
@@ -580,7 +589,10 @@ def q_cashflow_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN GROUPING(grp) = 0 THEN 'by_category_group'
                 WHEN GROUPING(merch) = 0 THEN 'by_merchant'
                 ELSE 'summary' END AS section,
-           COALESCE(cat, grp, merch, '(all)') AS key,
+           CASE WHEN GROUPING(cat) = 0 THEN cat
+                WHEN GROUPING(grp) = 0 THEN grp
+                WHEN GROUPING(merch) = 0 THEN merch
+                ELSE '(all)' END AS key,
            {_msum('amount')} AS sum_amount,
            COALESCE({_msum('CASE WHEN amount > 0 THEN amount END')}, 0.0) AS sum_income,
            COALESCE({_msum('CASE WHEN amount < 0 THEN amount END')}, 0.0) AS sum_expense,
@@ -634,7 +646,15 @@ def q_cashflow_report_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("g_merch") == 0, "by_merchant")
         .otherwise("summary")
         .alias("section"),
-        F.coalesce("cat", "grp", "merch", F.lit("(all)")).alias("key"),
+        # key routed off the grouping bits, not COALESCE across the dim
+        # columns: a NULL value in the section's own key column must stay
+        # NULL (labelled by its section), not fall through to another
+        # dimension's value or '(all)'
+        F.when(F.col("g_cat") == 0, F.col("cat"))
+        .when(F.col("g_grp") == 0, F.col("grp"))
+        .when(F.col("g_merch") == 0, F.col("merch"))
+        .otherwise(F.lit("(all)"))
+        .alias("key"),
         "sum_amount",
         "sum_income",
         "sum_expense",

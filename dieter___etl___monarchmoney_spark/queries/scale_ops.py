@@ -43,10 +43,13 @@ _MSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
         FROM docs
     ),
     counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    shfreq AS (SELECT shingle, COUNT(*) AS doc_freq FROM sh GROUP BY shingle),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b USING (shingle)
-        WHERE a.doc_id < b.doc_id
+        FROM sh a
+        JOIN sh b USING (shingle)
+        JOIN shfreq USING (shingle)
+        WHERE a.doc_id < b.doc_id AND shfreq.doc_freq <= 64
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -59,9 +62,16 @@ _MSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via inverted-index self-join —
-    oracle-checked ground truth for the MinHash-LSH candidates."""
+    oracle-checked ground truth for the MinHash-LSH candidates. The
+    registered form exercises ``doc_freq_cap``: posting lists longer
+    than 64 docs are stop-shingles — no near-dup signal, quadratic pair
+    cost — and the oracle applies the identical doc-frequency prune, so
+    the quadratic guard the 100 TB path depends on is itself
+    parity-checked."""
     docs = load_table(spark, "documents", sf_dir)
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, doc_freq_cap=64
+    )
 
 
 @query(

@@ -199,3 +199,36 @@ def test_rolling_hash_deterministic(spark):
     assert got[0] == got[1] != got[2]
     # classic polynomial value: ((0*31+97)*31+98)*31+99
     assert got[0] == ((97 * 31 + 98) * 31 + 99) % 1_000_000_007
+
+
+def test_exact_dedup_removed_nonempty_difference(spark):
+    """The registered exact_dedup_removed query is vacuous at the oracle
+    SF (sf0.01 has zero exact dups) — verify the exceptAll complement on
+    synthetic duplicates: multiplicity semantics, MIN-doc_id survivor
+    selection, and whitespace/case normalization equivalence."""
+    from dieter___etl___monarchmoney_spark.operators.dedup import exact_dedup_groups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "  Hello   WORLD  "),   # normalizes to doc 1's fingerprint
+            (3, "hello world"),          # third copy of the same group
+            (4, "something else"),
+            (5, "Something\t ELSE"),     # normalizes to doc 4's fingerprint
+            (6, "unique document"),
+        ],
+        ["doc_id", "text"],
+    )
+    survivors = exact_dedup_groups(docs, "text", "doc_id").select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    # survivors: min id per normalized group -> {1, 4, 6}
+    assert {r["doc_id"] for r in survivors.collect()} == {1, 4, 6}
+    removed = docs.select("doc_id").exceptAll(survivors)
+    assert sorted(r["doc_id"] for r in removed.collect()) == [2, 3, 5]
+
+    # exceptAll multiplicity: a doc_id appearing twice on the left with
+    # one survivor occurrence keeps exactly one copy
+    left = spark.createDataFrame([(7,), (7,), (8,)], ["doc_id"])
+    right = spark.createDataFrame([(7,), (9,)], ["doc_id"])
+    assert sorted(r["doc_id"] for r in left.exceptAll(right).collect()) == [7, 8]

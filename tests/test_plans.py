@@ -262,14 +262,26 @@ def test_dense_rank_windows_aggregate_not_fact(spark):
     assert "rangepartitioning" not in plan
 
 
+def test_pagination_no_single_partition_sort(spark):
+    """W5 registered evidence runs the scale-safe offset/limit plan:
+    TakeOrderedAndProject (per-partition top-k, driver merge) — never a
+    row_number window funneling the fact through one partition."""
+    plan = _plan(QUERIES["row_number_pagination"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+
+
 def test_cashflow_report_single_scan_grouping_sets(spark):
     """The four-section cashflow report (SURVEY §3.3) runs as ONE
     grouping-sets aggregate: one lineitem scan, an Expand (the
     grouping-set row replication), broadcast dim joins — not four
     scans unioned."""
     plan = _plan(QUERIES["cashflow_report_all"](spark, SF_ORACLE))
-    # one fact + two dim scans — the fact is NOT scanned once per section
-    assert plan.count("InMemoryFileIndex") == 3
+    # the FACT appears in exactly one scan — counting total
+    # InMemoryFileIndex occurrences would conflate a regression (an
+    # extra fact scan) with plan-format/scan-reuse changes in the dims
+    assert plan.count("lineitem.parquet") == 1
     assert "Expand" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Union" not in plan
