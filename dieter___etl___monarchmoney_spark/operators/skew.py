@@ -24,13 +24,17 @@ def salted_money_aggregate(
 
     Phase 1 shuffles on (key, salt) — a hot key spreads across
     ``salt_buckets`` reducers; phase 2 combines the ≤salt_buckets
-    partials per key (tiny shuffle). The salt is derived from a stable
-    row attribute when available — here spark_partition_id + a cheap
-    hash — so re-runs are deterministic per layout; aggregates are
-    order-independent (decimal sums), so layout doesn't affect results.
+    partials per key (tiny shuffle). The salt is CONTENT-derived (hash
+    of the whole row), never layout-derived (monotonically_increasing_id
+    changes with file split planning): re-runs and replans produce the
+    identical salt assignment, so the plan — not just the result — is
+    reproducible. Identical duplicate rows share a salt bucket, which
+    only matters if a hot key is made of bit-identical rows; aggregates
+    stay order-independent (decimal sums) regardless.
     """
     salted = df.withColumn(
-        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "_salt",
+        F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
     )
     partial = salted.groupBy(key, "_salt").agg(
         F.sum(F.col(value_col).cast(MONEY_DECIMAL)).alias("_psum"),

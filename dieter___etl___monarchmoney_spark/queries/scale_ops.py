@@ -225,7 +225,8 @@ def q_skew_salted_cashflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT txn_id, order_id, amount, txn_date
     FROM ({TRANSACTIONS_SQL})
-    WHERE txn_id = (SELECT MIN(txn_id) FROM ({TRANSACTIONS_SQL}))
+    WHERE txn_id = (SELECT MIN(txn_id)
+                    FROM ({TRANSACTIONS_SQL}) WHERE order_id < 100)
     """,
 )
 def q_transaction_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,11 +236,18 @@ def q_transaction_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; the scale-correct lookup decomposes the key and pushes the
     sargable component equalities (order/part/supp keys → row-group
     pruning) while keeping the full composite equality as a residual
-    filter. test_plans.py asserts the pushdown stays."""
+    filter. test_plans.py asserts the pushdown stays.
+
+    The probe key is derived from a PRUNED slice (order_id < 100 —
+    pushed to the scan, a handful of row groups) rather than a
+    min-over-the-fact, so the registered query's cost is the lookup,
+    not the scaffolding that picks a key that exists at every SF."""
     from dieter___etl___monarchmoney_spark.operators.transactions import point_lookup
 
     txns = transactions(spark, sf_dir)
-    key = txns.agg(F.min("txn_id")).collect()[0][0]
+    key = (
+        txns.filter(F.col("order_id") < 100).agg(F.min("txn_id")).collect()[0][0]
+    )
     okey, _ln, pkey, skey = key.split("-")
     sargable = txns.filter(
         (F.col("order_id") == int(okey))
