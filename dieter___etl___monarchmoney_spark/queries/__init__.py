@@ -15,6 +15,7 @@ last.
 
 from dieter___etl___monarchmoney_spark import registry as _registry
 from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
+    corpus_ops,
     holdings,
     relational,
     scale_ops,
@@ -55,6 +56,7 @@ _MODULE_RANK = {
             "streaming_queries",
             "filters",
             "forecast_nested",
+            "corpus_ops",
             "core",
             "budget",
             "analytics_ops",

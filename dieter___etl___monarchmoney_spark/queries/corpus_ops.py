@@ -1,0 +1,353 @@
+"""Training-corpus operators beyond the round-1 surface (SURVEY.md §6
+"LLM-data-pipeline extensions", second wave): batch similarity search,
+cross-document n-gram duplication, semantic (embedding-space) dedup
+clustering, and BM25 keyword retrieval. Every query has a DuckDB oracle
+twin; every plan is the shape that survives 100 TB.
+
+Reference framing: the reference engine has no analog of these (its data
+is personal-finance rows), but a user running an LLM data pipeline on
+this engine needs them as first-class, oracle-checked operators next to
+the round-1 dedup/ANN/curation set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.operators.dedup import (
+    neardup_clusters,
+    shingles_of,
+)
+from dieter___etl___monarchmoney_spark.operators.similarity import (
+    dot,
+    embedding_neardup_pairs,
+)
+from dieter___etl___monarchmoney_spark.functions.text import tokens
+from dieter___etl___monarchmoney_spark.queries.llm_pipeline import (
+    _bucket_sql,
+    _dot_sql,
+    _planes_6x64,
+)
+from dieter___etl___monarchmoney_spark.registry import query
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+
+_TOKS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+
+# --------------------------------------------------------------------------
+# Batch k-NN join (similarity search for a query SET, not a point)
+# --------------------------------------------------------------------------
+
+_KNN_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           {_dot_sql('e.embedding', 'q.qv')}
+           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('q.qv', 'q.qv')})) AS similarity
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, similarity, neighbor_rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY similarity DESC, vec_id
+    ) AS INT) AS neighbor_rank
+    FROM scored
+) WHERE neighbor_rank <= 3
+"""
+
+
+@query("knn_batch_join", _KNN_SQL)
+def q_knn_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN JOIN: top-3 cosine neighbors for EVERY vector in a
+    query batch (vec_id < 8) — the retrieval shape behind dedup-by-
+    example, hard-negative mining, and embedding-space eval, where the
+    single-point ``ann_cosine_topk`` doesn't apply.
+
+    Scale shape: the query batch broadcasts (it is the small side by
+    construction); one pass over the corpus scores batch × corpus rows;
+    then TWO-PHASE top-k — phase 1 partitions the window by (query,
+    salt) so each reducer ranks only corpus/16 candidates and emits ≤3,
+    phase 2 ranks the ≤48 finalists per query. A single-phase window
+    per query would funnel the whole corpus through #queries reducers —
+    the classic top-k skew. The oracle's one-window formulation must
+    return identical rows because phase 1 keeps every candidate that
+    can reach the global top-3 (per-group top-3 is a superset)."""
+    vectors = load_table(spark, "embeddings", sf_dir)
+    queries = vectors.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        vectors.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv")))
+                )
+            ).alias("similarity"),
+        )
+        .withColumn("_salt", F.pmod(F.hash("vec_id"), F.lit(16)))
+    )
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(
+        F.col("similarity").desc(), "vec_id"
+    )
+    partial = scored.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= 3
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("similarity").desc(), "vec_id")
+    return (
+        partial.withColumn("neighbor_rank", F.row_number().over(w2))
+        .filter(F.col("neighbor_rank") <= 3)
+        .select("query_id", "vec_id", "similarity", "neighbor_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-document duplicated n-gram fraction (RefinedWeb/Gopher-style)
+# --------------------------------------------------------------------------
+
+_5GRAM_SQL = (
+    "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+    " || ' ' || toks[i+3] || ' ' || toks[i+4]"
+)
+
+_DUPFRAC_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 0)),
+               i -> {_5GRAM_SQL}))) AS shingle,
+           greatest(len(toks) - 4, 0) AS n_sh_raw
+    FROM docs
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+freq AS (SELECT shingle, COUNT(*) AS doc_freq FROM sh GROUP BY shingle),
+shared AS (
+    SELECT sh.doc_id, COUNT(*) AS n_shared
+    FROM sh JOIN freq USING (shingle)
+    WHERE freq.doc_freq >= 2
+    GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(t.n_sh, 0) AS n_shingles,
+       COALESCE(s.n_shared, 0) AS n_shared,
+       CASE WHEN COALESCE(t.n_sh, 0) = 0 THEN 0.0
+            ELSE CAST(s.n_shared AS DOUBLE) / t.n_sh END AS dup_fraction
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN shared s ON d.doc_id = s.doc_id
+"""
+
+
+@query("duplicated_ngram_fraction", _DUPFRAC_SQL)
+def q_duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CROSS-doc duplication score: the fraction of a doc's
+    distinct 5-gram shingles that appear in at least one OTHER document
+    — the filter signal web-corpus pipelines use to drop boilerplate-
+    heavy pages (the within-doc twin is ``text_repetition_scores``).
+
+    Scale shape: the inverted-index pattern WITHOUT the pair explosion —
+    one shuffle to shingle doc-frequencies, one shuffle back to per-doc
+    shared counts; strictly linear in corpus shingles (compare
+    ``ngram_jaccard_pairs``, which pays Σdf² for pair output this metric
+    never materializes). NULL-fraction docs (shorter than the shingle
+    width) report 0.0 via the left joins."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("toks")
+    )
+    doc_sh = toks.select(
+        "doc_id", F.array_distinct(shingles_of(F.col("toks"), 5)).alias("sh_arr")
+    )
+    sh = doc_sh.select(
+        "doc_id", F.explode_outer("sh_arr").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    shared = (
+        sh.join(freq.filter(F.col("doc_freq") >= 2), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sh", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.when(F.coalesce("n_sh", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("n_shared").cast("double") / F.col("n_sh"))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup: embedding-space near-dup clusters
+# --------------------------------------------------------------------------
+
+
+def _semantic_sql() -> str:
+    planes = _planes_6x64()
+    return f"""
+    WITH RECURSIVE sig AS (
+        SELECT vec_id, embedding,
+               {_bucket_sql('embedding', planes)} AS bucket,
+               sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS v, id_b AS u FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, u) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v
+    )
+    SELECT v AS vec_id, MIN(u) AS cluster_id FROM reach GROUP BY v
+    """
+
+
+@query("semantic_dedup_clusters", _semantic_sql())
+def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup — the embedding-space twin of the MinHash pipeline:
+    LSH-bucketed cosine pairs (≥ 0.4; the bucket join keeps the
+    candidate set Σbucket², never n²) merged into connected components
+    by the SAME min-label-propagation operator the text path uses, every
+    vector assigned its cluster survivor id. The oracle recomputes the
+    identical buckets (planes embedded as literals) and closes the same
+    graph with a recursive CTE — two different algorithms, identical
+    fixpoint. Threshold 0.4 is calibrated to the synthetic embeddings
+    (max pairwise cosine ≈ 0.51): high enough to be selective, low
+    enough that the clustering is exercised on non-empty data at the
+    oracle SF — a production run would raise it to ≈0.9."""
+    vectors = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_neardup_pairs(vectors, threshold=0.4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return neardup_clusters(vectors, pairs, "vec_id").select("vec_id", "cluster_id")
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword retrieval
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "vector", "scan")
+_K1, _B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    tf = {t: f"len(list_filter({_TOKS_SQL}, x -> x = '{t}'))" for t in _BM25_TERMS}
+    per_doc = ", ".join(
+        f"{tf[t]} AS tf_{t}" for t in _BM25_TERMS
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS
+    )
+    score_terms = " + ".join(
+        f"ln(1.0 + (s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5))"
+        f" * (d.tf_{t} * ({_K1} + 1.0))"
+        f" / (d.tf_{t} + {_K1} * (1.0 - {_B} + {_B} * d.dl / s.avgdl))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH scored_docs AS (
+        SELECT doc_id, len({_TOKS_SQL}) AS dl, {per_doc} FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               {dfs}
+        FROM scored_docs
+    )
+    SELECT d.doc_id, {score_terms} AS bm25
+    FROM scored_docs d, stats s
+    WHERE {" + ".join(f"d.tf_{t}" for t in _BM25_TERMS)} > 0
+    ORDER BY bm25 DESC, d.doc_id
+    LIMIT 20
+    """
+
+
+@query("bm25_doc_ranking", _bm25_sql())
+def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi-BM25 top-20 documents for a fixed keyword query — text
+    retrieval as pure column algebra: per-doc term frequencies are
+    higher-order array ops (no explode, no shuffle), corpus statistics
+    (N, avgdl, per-term doc frequencies) are ONE tiny aggregate
+    broadcast back over the scan, and the ranking is
+    TakeOrderedAndProject. Float determinism: the score expression tree
+    is written in the identical textual order on both engines, term
+    contributions sum in fixed (not data) order, and every input to the
+    float math (tf, dl, df, N) is an integer — so Spark and DuckDB
+    produce bit-identical doubles short of libm ulp noise, which the
+    driver's 9-dp rounding absorbs."""
+    docs = load_table(spark, "documents", sf_dir)
+    # tokenize ONCE into a real column: per-term tf filters inside one
+    # select are not common-subexpression-eliminated across lambdas, so
+    # inlining tokens() here would re-run the regex split per term
+    tokd = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("toks")
+    )
+    def _tf(term: str):
+        # a one-arg closure per term: a default-arg lambda would have
+        # arity 2, which pyspark reads as an (element, index) lambda
+        return F.size(F.filter(F.col("toks"), lambda x: x == term))
+
+    per_doc = tokd.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[_tf(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for t in _BM25_TERMS:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        contrib = (
+            idf
+            * (F.col(f"tf_{t}") * F.lit(_K1 + 1.0))
+            / (
+                F.col(f"tf_{t}")
+                + F.lit(_K1)
+                * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = contrib if score is None else score + contrib
+    any_hit = None
+    for t in _BM25_TERMS:
+        hit = F.col(f"tf_{t}")
+        any_hit = hit if any_hit is None else any_hit + hit
+    return (
+        scored.filter(any_hit > 0)
+        .select("doc_id", score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
