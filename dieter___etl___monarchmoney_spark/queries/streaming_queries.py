@@ -120,3 +120,39 @@ def q_streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", F.col("n_name").alias("nation"))
     stream = enriched_rollup_stream(read_events_stream(spark, sf_dir), dim)
     return run_available_now(stream, f"enriched_rollup_{abs(hash(sf_dir)) % 10_000}")
+
+
+@query(
+    "streaming_interval_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS p_ts,
+           v.event_id AS view_id,
+           CAST(v.ts AS TIMESTAMP) AS v_ts
+    FROM events p
+    JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds and watermarked
+    state expiry (streaming/stream_reader.py:interval_join_stream):
+    purchases matched to the same user's views in the preceding 10
+    minutes. Two streams over the same file source (a self-join at the
+    stream level); on a batch-complete source the appended pairs equal
+    the batch interval join, which is the oracle."""
+    from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
+        interval_join_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    stream = interval_join_stream(purchases, views, minutes=10)
+    return run_available_now(
+        stream,
+        f"interval_join_{abs(hash(sf_dir)) % 10_000}",
+        output_mode="append",
+    )

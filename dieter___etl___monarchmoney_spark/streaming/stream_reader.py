@@ -105,6 +105,42 @@ def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+def interval_join_stream(
+    purchases: DataFrame, views: DataFrame, minutes: int = 10, watermark: str = "1 day"
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time range condition: each
+    purchase matched to the same user's views in the preceding
+    ``minutes`` — the streaming twin of the batch banded range join
+    (operators/asof.py discusses the as-of variant).
+
+    Both sides carry watermarks and the join predicate bounds event
+    time on both inputs, so Spark can expire join state: a buffered
+    view is dropped once the purchase-side watermark passes
+    ``v_ts + minutes``; state is O(events inside the watermark horizon)
+    per user, not O(stream). Append output — a matched pair emits
+    exactly once, when the watermark proves no earlier match can still
+    arrive. On a batch-complete (availableNow) source the emitted set
+    equals the batch interval join, which is the registered oracle."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {minutes} MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+    )
+    return p.join(v, cond, "inner").select(
+        "purchase_id", F.col("p_user").alias("user_id"), "p_ts", "view_id", "v_ts"
+    )
+
+
 def enriched_rollup_stream(
     events: DataFrame, dim: DataFrame, watermark: str = "1 day"
 ) -> DataFrame:
