@@ -115,28 +115,23 @@ def q_budget_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AUDIT_SQL = f"""
-WITH b AS ({_BUDGET_SQL}),
-key_counts AS (
-    SELECT COUNT(*) AS n FROM b
-    GROUP BY Month, CategoryGroupName, CategoryName, GroupOrder
-)
+WITH b AS ({_BUDGET_SQL})
 SELECT
-  (SELECT COUNT(*) FROM b) AS n_rows,
-  (SELECT COUNT(*) FROM b WHERE GroupOrder = 0) AS n_category_rows,
-  (SELECT COUNT(*) FROM b WHERE GroupOrder = 998) AS n_group_rows,
-  (SELECT COUNT(*) FROM b WHERE GroupOrder = 999) AS n_total_rows,
-  (SELECT COUNT(*) FROM b
-   WHERE (GroupType = 'income' AND DebitCreditFlag <> 'Credit')
-      OR (GroupType = 'expense' AND DebitCreditFlag <> 'Debit'))
-      AS n_flag_violations,
-  (SELECT COUNT(*) FROM b
-   WHERE RemainingAmount <> PlannedAmount + RolloverAmount - ActualAmount)
-      AS n_remaining_violations,
-  (SELECT COUNT(*) FROM b
-   WHERE GroupOrder = 0 AND CumulativeActualAmount < ActualAmount)
-      AS n_cumulative_regressions,
-  CAST((SELECT COALESCE(SUM(n - 1), 0) FROM key_counts WHERE n > 1) AS BIGINT)
+  COUNT(*) AS n_rows,
+  COUNT(CASE WHEN GroupOrder = 0 THEN 1 END) AS n_category_rows,
+  COUNT(CASE WHEN GroupOrder = 998 THEN 1 END) AS n_group_rows,
+  COUNT(CASE WHEN GroupOrder = 999 THEN 1 END) AS n_total_rows,
+  COUNT(CASE WHEN (GroupType = 'income' AND DebitCreditFlag <> 'Credit')
+               OR (GroupType = 'expense' AND DebitCreditFlag <> 'Debit')
+             THEN 1 END) AS n_flag_violations,
+  COUNT(CASE WHEN RemainingAmount
+                  <> PlannedAmount + RolloverAmount - ActualAmount
+             THEN 1 END) AS n_remaining_violations,
+  COUNT(CASE WHEN GroupOrder = 0 AND CumulativeActualAmount < ActualAmount
+             THEN 1 END) AS n_cumulative_regressions,
+  COUNT(*) - COUNT(DISTINCT (Month, CategoryGroupName, CategoryName, GroupOrder))
       AS n_duplicate_keys
+FROM b
 """
 
 
@@ -151,9 +146,12 @@ def q_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every check is a conditional count over the budget sheet: violations
     are REPORTED, not asserted, so the same query serves as a
     post-load gate (fail the pipeline if any *_violations > 0) or a
-    monitoring metric. One pass over the (already small) budget output
-    plus a key-duplication group-by; at scale this shape runs as cheap
-    partial aggregation over whatever table it audits.
+    monitoring metric. ONE aggregate over ONE pass of the audited
+    table — the duplicate-key check rides along as
+    ``COUNT(*) − COUNT(DISTINCT key)`` (identical to summing n−1 over
+    duplicated groups) instead of a second group-by branch, which would
+    re-execute the whole upstream pipeline: DataFrame branches are not
+    common-subexpression-eliminated across actions.
     """
     b = q_budget_pipeline_full(spark, sf_dir)
     flags = b.agg(
@@ -182,11 +180,11 @@ def q_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             )
         ).alias("n_cumulative_regressions"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(
+                F.struct("Month", "CategoryGroupName", "CategoryName", "GroupOrder")
+            )
+        ).alias("n_duplicate_keys"),
     )
-    dups = (
-        b.groupBy("Month", "CategoryGroupName", "CategoryName", "GroupOrder")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("n_duplicate_keys"))
-    )
-    return flags.crossJoin(dups)
+    return flags

@@ -31,6 +31,8 @@ from dieter___etl___monarchmoney_spark.session import get_spark
 #: the operators whose scale story SCALE.md stakes out
 QUERIES = (
     "ngram_jaccard_pairs",
+    "duplicated_ngram_fraction",
+    "bm25_doc_ranking",
     "minhash_lsh_candidates",
     "simhash_buckets",
     "corpus_curation",
