@@ -1,0 +1,114 @@
+"""Custom Python Data Source: paged JSON connection scans (SURVEY.md
+§2.1 S1/S3, §7.4 "Optional custom DataSource").
+
+The reference's extraction core is a SERIAL pagination loop — fetch a
+page of ``limit`` records at ``offset``, append, repeat until short page
+(``results(offset, limit, orderBy)`` monarchmoney.py:1444-1452 driven by
+the while-loop in MonarchMoneyMain-v3.py:1276-1302). The Spark-first
+re-expression: each page is an ``InputPartition``, so the pages a
+single-threaded client fetched one after another become parallel tasks —
+the planner sees one scan, the cluster fetches every page at once, and
+downstream operators consume a normal DataFrame.
+
+The payload here is a JSON-lines file standing in for the remote API
+(the container has no network; the page slicing, partition planning, and
+schema contract are the real thing). A live deployment swaps
+``_fetch_page`` for the HTTP call — with the T6 retry wrapper
+(json_ingest.with_retries) around it — and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+DEFAULT_PAGE_SIZE = 500  # TXN_PAGE_LIMIT, MonarchMoneyMain-v3.py:42
+
+
+class PageRange(InputPartition):
+    """One page of the connection: [offset, offset + limit)."""
+
+    def __init__(self, offset: int, limit: int):
+        self.offset = offset
+        self.limit = limit
+
+
+class PagedJsonDataSource(DataSource):
+    """``spark.read.format("paged_json")`` — options:
+
+    - ``path``: JSON-lines file, one record per line (the "server");
+    - ``pageSize``: records per page / partition (default 500);
+    - user-supplied ``.schema(...)`` is required — the reference's
+      typed-column contract (O7) applies at the connector edge, not
+      after a permissive infer.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_json"
+
+    def schema(self):
+        raise ValueError(
+            "paged_json requires an explicit .schema(...) — the column "
+            "contract is part of the connector surface (SURVEY §2.6 O7)"
+        )
+
+    def reader(self, schema: StructType) -> "PagedJsonReader":
+        return PagedJsonReader(schema, self.options)
+
+
+class PagedJsonReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("paged_json requires option 'path'")
+        self.page_size = int(options.get("pagesize", DEFAULT_PAGE_SIZE))
+
+    def _count_records(self) -> int:
+        # planning-time metadata probe (the reference's totalCount field,
+        # monarchmoney.py:1436) — counts lines, reads no record bodies
+        n = 0
+        with open(self.path, "rb") as f:
+            for line in f:
+                if line.strip():
+                    n += 1
+        return n
+
+    def partitions(self):
+        total = self._count_records()
+        if total == 0:
+            return [PageRange(0, self.page_size)]
+        return [
+            PageRange(off, self.page_size)
+            for off in range(0, total, self.page_size)
+        ]
+
+    def read(self, partition: PageRange):
+        """Executor-side page fetch: each task materializes ONLY its
+        page — the distributed twin of the reference's per-request
+        ``results[offset : offset+limit]``."""
+        fields = [f.name for f in self.schema_.fields]
+        lo, hi = partition.offset, partition.offset + partition.limit
+        with open(self.path, "rb") as f:
+            i = 0
+            for line in f:
+                if not line.strip():
+                    continue
+                if i >= hi:
+                    break
+                if i >= lo:
+                    rec = json.loads(line)
+                    yield tuple(rec.get(name) for name in fields)
+                i += 1
+
+
+def register(spark) -> None:
+    """Idempotent registration of the format with a session."""
+    try:
+        spark.dataSource.register(PagedJsonDataSource)
+    except Exception as exc:  # already registered in this session
+        if "already" not in str(exc).lower():
+            raise

@@ -1,0 +1,99 @@
+"""Custom paged-JSON Data Source (sources/paged_source.py): page =
+partition planning, full-scan correctness, schema contract, and the
+connector-edge composition with the envelope unwrap."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.sources.paged_source import (
+    PagedJsonDataSource,
+    register,
+)
+
+
+@pytest.fixture(scope="module")
+def payload(tmp_path_factory):
+    path = tmp_path_factory.mktemp("paged") / "txns.jsonl"
+    with open(path, "w") as f:
+        for i in range(1234):
+            f.write(
+                json.dumps(
+                    {"id": f"t{i:04d}", "amount": float(i) / 4, "category": f"c{i % 7}"}
+                )
+                + "\n"
+            )
+    return str(path)
+
+
+SCHEMA = "id string, amount double, category string"
+
+
+def test_pages_become_partitions(spark, payload):
+    register(spark)
+    df = (
+        spark.read.format("paged_json")
+        .schema(SCHEMA)
+        .option("path", payload)
+        .option("pageSize", 500)
+        .load()
+    )
+    # 1234 records at 500/page -> 3 page partitions, fetched in parallel
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 1234
+    # no dupes, no drops at page boundaries
+    assert df.select("id").distinct().count() == 1234
+    row = df.filter(F.col("id") == "t0500").collect()[0]
+    assert row["amount"] == 125.0
+
+
+def test_small_final_page_and_aggregate(spark, payload):
+    register(spark)
+    df = (
+        spark.read.format("paged_json")
+        .schema(SCHEMA)
+        .option("path", payload)
+        .option("pageSize", 1000)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # 1000 + 234
+    by_cat = {
+        r["category"]: r["n"]
+        for r in df.groupBy("category").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(by_cat.values()) == 1234 and len(by_cat) == 7
+
+
+def test_schema_contract_required(spark, payload):
+    register(spark)
+    with pytest.raises(Exception, match="schema"):
+        spark.read.format("paged_json").option("path", payload).load().count()
+
+
+def test_missing_keys_tolerated(spark, tmp_path):
+    """U2 — a record missing a declared column yields NULL, the typed
+    analog of the reference's dynamic key-union."""
+    path = str(tmp_path / "sparse.jsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps({"id": "a", "amount": 1.0}) + "\n")
+        f.write(json.dumps({"id": "b", "category": "x"}) + "\n")
+    register(spark)
+    rows = (
+        spark.read.format("paged_json")
+        .schema(SCHEMA)
+        .option("path", path)
+        .load()
+        .orderBy("id")
+        .collect()
+    )
+    assert rows[0]["category"] is None
+    assert rows[1]["amount"] is None
+
+
+def test_register_idempotent(spark):
+    register(spark)
+    register(spark)  # second call must not raise
+    assert PagedJsonDataSource.name() == "paged_json"
