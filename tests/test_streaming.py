@@ -218,3 +218,55 @@ def test_streaming_dedup_removes_duplicates(spark):
             "user_id", "event_type", F.col("ts").cast("date")
         ).distinct().count()
     )
+
+
+def test_checkpoint_resume_processes_only_delta(spark, tmp_path):
+    """T1-T4 as Structured Streaming proper: a checkpointed availableNow
+    query over a growing file-source directory. Run 1 processes the
+    initial file; a new file lands; run 2 RESUMES from the checkpoint
+    and processes only the delta (the watermark lives in the checkpoint,
+    not a hand-rolled control table). The parquet sink accumulates
+    append-mode output across runs — the streaming-native form of the
+    incremental loader's read-watermark -> window -> advance cycle."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def write_batch(ids, day):
+        rows = [
+            (i, dt.datetime(2024, 1, day, 8 + (i % 4)), i % 3, float(i))
+            for i in ids
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src).select(
+            "event_id", "user_id", "value"
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch(range(0, 10), day=1)
+    run_once()
+    first = spark.read.parquet(sink)
+    assert first.count() == 10
+
+    write_batch(range(100, 105), day=2)
+    run_once()
+    out = spark.read.parquet(sink)
+    # resumed run appended ONLY the 5 new events — nothing reprocessed
+    assert out.count() == 15
+    assert out.filter(F.col("event_id") >= 100).count() == 5
+    assert out.select("event_id").distinct().count() == 15
