@@ -123,6 +123,52 @@ def snapshot_with_metadata(df: DataFrame, run_ts: str) -> DataFrame:
     return df.withColumn("loadedAtUtc", F.lit(run_ts).cast("timestamp"))
 
 
+def write_sorted_table(
+    df: DataFrame, path: str, sort_col: str, n_files: int = 32
+) -> None:
+    """K1 variant — globally-ordered output WITHOUT a single-partition
+    sort: ``repartitionByRange`` splits the key space into ``n_files``
+    contiguous ranges (sampled range bounds, parallel exchange), then
+    each partition sorts locally — file i holds keys strictly below
+    file i+1, so consumers get total order at merge-read cost while the
+    write itself never funnels through one reducer (the
+    ``orderBy().write`` plan does exactly that).
+
+    The reference's sheet writes are always ordered (O1/O2); this is
+    that contract at a scale where "sort then write" is a cluster-wide
+    bottleneck."""
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_table(spark: SparkSession, path: str, target_files: int = 8) -> dict:
+    """Maintenance op the 100 TB lake actually needs: incremental loads
+    leave one small file per micro-batch/partition-write; eventually the
+    table is metadata-bound (open/seek per file dominates the scan).
+    Rewrite to ``target_files`` via ``coalesce`` — a NARROW dependency:
+    existing files concatenate into fewer tasks with no shuffle — then
+    swap through the staged Hadoop-FS path. Returns a
+    files-before/after manifest."""
+    before = [
+        f for f in _list_files(spark, path) if f.endswith(".parquet")
+    ]
+    df = spark.read.parquet(path)
+    staged_overwrite(df.coalesce(target_files), path)
+    after = [f for f in _list_files(spark, path) if f.endswith(".parquet")]
+    return {"files_before": len(before), "files_after": len(after)}
+
+
+def _list_files(spark: SparkSession, path: str) -> list[str]:
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [s.getPath().getName() for s in fs.listStatus(jpath)]
+
+
 def save_bucketed_table(
     df: DataFrame,
     name: str,

@@ -89,3 +89,65 @@ def test_ingest_and_unwrap(spark):
     # no envelope -> passthrough
     plain = ingest_documents(spark, [{"id": "x", "v": 1}])
     assert unwrap_envelope(plain).collect()[0]["id"] == "x"
+
+
+def test_write_sorted_table_range_partitioned(spark, tmp_path):
+    """Sorted output via range partitioning: files hold disjoint,
+    ascending key ranges (total order at merge-read) and the write plan
+    has no single-partition funnel."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dieter___etl___monarchmoney_spark.sources.sinks import write_sorted_table
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted_table(df, out, "k", n_files=8)
+
+    files = sorted(
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert 1 < len(files) <= 8
+    # per-file key ranges must be disjoint and ascending once ordered
+    # by their min key — that IS the global-order contract
+    ranges = []
+    for f in files:
+        stats = (
+            spark.read.parquet(os.path.join(out, f))
+            .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+            .collect()[0]
+        )
+        ranges.append((stats["lo"], stats["hi"]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # nothing lost
+    assert spark.read.parquet(out).count() == 10_000
+
+    plan = df.repartitionByRange(8, F.col("k"))._jdf.queryExecution().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dieter___etl___monarchmoney_spark.sources.sinks import compact_table
+
+    out = str(tmp_path / "fragmented")
+    # simulate 20 micro-batch appends -> >=20 small files
+    for i in range(20):
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id"), (F.col("id") * 2).alias("doubled")
+        ).coalesce(1).write.mode("append").parquet(out)
+
+    manifest = compact_table(spark, out, target_files=4)
+    assert manifest["files_before"] >= 20
+    assert manifest["files_after"] <= 4
+    compacted = spark.read.parquet(out)
+    assert compacted.count() == 200
+    assert compacted.agg(F.sum("doubled")).collect()[0][0] == sum(
+        2 * x for x in range(200)
+    )
