@@ -189,3 +189,117 @@ def test_funnel_fold_matches_sequential_scan(spark, rows):
         row = q_conversion_funnel(spark, d).collect()[0]
     got = [row["n_signup"], row["n_view"], row["n_click"], row["n_purchase"]]
     assert got == naive()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=8, max_size=8
+        ),
+        min_size=12,
+        max_size=40,
+    ),
+    st.integers(2, 5),
+    st.integers(2, 8),
+)
+def test_two_phase_topk_is_lossless(spark, vecs, k, n_salt):
+    """The salted pre-rank phase of the batch k-NN join keeps every
+    global top-k candidate for ANY k and ANY salt count — per-group
+    top-k is a superset of the global top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dieter___etl___monarchmoney_spark.operators.similarity import dot
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    vectors = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = vectors.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        dot(F.col("embedding"), F.col("qv")).alias("s"),
+    )
+    w_naive = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "vec_id")
+    naive = {
+        (r["query_id"], r["vec_id"])
+        for r in scored.withColumn("rn", F.row_number().over(w_naive))
+        .filter(F.col("rn") <= k)
+        .collect()
+    }
+    salted = scored.withColumn("_salt", F.pmod(F.hash("vec_id"), F.lit(n_salt)))
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(F.col("s").desc(), "vec_id")
+    w2 = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "vec_id")
+    two_phase = {
+        (r["query_id"], r["vec_id"])
+        for r in salted.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= k)
+        .collect()
+    }
+    assert two_phase == naive
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # user
+            st.integers(0, 2000),                   # seconds offset
+            st.sampled_from(["purchase", "view"]),  # type
+        ),
+        min_size=2,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(1, 10),
+)
+def test_interval_join_batch_semantics(spark, events, minutes):
+    """The batch form of the interval join (the streaming oracle)
+    matches a per-row reference computation for ANY event layout and
+    window width."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=sec), u, typ)
+        for i, (u, sec, typ) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    p = df.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = df.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {minutes} MINUTES"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+            "inner",
+        ).collect()
+    }
+    want = {
+        (pi, vi)
+        for pi, (pu, psec, pt) in enumerate(events)
+        for vi, (vu, vsec, vt) in enumerate(events)
+        if pt == "purchase"
+        and vt == "view"
+        and pu == vu
+        and psec - minutes * 60 <= vsec <= psec
+    }
+    assert got == want
