@@ -290,3 +290,96 @@ def q_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", "asof_ts", "asof_event_id", "asof_value"
     )
+
+
+@query(
+    "cdc_latest_state",
+    """
+    SELECT user_id, event_type, event_id AS last_event_id,
+           CAST(ts AS TIMESTAMP) AS last_ts, value AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — latest record per key, the CDC/upsert
+    primitive every incremental lake needs (the reference's window
+    replacement is a special case of it). Spark side needs NO window:
+    ``max(struct(ts_ns, event_id, value))`` per key is a plain
+    partial-aggregable MAX — map-side combine shrinks each partition to
+    one candidate per key before the single shuffle, where the oracle's
+    textbook ROW_NUMBER formulation would shuffle every version of
+    every key to sort it. (ts_ns, event_id) is a total order per key,
+    so both forms pick identical winners."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts_ns"), F.col("event_id"), F.col("ts"), F.col("value")
+                )
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.ts").alias("last_ts"),
+            F.col("m.value").alias("last_value"),
+        )
+    )
+
+
+def _profile_sql() -> str:
+    cols = ("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
+    blocks = []
+    for c in cols:
+        blocks.append(
+            f"""SELECT '{c}' AS column_name,
+                   COUNT(*) - COUNT({c}) AS n_nulls,
+                   COUNT(DISTINCT {c}) AS n_distinct,
+                   CAST(MIN({c}) AS VARCHAR) AS min_value,
+                   CAST(MAX({c}) AS VARCHAR) AS max_value
+            FROM lineitem"""
+        )
+    return " UNION ALL ".join(blocks)
+
+
+@query("table_profile", _profile_sql())
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column null count, distinct count,
+    and min/max for a declared column set — the first query anyone runs
+    against an unfamiliar 100 TB table. ONE scan, ONE aggregate: all
+    per-column measures compute side by side in a single agg (distinct
+    counts via the Expand-based multi-distinct aggregate), then unpivot
+    to the (column, stats) report shape with ``stack`` — versus the
+    naive per-column UNION ALL (the oracle's formulation), which scans
+    the fact once per column."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cols = ("l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate")
+    aggs = []
+    for c in cols:
+        aggs.extend(
+            [
+                (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+                F.count_distinct(c).alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            ]
+        )
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

@@ -262,6 +262,27 @@ def test_dense_rank_windows_aggregate_not_fact(spark):
     assert "rangepartitioning" not in plan
 
 
+def test_cdc_latest_state_no_window(spark):
+    """Changelog compaction runs as a partial-aggregable MAX(struct),
+    never a per-key ROW_NUMBER window — map-side combine shrinks each
+    partition to one candidate per key before the single shuffle."""
+    plan = _plan(QUERIES["cdc_latest_state"](spark, SF_ORACLE))
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # partial + final aggregate around ONE key exchange (struct MAX
+    # plans as SortAggregate — struct buffers aren't hash-aggregable)
+    assert "partial_max" in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_table_profile_single_scan(spark):
+    """The profiler computes every column's stats in one aggregate over
+    one scan — not the per-column UNION ALL the oracle runs."""
+    plan = _plan(QUERIES["table_profile"](spark, SF_ORACLE))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Union" not in plan
+
+
 def test_pagination_no_single_partition_sort(spark):
     """W5 registered evidence runs the scale-safe offset/limit plan:
     TakeOrderedAndProject (per-partition top-k, driver merge) — never a
