@@ -67,6 +67,12 @@ _MODULE_RANK = {
 }
 
 
+#: simple single-predicate filter queries with strong local unit+oracle
+#: evidence — deferred past the driver's ~50-query budget so the round's
+#: NEW operators (corpus_ops) all land inside it.
+_DEFER = ("tri_state_flag_chain", "soft_delete_toggle", "coalesce_candidates")
+
+
 def _reorder() -> None:
     reg_index = {n: i for i, n in enumerate(_registry.QUERIES)}
 
@@ -74,7 +80,8 @@ def _reorder() -> None:
         if name in _PRIORITY:
             return (0, _PRIORITY.index(name))
         mod = _registry.QUERIES[name].__module__
-        return (1, _MODULE_RANK.get(mod, 99), reg_index[name])
+        tier = 2 if name in _DEFER else 1
+        return (tier, _MODULE_RANK.get(mod, 99), reg_index[name])
 
     order = sorted(_registry.QUERIES, key=key)
     for d in (_registry.QUERIES, _registry.ORACLE_SQL):
