@@ -162,6 +162,23 @@ def compact_table(spark: SparkSession, path: str, target_files: int = 8) -> dict
     return {"files_before": len(before), "files_after": len(after)}
 
 
+def expire_partitions(
+    spark: SparkSession, path: str, partition_col: str, keep_from: str
+) -> dict:
+    """Retention — drop partitions strictly below ``keep_from`` from a
+    ``partition_col=value`` table via the Hadoop FileSystem API: a pure
+    metadata operation (directory deletes), no scan, no rewrite of
+    surviving data — at 100 TB the ONLY affordable way to enforce a
+    retention window. Values compare as strings, which is correct for
+    the zero-padded date/month formats the sinks write. Returns the
+    dropped/kept manifest."""
+    values = list_partition_values(spark, path, partition_col)
+    dropped = [v for v in values if v < keep_from]
+    for v in dropped:
+        delete_path(spark, f"{path}/{partition_col}={v}")
+    return {"dropped": dropped, "kept": [v for v in values if v >= keep_from]}
+
+
 def _list_files(spark: SparkSession, path: str) -> list[str]:
     fs, jpath, _ = _hadoop_fs(spark, path)
     if not fs.exists(jpath):

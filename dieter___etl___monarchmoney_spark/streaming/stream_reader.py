@@ -64,22 +64,41 @@ def daily_rollup_stream(events: DataFrame, watermark: str = "1 day") -> DataFram
 
 
 def run_available_now(
-    stream_df: DataFrame, name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with the availableNow trigger into
     an in-memory sink and return the materialized result. ``complete``
     output mode emits final (watermark-closed) aggregates for
     batch-complete sources; stateful non-aggregate operators (streaming
-    dedup) require ``append``."""
+    dedup) require ``append``.
+
+    ``state_partitions`` sizes the stateful operators' store count
+    (fixed per checkpoint at first start from
+    ``spark.sql.shuffle.partitions``): each state partition carries
+    fixed provider/commit overhead per micro-batch, so a stream-stream
+    join at demo scale runs ~4× faster at 8 stores than 32, while a
+    production deployment sizes it to cluster cores ÷ queries. The conf
+    is set scoped — saved and restored around the run, never leaked
+    into the session."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 

@@ -151,3 +151,36 @@ def test_compact_table_reduces_files(spark, tmp_path):
     assert compacted.agg(F.sum("doubled")).collect()[0][0] == sum(
         2 * x for x in range(200)
     )
+
+
+def test_expire_partitions_metadata_only(spark, tmp_path):
+    """Retention drops only pre-cutoff partition directories; surviving
+    data is untouched (same files, same rows)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dieter___etl___monarchmoney_spark.sources.sinks import expire_partitions
+
+    out = str(tmp_path / "retained")
+    df = spark.createDataFrame(
+        [(i, f"2024-{m:02d}") for m in range(1, 7) for i in range(10 * m, 10 * m + 5)],
+        ["id", "txn_month"],
+    )
+    df.write.partitionBy("txn_month").parquet(out)
+    before_files = {
+        d: sorted(os.listdir(os.path.join(out, d)))
+        for d in os.listdir(out)
+        if d.startswith("txn_month=")
+    }
+
+    manifest = expire_partitions(spark, out, "txn_month", "2024-04")
+    assert manifest["dropped"] == ["2024-01", "2024-02", "2024-03"]
+    assert manifest["kept"] == ["2024-04", "2024-05", "2024-06"]
+
+    left = spark.read.parquet(out)
+    assert left.count() == 15
+    assert left.agg(F.min("txn_month")).collect()[0][0] == "2024-04"
+    # surviving partition dirs untouched: identical file listings
+    for d in ("txn_month=2024-04", "txn_month=2024-05", "txn_month=2024-06"):
+        assert sorted(os.listdir(os.path.join(out, d))) == before_files[d]
