@@ -70,7 +70,12 @@ _MODULE_RANK = {
 #: simple single-predicate filter queries with strong local unit+oracle
 #: evidence — deferred past the driver's ~50-query budget so the round's
 #: NEW operators (corpus_ops) all land inside it.
-_DEFER = ("tri_state_flag_chain", "soft_delete_toggle", "coalesce_candidates")
+_DEFER = (
+    "tri_state_flag_chain",
+    "soft_delete_toggle",
+    "coalesce_candidates",
+    "document_search",
+)
 
 
 def _reorder() -> None:

@@ -351,3 +351,79 @@ def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source curation report (the corpus twin of cashflow_report_all)
+# --------------------------------------------------------------------------
+
+
+def _source_report_sql() -> str:
+    from dieter___etl___monarchmoney_spark.queries.llm_pipeline import _QUALITY_SQL
+
+    return f"""
+    WITH dupfrac AS ({_DUPFRAC_SQL}),
+    per_doc AS (
+        SELECT d.doc_id, d.source,
+               len({_TOKS_SQL}) AS n_tok,
+               {_QUALITY_SQL} AS q,
+               f.n_shingles, f.n_shared
+        FROM documents d JOIN dupfrac f ON d.doc_id = f.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           MIN(q) AS min_quality,
+           MAX(q) AS max_quality,
+           CAST(SUM(n_shared) AS BIGINT) AS n_shared_shingles,
+           CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+           CASE WHEN SUM(n_shingles) = 0 THEN 0.0
+                ELSE CAST(SUM(n_shared) AS DOUBLE) / SUM(n_shingles)
+           END AS dup_fraction
+    FROM per_doc
+    GROUP BY source
+    """
+
+
+@query("source_curation_report", _source_report_sql())
+def q_source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source health report a corpus owner reads before choosing
+    mixture weights: document count, token volume, quality envelope, and
+    cross-doc duplication rate per source — the corpus twin of the
+    finance side's cashflow_report_all.
+
+    Composition, not re-implementation: the cross-doc duplication
+    counts come from the SAME plan as ``duplicated_ngram_fraction`` and
+    the quality/token expressions are the shared column functions, so
+    report numbers can never drift from their per-doc queries. All
+    aggregates are order-independent (integer sums, min/max of
+    identically-derived doubles); the quality average is deliberately
+    NOT emitted — a double SUM over a group is partial-aggregation-
+    order-dependent, exactly the nondeterminism the oracle gate exists
+    to catch (consumers derive it from the envelope + token totals)."""
+    from dieter___etl___monarchmoney_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    dupfrac = q_duplicated_ngram_fraction(spark, sf_dir).select(
+        "doc_id", "n_shingles", "n_shared"
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tok"),
+        quality_score("text").alias("q"),
+    ).join(dupfrac, "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("q").alias("min_quality"),
+        F.max("q").alias("max_quality"),
+        F.sum("n_shared").alias("n_shared_shingles"),
+        F.sum("n_shingles").alias("n_shingles"),
+        F.when(F.sum("n_shingles") == 0, F.lit(0.0))
+        .otherwise(F.sum("n_shared").cast("double") / F.sum("n_shingles"))
+        .alias("dup_fraction"),
+    )
