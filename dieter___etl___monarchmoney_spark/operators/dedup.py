@@ -387,3 +387,62 @@ def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("_id").alias("survivor_id"))
     )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 14, k: int = 3
+) -> list:
+    """Build a Bloom filter over ``key_col`` as ``m_bits/64`` LONG words
+    — pure DataFrame algebra: k seeded xxhash64 positions per row
+    explode to (word, bit) updates, one ``bit_or`` aggregate ORs them
+    into ≤W word rows, and the driver collects O(W) longs — the filter
+    itself (2 KiB at the default size), NOT the data. Spark's own
+    bloom_filter_agg is optimizer-internal; this is the same structure
+    as a public, oracle-checkable surface."""
+    c = F.col(key_col)
+    positions = F.array(
+        *[F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+    )
+    updates = (
+        df.select(F.explode(positions).alias("pos"))
+        .select(
+            (F.col("pos") / F.lit(64)).cast("int").alias("word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.call_function("bit_or", F.col("mask")).alias("mask"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in updates:
+        words[r["word"]] = r["mask"]
+    return words
+
+
+def bloom_might_contain(
+    words: list, key_col: str, m_bits: int = 1 << 14, k: int = 3
+) -> Column:
+    """Membership probe against a :func:`bloom_build` filter shipped as
+    ONE array literal (plan size O(W), independent of build-side rows):
+    true iff every seeded hash position's bit is set. False positives
+    possible — callers follow with an exact join on survivors; false
+    negatives impossible — the pre-filter only shrinks the exact join's
+    input, never changes its result. The 100 TB shape: a key set too
+    big to broadcast as a join but whose BLOOM FILTER broadcasts in
+    kilobytes filters the fact at scan speed, and the exact join then
+    shuffles only the surviving sliver."""
+    c = F.col(key_col)
+    lit_words = F.lit([int(w) for w in words])
+    cond: Column | None = None
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(lit_words, (pos / F.lit(64)).cast("int") + F.lit(1))
+        bit_set = (
+            F.call_function("shiftright", word, (pos % 64).cast("int"))
+            .bitwiseAND(F.lit(1).cast("long"))
+            == 1
+        )
+        cond = bit_set if cond is None else (cond & bit_set)
+    return cond

@@ -427,3 +427,70 @@ def q_source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.sum("n_shared").cast("double") / F.sum("n_shingles"))
         .alias("dup_fraction"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter runtime pre-filter for the incremental dedup anti-join
+# --------------------------------------------------------------------------
+
+_BLOOM_DEDUP_SQL = r"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+),
+history AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+batch AS (
+    SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS batch_min
+    FROM fp WHERE doc_id >= 250
+)
+SELECT doc_id, fp
+FROM batch
+WHERE doc_id = batch_min
+  AND fp NOT IN (SELECT fp FROM history)
+"""
+
+
+@query("bloom_incremental_dedup", _BLOOM_DEDUP_SQL)
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_dedup`` accelerated with a Bloom-filter runtime
+    pre-filter — the shape for a history store too big to broadcast as
+    a JOIN but whose Bloom filter broadcasts in kilobytes:
+
+    1. build the filter over the history fingerprints (one aggregate,
+       O(filter-words) driver collect — 2 KiB, not the store);
+    2. rows whose probe says "definitely new" BYPASS the join entirely
+       — at scan speed, no shuffle;
+    3. only the "might be in history" sliver (true hits + the ~1% false
+       positives) pays the exact anti-join.
+
+    False negatives are impossible, so bypass ∪ verified-sliver is
+    EXACTLY the plain anti-join's answer — the oracle is the identical
+    SQL as ``incremental_dedup``, proving the optimization invisible to
+    semantics. Within-batch dups collapse first (window min per
+    fingerprint), same as the unaccelerated form."""
+    from pyspark.sql import Window as W
+
+    from dieter___etl___monarchmoney_spark.functions.text import fingerprint_md5
+    from dieter___etl___monarchmoney_spark.operators.dedup import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", fingerprint_md5("text").alias("fp")
+    )
+    history = docs.filter(F.col("doc_id") < 250).select("fp").distinct()
+    batch = (
+        docs.filter(F.col("doc_id") >= 250)
+        .withColumn("batch_min", F.min("doc_id").over(W.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("batch_min"))
+        .select("doc_id", "fp")
+    )
+    words = bloom_build(history, "fp")
+    maybe_hit = bloom_might_contain(words, "fp")
+    definitely_new = batch.filter(~maybe_hit)
+    verified_new = batch.filter(maybe_hit).join(
+        F.broadcast(history), "fp", "left_anti"
+    )
+    return definitely_new.unionByName(verified_new)

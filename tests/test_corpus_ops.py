@@ -147,3 +147,44 @@ def test_dupfrac_no_pair_explosion(spark):
     plan = _plan(QUERIES["duplicated_ngram_fraction"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """bloom_build/bloom_might_contain: every member hits; non-member
+    false-positive rate stays near the design point (~1% at k=3,
+    m=16384 for 1000 keys); the pre-filter can only shrink an exact
+    join's input."""
+    from dieter___etl___monarchmoney_spark.operators.dedup import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = spark.range(0, 1000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("fp")
+    )
+    words = bloom_build(members, "fp")
+    assert len(words) == (1 << 14) // 64
+
+    probe = spark.range(0, 5000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("fp")
+    )
+    hit = probe.filter(bloom_might_contain(words, "fp"))
+    # zero false negatives: all 1000 members pass the probe
+    assert members.join(hit, "fp", "left_anti").count() == 0
+    # false positives bounded: 4000 non-members, expect ~1% FP
+    fps = hit.count() - 1000
+    assert 0 <= fps < 200
+
+
+def test_bloom_dedup_matches_plain_anti_join(spark):
+    """The bloom-accelerated incremental dedup returns exactly the
+    unaccelerated anti-join's rows on the oracle SF."""
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in QUERIES["bloom_incremental_dedup"](spark, SF_ORACLE).collect()
+    }
+    want = {
+        (r["doc_id"], r["fp"])
+        for r in QUERIES["incremental_dedup"](spark, SF_ORACLE).collect()
+    }
+    assert got == want and len(got) > 0
