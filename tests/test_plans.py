@@ -275,12 +275,17 @@ def test_cdc_latest_state_no_window(spark):
     assert plan.count("hashpartitioning(user_id") == 1
 
 
-def test_table_profile_single_scan(spark):
-    """The profiler computes every column's stats in one aggregate over
-    one scan — not the per-column UNION ALL the oracle runs."""
+def test_table_profile_pruned_scans_no_expand(spark):
+    """The profiler reads each column once: a cheap null/min/max pass
+    plus one column-pruned scan per DISTINCT count — never the
+    Expand-based multi-distinct (5x row inflation, measured 4x slower)
+    and never a UNION ALL of full-width scans."""
     plan = _plan(QUERIES["table_profile"](spark, SF_ORACLE))
-    assert plan.count("lineitem.parquet") == 1
+    assert "Expand" not in plan
     assert "Union" not in plan
+    # the distinct-count scans are pruned to their single column
+    assert plan.count("ReadSchema: struct<l_orderkey:bigint>") == 1
+    assert plan.count("ReadSchema: struct<l_returnflag:string>") == 1
 
 
 def test_pagination_no_single_partition_sort(spark):
