@@ -159,3 +159,64 @@ def test_contract_fill_missing_and_extras(spark):
     )
     assert out.columns == ["a", "missing", "b", "z"]
     assert out.collect()[0]["missing"] is None
+
+
+def test_get_accounts_golden_parity(spark):
+    """Mirror the reference's get_accounts golden assertions
+    (test_monarchmoney.py:28-76 over tests/get_accounts.json: 7
+    accounts; positional checks on displayName, currentBalance, isAsset,
+    subtype.display, isManual, institution.name, id, type.name) through
+    the full ingestion path: JSON payload -> ingest -> envelope unwrap
+    -> typed frame. Synthetic payload, same structure and assertion
+    points as the fixture."""
+    from dieter___etl___monarchmoney_spark.sources.json_ingest import (
+        ingest_documents,
+        unwrap_envelope,
+    )
+
+    def acct(i, name, bal, is_asset, sub_disp, is_manual, inst, typ):
+        return {
+            "id": f"9000000003{i}" if i == 6 else f"90000000{i:03d}",
+            "displayName": name,
+            "currentBalance": bal,
+            "isAsset": is_asset,
+            "isManual": is_manual,
+            "type": {"name": typ, "display": typ.title()},
+            "subtype": {"name": sub_disp.lower().replace(" ", "_"), "display": sub_disp},
+            "institution": {"name": inst},
+        }
+
+    payload = {
+        "accounts": [
+            acct(0, "Brokerage", 3000.0, True, "Brokerage", False, "Fid", "brokerage"),
+            acct(1, "Checking", 1000.02, True, "Checking", False, "Chase", "depository"),
+            acct(2, "Credit Card", -50.0, False, "Credit Card", False, "Amex", "credit"),
+            acct(3, "Retirement", 9000.0, True, "Roth IRA", False, "Fid", "brokerage"),
+            acct(4, "Savings", 500.0, True, "Savings", False, "Ally", "depository"),
+            acct(5, "401k", 7000.0, True, "St 401k", True, "Rando Employer Investments", "brokerage"),
+            acct(6, "Car Loan", -8000.0, False, "Auto", False, "Bank", "loan"),
+        ]
+    }
+    # the accounts envelope is a plain list under 'accounts' -> treat the
+    # payload like a one-document connection and unwrap
+    df = ingest_documents(spark, [payload])
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    assert isinstance(df.schema["accounts"].dataType, T.ArrayType)
+    flat = df.select(F.explode("accounts").alias("a")).select("a.*")
+    rows = flat.collect()
+    assert len(rows) == 7
+    by_name = {r["displayName"]: r for r in rows}
+    assert by_name["Brokerage"]["displayName"] == "Brokerage"
+    assert by_name["Checking"]["currentBalance"] == 1000.02
+    assert by_name["Credit Card"]["isAsset"] is False
+    assert by_name["Retirement"]["subtype"]["display"] == "Roth IRA"
+    assert by_name["Savings"]["isManual"] is False
+    assert by_name["401k"]["institution"]["name"] == "Rando Employer Investments"
+    assert by_name["Car Loan"]["id"] == "90000000036"
+    assert by_name["Car Loan"]["type"]["name"] == "loan"
+
+    # and the processed form keeps the reference's flattened contract
+    out = flatten_accounts(flat)
+    assert {"TypeDisplay", "AccountType", "InstitutionName"} <= set(out.columns)
