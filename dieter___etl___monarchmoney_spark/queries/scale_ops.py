@@ -392,3 +392,35 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+@query(
+    "part_metrics_unpivot",
+    """
+    SELECT p_partkey, metric, value
+    FROM (
+        SELECT p_partkey,
+               CAST(p_size AS DOUBLE) AS size,
+               CAST(p_retailprice AS DOUBLE) AS retail_price
+        FROM part
+    )
+    UNPIVOT (value FOR metric IN (size, retail_price))
+    """,
+)
+def q_part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping via the native ``unpivot``/melt operator
+    (the inverse of the explicit-value pivot in
+    ``event_type_daily_pivot``) — the report/ML-feature long form
+    without a UNION of per-column scans: one scan, an Expand of k rows
+    per input row, no shuffle at all. DuckDB's UNPIVOT is the oracle."""
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retail_price"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retail_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
