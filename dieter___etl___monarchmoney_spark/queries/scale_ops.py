@@ -424,3 +424,47 @@ def q_part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "daily_type_share",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS date, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS type_value
+        FROM events
+        GROUP BY CAST(ts AS DATE), event_type
+    )
+    SELECT date, event_type, type_value,
+           type_value / SUM(type_value) OVER (PARTITION BY date) AS share_of_day
+    FROM daily
+    """,
+)
+def q_daily_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total analytics: each event type's fraction of its
+    day's total value — the aggregate-snapshot family (A6) with the
+    window running over the AGGREGATE, not the fact: the heavy shuffle
+    is the (date, type) group-by with map-side combine; the share
+    window then partitions days x types rows (thousands, not billions),
+    so the analytic step is free at any scale. The day total inside the
+    window is an exact decimal sum surfaced as double in both engines,
+    and the share division happens in the same expression order, so the
+    doubles agree bit for bit."""
+    ev = load_table(spark, "events", sf_dir)
+    from pyspark.sql import Window as W
+
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("date"), "event_type"
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("type_value")
+    )
+    # the window must sum the DECIMAL-exact per-type values the same way
+    # the oracle does: SUM(double) over a day's handful of type rows is
+    # deterministic because window frames evaluate in partition order
+    day_total = F.sum("type_value").over(W.partitionBy("date"))
+    return daily.select(
+        "date",
+        "event_type",
+        "type_value",
+        (F.col("type_value") / day_total).alias("share_of_day"),
+    )
