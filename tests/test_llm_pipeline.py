@@ -232,3 +232,28 @@ def test_exact_dedup_removed_nonempty_difference(spark):
     left = spark.createDataFrame([(7,), (7,), (8,)], ["doc_id"])
     right = spark.createDataFrame([(7,), (9,)], ["doc_id"])
     assert sorted(r["doc_id"] for r in left.exceptAll(right).collect()) == [7, 8]
+
+
+def test_neardup_clusters_both_paths_agree(spark):
+    """The driver-side union-find fast path and the distributed
+    min-label loop must compute the identical fixpoint."""
+    from dieter___etl___monarchmoney_spark.operators.dedup import neardup_clusters
+
+    verts = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        # chain 5-4-3-2-1-0 plus pair (7,8), singleton rest
+        [(i, i + 1) for i in range(5)] + [(7, 8)],
+        ["doc_a", "doc_b"],
+    )
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in neardup_clusters(verts, pairs, "doc_id").collect()
+    }
+    distributed = {
+        (r["doc_id"], r["cluster_id"])
+        for r in neardup_clusters(
+            verts, pairs, "doc_id", driver_threshold=0
+        ).collect()
+    }
+    assert fast == distributed
+    assert ({(i, 0) for i in range(6)} | {(7, 7), (8, 7)}) <= fast
