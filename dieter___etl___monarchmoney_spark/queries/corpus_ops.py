@@ -494,3 +494,55 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(history), "fp", "left_anti"
     )
     return definitely_new.unionByName(verified_new)
+
+
+# --------------------------------------------------------------------------
+# Paged Data Source round trip (S1 connector surface, driver-checked)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "paged_source_roundtrip",
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+def q_paged_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom paged-JSON Data Source on the parity surface: the
+    documents table is exported once to a JSON-lines file (the stand-in
+    for the remote paged API — setup scaffolding, like the reference's
+    mocked transport in its golden tests) and read back through
+    ``format("paged_json")`` with 100-record pages, each page a
+    parallel InputPartition. The oracle reads the original table
+    directly, so the connector's page slicing must neither drop nor
+    duplicate a single record at any boundary."""
+    import json as _json
+    import os
+    import tempfile
+
+    from dieter___etl___monarchmoney_spark.sources.paged_source import register
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+    payload_dir = os.path.join(
+        tempfile.gettempdir(), f"paged_roundtrip_{abs(hash(sf_dir)) % 10_000}"
+    )
+    os.makedirs(payload_dir, exist_ok=True)
+    payload = os.path.join(payload_dir, "documents.jsonl")
+    with open(payload, "w") as f:
+        for r in docs.toLocalIterator():  # streamed, not a bulk collect
+            f.write(
+                _json.dumps(
+                    {"doc_id": r["doc_id"], "lang": r["lang"], "n_chars": r["n_chars"]}
+                )
+                + "\n"
+            )
+    register(spark)
+    return (
+        spark.read.format("paged_json")
+        .schema("doc_id long, lang string, n_chars long")
+        .option("path", payload)
+        .option("pageSize", 100)
+        .load()
+    )

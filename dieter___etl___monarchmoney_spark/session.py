@@ -15,6 +15,7 @@ on a real cluster let AQE coalesce from a high initial number instead.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -25,6 +26,17 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     """Build (or reuse) the configured SparkSession."""
+    # Python WORKERS deserialize our classes/functions by module
+    # reference (custom Data Source, pandas-UDF closures), so the repo
+    # root must be importable in the worker interpreter too — exported
+    # via PYTHONPATH BEFORE the JVM launches (workers inherit the JVM's
+    # env); a driver-side sys.path insert alone only fixes the driver.
+    repo_root = str(Path(__file__).resolve().parents[1])
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))

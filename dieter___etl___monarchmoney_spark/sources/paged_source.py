@@ -106,7 +106,17 @@ class PagedJsonReader(DataSourceReader):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the format with a session."""
+    """Idempotent registration of the format with a session.
+
+    The class ships to Python workers BY VALUE
+    (cloudpickle.register_pickle_by_value): a by-reference pickle would
+    require this package on every worker's import path, which a host
+    harness driving an arbitrary cwd/session may not provide."""
+    import sys
+
+    import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     try:
         spark.dataSource.register(PagedJsonDataSource)
     except Exception as exc:  # already registered in this session
