@@ -55,6 +55,9 @@ def get_spark(
         # loader branches on the read dtype (sources/parquet.py). Set
         # here, once, instead of as a read side-effect.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python Data Source predicate pushdown (paged_json's
+        # filterPushdown=true reader) — off upstream by default
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

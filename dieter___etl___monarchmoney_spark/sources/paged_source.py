@@ -40,6 +40,12 @@ class PagedJsonDataSource(DataSource):
 
     - ``path``: JSON-lines file, one record per line (the "server");
     - ``pageSize``: records per page / partition (default 500);
+    - ``filterPushdown``: "true" opts into server-side predicate
+      pushdown. Opt-IN because Spark refuses any reader that merely
+      IMPLEMENTS ``pushFilters`` while
+      ``spark.sql.python.filterPushdown.enabled`` is false — a session
+      this package didn't build may have it off, so the capability must
+      not be ambient;
     - user-supplied ``.schema(...)`` is required — the reference's
       typed-column contract (O7) applies at the connector edge, not
       after a permissive infer.
@@ -56,6 +62,8 @@ class PagedJsonDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> "PagedJsonReader":
+        if self.options.get("filterpushdown", "false").lower() == "true":
+            return PushdownPagedJsonReader(schema, self.options)
         return PagedJsonReader(schema, self.options)
 
 
@@ -66,6 +74,34 @@ class PagedJsonReader(DataSourceReader):
         if not self.path:
             raise ValueError("paged_json requires option 'path'")
         self.page_size = int(options.get("pagesize", DEFAULT_PAGE_SIZE))
+        self.pushed: list = []
+
+    def _matches(self, rec: dict) -> bool:
+        from pyspark.sql import datasource as ds
+
+        for f in self.pushed:
+            v = rec.get(f.attribute[0])
+            if isinstance(f, ds.IsNull):
+                ok = v is None
+            elif isinstance(f, ds.IsNotNull):
+                ok = v is not None
+            elif v is None:
+                ok = False  # NULL compares unknown -> filtered
+            elif isinstance(f, ds.EqualTo):
+                ok = v == f.value
+            elif isinstance(f, ds.In):
+                ok = v in f.value
+            elif isinstance(f, ds.GreaterThan):
+                ok = v > f.value
+            elif isinstance(f, ds.GreaterThanOrEqual):
+                ok = v >= f.value
+            elif isinstance(f, ds.LessThan):
+                ok = v < f.value
+            else:
+                ok = v <= f.value
+            if not ok:
+                return False
+        return True
 
     def _count_records(self) -> int:
         # planning-time metadata probe (the reference's totalCount field,
@@ -89,7 +125,8 @@ class PagedJsonReader(DataSourceReader):
     def read(self, partition: PageRange):
         """Executor-side page fetch: each task materializes ONLY its
         page — the distributed twin of the reference's per-request
-        ``results[offset : offset+limit]``."""
+        ``results[offset : offset+limit]`` — and applies the pushed
+        predicates before emitting (the "server-side" filter)."""
         fields = [f.name for f in self.schema_.fields]
         lo, hi = partition.offset, partition.offset + partition.limit
         with open(self.path, "rb") as f:
@@ -101,8 +138,42 @@ class PagedJsonReader(DataSourceReader):
                     break
                 if i >= lo:
                     rec = json.loads(line)
-                    yield tuple(rec.get(name) for name in fields)
+                    if self._matches(rec):
+                        yield tuple(rec.get(name) for name in fields)
                 i += 1
+
+
+class PushdownPagedJsonReader(PagedJsonReader):
+    """The ``filterPushdown=true`` variant: implements ``pushFilters``.
+    A separate class because Spark REJECTS any reader that implements
+    the method while ``spark.sql.python.filterPushdown.enabled`` is
+    false — the capability must be requested, not ambient."""
+
+    def pushFilters(self, filters):
+        """Absorb the predicates a paged API evaluates server-side (the
+        reference's filter arguments, monarchmoney.py:1510-1550): simple
+        comparisons, IN lists, and null checks on top-level columns.
+        Absorbed filters are NOT returned — this reader applies them
+        exactly (SQL ternary semantics: a comparison on a missing/null
+        value excludes the record), so Spark need not re-evaluate;
+        anything else is yielded back for post-scan evaluation."""
+        from pyspark.sql import datasource as ds
+
+        supported = (
+            ds.EqualTo,
+            ds.In,
+            ds.GreaterThan,
+            ds.GreaterThanOrEqual,
+            ds.LessThan,
+            ds.LessThanOrEqual,
+            ds.IsNull,
+            ds.IsNotNull,
+        )
+        for f in filters:
+            if isinstance(f, supported) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            else:
+                yield f
 
 
 def register(spark) -> None:

@@ -97,3 +97,52 @@ def test_register_idempotent(spark):
     register(spark)
     register(spark)  # second call must not raise
     assert PagedJsonDataSource.name() == "paged_json"
+
+
+def test_filter_pushdown_results_and_plan(spark, payload):
+    """Pushed predicates (range + IN + equality) produce exactly the
+    rows Spark-side filtering would, and the scan plan records them as
+    pushed rather than post-scan filters."""
+    register(spark)
+    base = (
+        spark.read.format("paged_json")
+        .schema(SCHEMA)
+        .option("path", payload)
+        .option("pageSize", 500)
+        .option("filterPushdown", "true")
+        .load()
+    )
+    cond = (
+        (F.col("amount") > 100.0)
+        & (F.col("amount") <= 150.0)
+        & F.col("category").isin("c0", "c3")
+    )
+    got = sorted(r["id"] for r in base.filter(cond).collect())
+    # reference computation over the raw payload
+    want = sorted(
+        f"t{i:04d}"
+        for i in range(1234)
+        if 100.0 < i / 4 <= 150.0 and f"c{i % 7}" in ("c0", "c3")
+    )
+    assert got == want and len(got) > 0
+
+    # every predicate was absorbed by the source, so the PHYSICAL plan
+    # has no Spark-side Filter at all — the scan is the whole pipeline
+    physical = base.filter(cond)._jdf.queryExecution().executedPlan().toString()
+    assert "Filter (" not in physical  # RuntimeFilters: [] is not a Filter node
+    assert "BatchScan paged_json" in physical
+
+
+def test_unsupported_filter_stays_spark_side(spark, payload):
+    register(spark)
+    base = (
+        spark.read.format("paged_json")
+        .schema(SCHEMA)
+        .option("path", payload)
+        .load()
+    )
+    # endswith is not a pushable predicate -> evaluated post-scan
+    flt = base.filter(F.col("id").endswith("99"))
+    assert flt.count() == 12  # t0099, t0199, ..., t1199
+    physical = flt._jdf.queryExecution().executedPlan().toString()
+    assert "Filter (" in physical  # stayed Spark-side
