@@ -468,3 +468,43 @@ def q_daily_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_value",
         (F.col("type_value") / day_total).alias("share_of_day"),
     )
+
+
+@query(
+    "scd2_history",
+    """
+    SELECT user_id, event_type, value,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           CAST(LEAD(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id
+           ) AS TIMESTAMP) AS valid_to,
+           CAST(CASE WHEN LEAD(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id
+           ) IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM events
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a changelog: every
+    version of every (user, type) key gets a [valid_from, valid_to)
+    interval via LEAD over the version sequence, open-ended (NULL) on
+    the current version — the full-history companion to
+    ``cdc_latest_state``'s type-1 compaction, and the table an as-of
+    join (operators/asof.py) probes. One shuffle on the key, windows
+    partition-local; at 100 TB the history table partitions by key
+    hash and the window never crosses partitions."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
