@@ -75,6 +75,12 @@ _DEFER = (
     "soft_delete_toggle",
     "coalesce_candidates",
     "document_search",
+    # scalar-function surfaces with exhaustive unit tests, and the
+    # envelope round trip whose unwrap machinery portfolio_holdings now
+    # exercises on the parity surface
+    "currency_clean_roundtrip",
+    "date_functions_surface",
+    "nested_flatten_roundtrip",
 )
 
 
