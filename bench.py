@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Stdout contract: line 1 is the full detail JSON ({"metric", "value",
+"unit", "queries": {name: sec}, "sf"}; also written to
+bench_detail.json), and the LAST line is a short summary JSON without
+the queries dict — tail-truncation-proof for log collectors.
 
 Each query is timed to full materialization (count on the result — the
 result sets are small aggregates/pages, so count ≈ collect cost without
@@ -54,13 +57,30 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    # Per-query detail FIRST (plus a sidecar file): the detail line is
+    # ~4.5 KB and a log collector that keeps only a stdout tail would
+    # truncate its head, so the LAST line is a short summary that
+    # survives any tail window and stays machine-parseable.
+    detail = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(detail))
+    try:
+        (REPO / "bench_detail.json").write_text(json.dumps(detail, indent=1))
+    except OSError:
+        pass
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "max_query_sec": max(timings.values()) if timings else 0.0,
                 "sf": sf,
             }
         )

@@ -370,6 +370,10 @@ def neardup_clusters(
         labels = new_labels.drop("chg")
         if not changed:
             break
+    # labels is localCheckpointed, so the cached edge frame is no longer
+    # reachable from the result — release it (edge_verts stays cached for
+    # the singleton anti-join below and is cheap to rebuild if evicted)
+    edges.unpersist()
     singletons = all_verts.join(edge_verts, "v", "left_anti").select(
         "v", F.col("v").alias("cluster_id")
     )

@@ -154,10 +154,8 @@ def seed_centroids(
 ) -> list[list[float]]:
     """Deterministic IVF coarse centroids: the ``n_cells`` lowest-id
     vectors, L2-normalized (left-fold norm — see ``_fold_dot``).
-    Collecting K rows to the driver is O(K·dim) regardless of table size
-    (a production build would refine these with a few Lloyd iterations —
-    assign + groupBy(cell) mean — but the probe machinery is identical
-    either way)."""
+    Collecting K rows to the driver is O(K·dim) regardless of table
+    size. ``lloyd_refine`` then tightens these in-engine."""
     import math
 
     rows = (
@@ -171,6 +169,58 @@ def seed_centroids(
         v = [float(x) for x in r[vec_col]]
         n = math.sqrt(_fold_dot(v, v)) or 1.0
         cents.append([x / n for x in v])
+    return cents
+
+
+def lloyd_refine(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Refine coarse centroids with ``iters`` Lloyd iterations, fully
+    in-engine: assign every vector to its nearest centroid (``ivf_cell``
+    — one scan, no shuffle), then per-(cell, component) means via
+    posexplode + groupBy. Map-side combine collapses each task to
+    ≤ K·dim partial rows before the shuffle, so the exchange is O(tasks
+    · K · dim) regardless of table size; the driver collect is O(K·dim).
+
+    Determinism contract (the reason this isn't a plain ``avg``): float
+    addition is not associative, so a double sum would depend on Spark's
+    aggregation order AND diverge from the oracle's. Components are
+    summed as DECIMAL(38,18) — exact, order-independent — then one
+    correctly-rounded divide and L2-normalize (left-fold norm) on the
+    driver. DuckDB reproduces the identical doubles with the same
+    decimal sum, so probe sets and assignments match bit-for-bit.
+
+    Empty cells keep their previous centroid (cells stay non-degenerate
+    and the centroid count is stable)."""
+    import math
+
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = vectors.withColumn("cell", ivf_cell(F.col(vec_col), cents))
+        comp = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double").cast("decimal(38,18)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in comp.collect():  # bounded: K cells × dim components
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = float(r["s"]) / r["n"]
+        new_cents = []
+        for i, seed in enumerate(cents):
+            mean = by_cell.get(i)
+            if mean is None or len(mean) != dim:
+                new_cents.append(seed)
+                continue
+            v = [mean[p] for p in range(dim)]
+            n = math.sqrt(_fold_dot(v, v)) or 1.0
+            new_cents.append([x / n for x in v])
+        cents = new_cents
     return cents
 
 
@@ -191,16 +241,21 @@ def ivf_ann_topk(
     k: int = 10,
     n_cells: int = 8,
     nprobe: int = 2,
+    lloyd_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize every vector to its nearest
-    seed centroid, probe only the ``nprobe`` cells nearest the query,
-    exact cosine re-rank inside. The scale path alongside hyperplane LSH:
-    at 100 TB the table is written partitioned by ``cell`` so a probe is
-    partition-pruned I/O over nprobe/n_cells of the data; the assignment
-    pass is one scan, no shuffle."""
+    centroid (seeds + ``lloyd_iters`` Lloyd refinements), probe only the
+    ``nprobe`` cells nearest the query, exact cosine re-rank inside. The
+    scale path alongside hyperplane LSH: at 100 TB the table is written
+    partitioned by ``cell`` so a probe is partition-pruned I/O over
+    nprobe/n_cells of the data; the assignment pass is one scan, no
+    shuffle. Training (refinement) runs once per index build, not per
+    probe."""
     cents = seed_centroids(vectors, n_cells, id_col, vec_col)
+    if lloyd_iters:
+        cents = lloyd_refine(vectors, cents, iters=lloyd_iters, vec_col=vec_col)
     qv = [float(x) for x in query_vec]
     # ranking by dot(unit_centroid, q) == ranking by cosine (q's norm is
     # a constant positive factor); ties to the lowest cell id

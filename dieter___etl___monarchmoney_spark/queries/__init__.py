@@ -29,59 +29,68 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     llm_pipeline,
 )
 
-#: re-verify first: red (events loader) or hash-mismatched (HUGEINT
-#: oracle) in CORRECTNESS_r01.json, all fixed since.
+#: Round-3 rotation — every query that has NEVER had a driver-side row
+#: runs first: the one r2 hash-red query (sessionization, now emitting
+#: epoch-micros bounds), its new streaming twin, the two r2 registry
+#: stragglers at positions 50-51, quality_decile_assignment, the
+#: rows-only-by-design sketch, and the seven previously-deferred
+#: filter/scalar queries.
 _PRIORITY = (
-    "moving_average_7d",
-    "event_type_daily_pivot",
-    "conversion_funnel",
-    "weekly_retention_cohorts",
-    "range_banded_join",
-    "token_length_histogram",
-    "corpus_stats_by_lang",
-    "sequence_packing",
-)
-
-
-#: driver-evidence priority by defining module: round-1-untested modules
-#: first, fully-driver-green modules last. (Cross-module imports make raw
-#: registration order cascade, so we sort explicitly by ``__module__``.)
-_MODULE_RANK = {
-    f"{__name__}.{m}": i
-    for i, m in enumerate(
-        (
-            "holdings",
-            "relational",
-            "scale_ops",
-            "streaming_queries",
-            "filters",
-            "forecast_nested",
-            "corpus_ops",
-            "core",
-            "budget",
-            "analytics_ops",
-            "curation",
-            "llm_pipeline",
-        )
-    )
-}
-
-
-#: simple single-predicate filter queries with strong local unit+oracle
-#: evidence — deferred past the driver's ~50-query budget so the round's
-#: NEW operators (corpus_ops) all land inside it.
-_DEFER = (
+    "sessionization",
+    "sessionize_stream",
+    "bloom_incremental_dedup",
+    "paged_source_roundtrip",
+    "quality_decile_assignment",
+    "approx_vocab_sketch",
     "tri_state_flag_chain",
     "soft_delete_toggle",
     "coalesce_candidates",
     "document_search",
-    # scalar-function surfaces with exhaustive unit tests, and the
-    # envelope round trip whose unwrap machinery portfolio_holdings now
-    # exercises on the parity surface
     "currency_clean_roundtrip",
     "date_functions_surface",
     "nested_flatten_roundtrip",
 )
+
+#: re-confirm the flagship set inside the same ~50-query window so new
+#: evidence isn't traded for stale (VERDICT r2 #6).
+_FLAGSHIP = (
+    "portfolio_holdings",
+    "cashflow_report_all",
+    "budget_grouping_sets",
+    "knn_batch_join",
+    "streaming_daily_rollup",
+    "streaming_event_dedup",
+    "streaming_enriched_rollup",
+    "streaming_interval_join",
+)
+
+#: queries added THIS round (new operators needing their first driver
+#: row) — slot straight after the flagships, inside the window.
+_NEW_THIS_ROUND: tuple = ()
+
+#: remaining slots go to modules whose latest green rows are from r1
+#: (stale) before modules fully re-confirmed green in r2.
+_MODULE_RANK = {
+    f"{__name__}.{m}": i
+    for i, m in enumerate(
+        (
+            # r1-evidence-only modules first
+            "llm_pipeline",
+            "curation",
+            "budget",
+            "core",
+            "filters",
+            "forecast_nested",
+            # r2-green modules last (freshest evidence)
+            "corpus_ops",
+            "analytics_ops",
+            "scale_ops",
+            "relational",
+            "holdings",
+            "streaming_queries",
+        )
+    )
+}
 
 
 def _reorder() -> None:
@@ -89,10 +98,13 @@ def _reorder() -> None:
 
     def key(name: str) -> tuple:
         if name in _PRIORITY:
-            return (0, _PRIORITY.index(name))
+            return (0, 0, _PRIORITY.index(name))
+        if name in _FLAGSHIP:
+            return (1, 0, _FLAGSHIP.index(name))
+        if name in _NEW_THIS_ROUND:
+            return (2, 0, _NEW_THIS_ROUND.index(name))
         mod = _registry.QUERIES[name].__module__
-        tier = 2 if name in _DEFER else 1
-        return (tier, _MODULE_RANK.get(mod, 99), reg_index[name])
+        return (3, _MODULE_RANK.get(mod, 99), reg_index[name])
 
     order = sorted(_registry.QUERIES, key=key)
     for d in (_registry.QUERIES, _registry.ORACLE_SQL):

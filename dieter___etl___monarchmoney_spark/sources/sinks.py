@@ -50,7 +50,12 @@ def staged_overwrite(df: DataFrame, path: str) -> None:
     staging_path = jvm.org.apache.hadoop.fs.Path(staging)
     if fs.exists(target):
         fs.delete(target, True)
-    fs.rename(staging_path, target)
+    # Hadoop rename reports failure via its boolean, not an exception —
+    # and at this point the old target is already gone, so a silent
+    # False (cross-filesystem staging, concurrent writer) would lose
+    # the table without a trace.
+    if not fs.rename(staging_path, target):
+        raise IOError(f"rename {staging} -> {path} failed; table left in staging")
 
 
 def delete_path(spark: SparkSession, path: str) -> bool:

@@ -209,7 +209,10 @@ def run_incremental_load(
     staging_jpath = jvm.org.apache.hadoop.fs.Path(staging)
     if fs.exists(target):
         fs.delete(target, True)
-    fs.rename(staging_jpath, target)
+    # rename failure surfaces as a boolean, and the old target is gone —
+    # raise rather than silently lose the table (see sinks.staged_overwrite)
+    if not fs.rename(staging_jpath, target):
+        raise IOError(f"rename {staging} -> {sink_path} failed; table left in staging")
     if fresh_n > 0 or advance_on_empty:
         write_watermark(spark, control_path, end)
     return {

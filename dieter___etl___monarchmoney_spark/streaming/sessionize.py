@@ -83,7 +83,9 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             start_us, end_us, n, sid = state.get
         else:
             start_us = end_us = None
-            n, sid = 0, 0
+            # first session is id 1, matching the batch form's running
+            # SUM(is_break) numbering so the twins are row-identical
+            n, sid = 0, 1
         out = []
         for ts in rows["ts"]:
             ts_us = int(pd.Timestamp(ts).value // 1000)

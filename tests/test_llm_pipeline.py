@@ -257,3 +257,42 @@ def test_neardup_clusters_both_paths_agree(spark):
     }
     assert fast == distributed
     assert ({(i, 0) for i in range(6)} | {(7, 7), (8, 7)}) <= fast
+
+def test_lloyd_refine_cells_nondegenerate(spark):
+    """Lloyd refinement keeps exactly n_cells distinct, unit-norm
+    centroids (empty cells fall back to their seed), and refined
+    centroids tighten or hold the mean within-cell distance."""
+    import math
+
+    from dieter___etl___monarchmoney_spark.operators.similarity import (
+        _fold_dot,
+        ivf_cell,
+        lloyd_refine,
+        seed_centroids,
+    )
+
+    vectors = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    seeds = seed_centroids(vectors, 8)
+    refined = lloyd_refine(vectors, seeds, iters=2)
+    assert len(refined) == 8
+    assert len({tuple(c) for c in refined}) == 8  # pairwise distinct
+    for c in refined:
+        assert abs(math.sqrt(_fold_dot(c, c)) - 1.0) < 1e-9  # unit norm
+
+    def mean_sim(cents):
+        assigned = vectors.withColumn("cell", ivf_cell(F.col("embedding"), cents))
+        sims = []
+        for r in assigned.collect():
+            v = [float(x) for x in r["embedding"]]
+            n = math.sqrt(_fold_dot(v, v)) or 1.0
+            sims.append(_fold_dot([x / n for x in v], cents[r["cell"]]))
+        return sum(sims) / len(sims)
+
+    # refinement must not make the quantizer worse (higher cosine to own
+    # centroid = tighter cells)
+    assert mean_sim(refined) >= mean_sim(seeds) - 1e-9
+
+    # every cell still non-empty after refinement on this data
+    assigned = vectors.withColumn("cell", ivf_cell(F.col("embedding"), refined))
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells == set(range(8))

@@ -146,3 +146,67 @@ def test_unsupported_filter_stays_spark_side(spark, payload):
     assert flt.count() == 12  # t0099, t0199, ..., t1199
     physical = flt._jdf.queryExecution().executedPlan().toString()
     assert "Filter (" in physical  # stayed Spark-side
+
+
+def test_seek_offsets_and_single_pass_io(tmp_path, monkeypatch):
+    """The planning pass records each page's byte offset, and read()
+    SEEKS there instead of re-scanning the file prefix: total bytes
+    iterated across every page task is O(file), not O(pages² · page).
+    Driven directly on the reader (no Spark session) so the byte
+    accounting is exact."""
+    import builtins
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    import dieter___etl___monarchmoney_spark.sources.paged_source as ps
+
+    lines = [json.dumps({"id": i}) + "\n" for i in range(1000)]
+    path = tmp_path / "p.jsonl"
+    path.write_text("".join(lines))
+    file_size = sum(len(line) for line in lines)
+
+    schema = StructType([StructField("id", LongType())])
+    reader = ps.PagedJsonReader(schema, {"path": str(path), "pagesize": "100"})
+    parts = reader.partitions()
+    assert len(parts) == 10
+    # each page's byte_start is exactly where its first record begins
+    expected_starts = [
+        sum(len(line) for line in lines[: i * 100]) for i in range(10)
+    ]
+    assert [p.byte_start for p in parts] == expected_starts
+
+    counted = {"bytes": 0}
+    real_open = builtins.open
+
+    class CountingFile:
+        def __init__(self, f):
+            self._f = f
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            self._f.close()
+
+        def seek(self, pos):
+            return self._f.seek(pos)  # a seek reads nothing
+
+        def __iter__(self):
+            for line in self._f:
+                counted["bytes"] += len(line)
+                yield line
+
+    def counting_open(p, mode="r", *a, **kw):
+        return CountingFile(real_open(p, mode, *a, **kw))
+
+    monkeypatch.setattr(builtins, "open", counting_open)
+    rows = []
+    for part in parts:
+        rows.extend(reader.read(part))
+    monkeypatch.undo()
+
+    assert sorted(r[0] for r in rows) == list(range(1000))
+    # one page per task plus at most one look-ahead line each; a prefix
+    # re-scan would have iterated ~5.5x the file for 10 pages
+    max_line = max(len(line) for line in lines)
+    assert counted["bytes"] <= file_size + len(parts) * max_line
