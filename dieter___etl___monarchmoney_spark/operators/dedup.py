@@ -254,6 +254,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via PREFIX FILTERING (the
+    PPJoin-family set-similarity join) — the lossless complement to
+    ``ngram_jaccard_pairs``'s ``doc_freq_cap``: instead of pruning
+    stop-shingle posting lists (lossy), each doc indexes only its
+    ``|d| − ⌈t·|d|⌉ + 1`` RAREST shingles (global frequency order,
+    ties by shingle).
+
+    Why that is exact: J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉ (and
+    symmetrically for B), so in any global token order the FIRST common
+    shingle sits within the first ``|X| − ⌈t·|X|⌉ + 1`` positions of
+    both docs — every qualifying pair collides on at least one indexed
+    shingle, no false negatives by construction.
+
+    Scale shape: the shuffled index is the prefix postings — a fraction
+    ~(1−t) of corpus shingles, and rarest-first ordering makes those
+    posting lists the SHORTEST ones, so Σdf² over the index stays small
+    without dropping any true pair. Candidates verify with one
+    ``array_intersect`` against the (persisted) distinct-shingle
+    arrays. This is the shape that holds at 100 TB when the cap-based
+    prune is not acceptable (e.g. legal dedup audits needing provable
+    completeness)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(text_col), lambda t: t != "").alias("toks"),
+    )
+    doc_sh = (
+        toks.select(
+            "doc_id", F.array_distinct(shingles_of(F.col("toks"), n)).alias("sh_arr")
+        )
+        .filter(F.size("sh_arr") > 0)
+        .persist()  # feeds frequency build, prefix build, and both verify sides
+    )
+    exploded = doc_sh.select(
+        "doc_id", F.size("sh_arr").alias("n_sh"), F.explode("sh_arr").alias("shingle")
+    )
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # global rarest-first total order: (doc_freq, shingle) — identical
+    # in every doc, so prefixes are mutually consistent
+    ordered = (
+        exploded.join(freq, "shingle")
+        .groupBy("doc_id", "n_sh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_freq", "shingle"))
+            ).alias("by_rarity")
+        )
+    )
+    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    prefix = ordered.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("by_rarity", F.lit(1), prefix_len), lambda s: s["shingle"]
+            )
+        ).alias("shingle"),
+    )
+    postings = (
+        prefix.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        postings.select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    a = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a"))
+    b = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
 def neardup_clusters(
     vertices: DataFrame,
     pairs: DataFrame,

@@ -66,7 +66,12 @@ _FLAGSHIP = (
 
 #: queries added THIS round (new operators needing their first driver
 #: row) — slot straight after the flagships, inside the window.
-_NEW_THIS_ROUND: tuple = ()
+_NEW_THIS_ROUND: tuple = (
+    "streaming_left_join",
+    "prefix_filter_jaccard",
+    "bigram_lm_quality",
+    "table_checksum",
+)
 
 #: remaining slots go to modules whose latest green rows are from r1
 #: (stale) before modules fully re-confirmed green in r2.

@@ -557,3 +557,156 @@ def q_paged_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pageSize", 100)
         .load()
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtering exact set-similarity join (PPJoin-family)
+# --------------------------------------------------------------------------
+
+_FILTERED_TOKS_SQL = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"
+
+_3GRAM_SQL = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+
+#: naive uncapped exact-Jaccard oracle — an INDEPENDENT method (full
+#: inverted index, no prefix filtering), so a green row proves the
+#: prefix index is lossless, not merely self-consistent.
+_PREFIX_JACCARD_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, {_FILTERED_TOKS_SQL} AS toks FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> {_3GRAM_SQL}))) AS shingle
+    FROM docs
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+"""
+
+
+@query("prefix_filter_jaccard", _PREFIX_JACCARD_SQL)
+def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs via prefix filtering
+    (operators/dedup.py:prefix_filter_jaccard_pairs) — the LOSSLESS
+    complement to ngram_jaccard_pairs' doc_freq_cap prune: each doc
+    indexes only its rarest |d|−⌈t·|d|⌉+1 shingles, which provably
+    catches every pair with Jaccard ≥ t. The oracle is the naive
+    uncapped inverted-index join (a different algorithm entirely), so
+    the driver row certifies losslessness."""
+    from dieter___etl___monarchmoney_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return prefix_filter_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model quality score (perplexity-filter family)
+# --------------------------------------------------------------------------
+
+_BIGRAM_LM_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, {_FILTERED_TOKS_SQL} AS toks FROM documents
+),
+big AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+    FROM docs
+),
+c1 AS (
+    SELECT tok, COUNT(*) AS c1
+    FROM (SELECT unnest(toks) AS tok FROM docs) GROUP BY tok
+),
+cb AS (SELECT bigram, COUNT(*) AS cb FROM big GROUP BY bigram),
+v AS (SELECT COUNT(*) AS v FROM c1),
+scored AS (
+    SELECT b.doc_id,
+           CAST(ln((cb.cb + 1) / CAST(c1.c1 + v.v AS DOUBLE)) AS DECIMAL(38,18)) AS lp
+    FROM big b
+    JOIN cb USING (bigram)
+    JOIN c1 ON c1.tok = split_part(b.bigram, ' ', 1)
+    CROSS JOIN v
+),
+agg AS (
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logp
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.avg_logp, 0.0) AS avg_logp
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("bigram_lm_quality", _BIGRAM_LM_SQL)
+def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LM quality scoring (the CCNet/RefinedWeb
+    perplexity-filter family, self-trained): an add-one-smoothed bigram
+    model is fit on the corpus IN the engine — unigram counts, bigram
+    counts, vocabulary size as a broadcast one-row aggregate — and each
+    doc scores avg log p(w2|w1) over its bigrams; gibberish and
+    boilerplate score low, fluent text high.
+
+    Scale shape: two count shuffles (unigram, bigram) + one join of the
+    doc bigram stream against both count tables (bigram-keyed shuffle;
+    the unigram side is dim-sized per vocabulary and Catalyst/AQE may
+    broadcast it), then one per-doc aggregate. Per-bigram log-probs are
+    summed as DECIMAL(38,18) — float addition is not associative, so an
+    exact-decimal sum keeps the per-doc score independent of Spark's
+    aggregation order AND bit-reproducible in the oracle (same pattern
+    as lloyd_refine / money_sum)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("toks")
+    )
+    big = toks.select(
+        "doc_id", F.explode_outer(shingles_of(F.col("toks"), 2)).alias("bigram")
+    ).filter(F.col("bigram").isNotNull())
+    unig = toks.select(F.explode("toks").alias("tok"))
+    c1 = unig.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    cb = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        big.join(cb, "bigram")
+        .join(c1, F.substring_index(F.col("bigram"), " ", 1) == F.col("tok"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("cb") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            )
+            .cast("decimal(38,18)")
+            .alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logp"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("avg_logp", F.lit(0.0)).alias("avg_logp"),
+        )
+    )

@@ -554,3 +554,60 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+@query(
+    "table_checksum",
+    """
+    WITH canon AS (
+        SELECT o_orderkey % 16 AS bucket,
+               concat_ws('|',
+                   CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR),
+                   o_orderstatus,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                   o_orderpriority) AS row_repr
+        FROM orders
+    )
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(row_repr), 1, 15)) AS BIGINT))
+                % 9007199254740881 AS BIGINT) AS checksum
+    FROM canon GROUP BY bucket
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksums — the data-validation
+    primitive a 100 TB migration/replication pipeline runs on both
+    sides of a copy (and the integrity twin of the reference's
+    volume-count reconciliation, MonarchMoneyMain-v3.py:1385-1410,
+    which compares row counts only): each row canonicalizes to a
+    stable string, hashes to a 60-bit integer (15 md5 hex chars — fits
+    BIGINT, so both engines parse it exactly), and SUMS per bucket.
+
+    Scale shape: addition is commutative, so the checksum needs no
+    ordering guarantee — one scan + one map-side-combined aggregate
+    keyed on the bucket; buckets let two sides localize a mismatch to
+    1/16th of the table without re-hashing it all. Doubles stay OUT of
+    the canonical string (engines render floats differently); the
+    running sum is exact decimal/int128 — immune to overflow and float
+    association — folded modulo the largest prime under 2^53 so the
+    surfaced checksum is a plain BIGINT in both engines."""
+    orders = load_table(spark, "orders", sf_dir)
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        orders.select(F.pmod("o_orderkey", F.lit(16)).alias("bucket"), h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("h") % F.lit(9007199254740881)).cast("bigint").alias("checksum"),
+        )
+    )

@@ -262,3 +262,79 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_bounds_as_micros(res).filter(
         F.col("session_start_us") < F.lit(sentinel_us)
     )
+
+
+@query(
+    "streaming_left_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS p_ts_us,
+           v.event_id AS view_id,
+           epoch_us(CAST(v.ts AS TIMESTAMP)) AS v_ts_us
+    FROM events p
+    LEFT JOIN events v
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view'
+     AND v.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the stateful-operator
+    family the inner form can't exercise: an unmatched purchase is held
+    in state until the watermark PROVES no qualifying view can still
+    arrive, then emits null-padded, exactly once. On a batch-complete
+    source the emitted set equals the batch LEFT JOIN (the oracle).
+
+    Tail rows only emit after a final watermark advance, so the source
+    unions a flush-marker stream (one sentinel purchase + one sentinel
+    view at user −1, 30 days out — they pass the per-side filters and
+    push BOTH sides' watermarks, and the global watermark is their
+    min). Sentinel output rows are dropped by the purchase_id ≥ 0
+    filter; sentinels can't touch real rows (user −1, far-future
+    bounds). Timestamps surface as epoch-micros BIGINTs — the
+    hash-robust convention sessionization established."""
+    events = load_table(spark, "events", sf_dir)
+    max_ts = events.agg(F.max("ts").alias("m")).first()["m"]
+    sentinel_ts = max_ts + dt.timedelta(days=30)
+
+    from dieter___etl___monarchmoney_spark.sources.parquet import (
+        _normalize_event_time,
+    )
+    from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
+        EVENTS_RAW_SCHEMA,
+        interval_join_stream,
+    )
+
+    sent_dir = os.path.join(
+        tempfile.gettempdir(), f"left_join_flush_{_digest(sf_dir)}"
+    )
+    shutil.rmtree(sent_dir, ignore_errors=True)
+    spark.createDataFrame(
+        [
+            (-1, sentinel_ts, -1, "purchase", 0.0, None),
+            (-2, sentinel_ts, -1, "view", 0.0, None),
+        ],
+        EVENTS_RAW_SCHEMA,
+    ).write.parquet(sent_dir)
+
+    flush = _normalize_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(sent_dir)
+    )
+    ev = read_events_stream(spark, sf_dir).unionByName(flush)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    stream = interval_join_stream(purchases, views, minutes=10, how="leftOuter")
+    res = run_available_now(
+        stream,
+        f"left_join_{_digest(sf_dir)}",
+        output_mode="append",
+        state_partitions=8,
+    )
+    return res.filter(F.col("purchase_id") >= 0).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        "view_id",
+        F.unix_micros("v_ts").alias("v_ts_us"),
+    )

@@ -125,7 +125,11 @@ def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
 
 
 def interval_join_stream(
-    purchases: DataFrame, views: DataFrame, minutes: int = 10, watermark: str = "1 day"
+    purchases: DataFrame,
+    views: DataFrame,
+    minutes: int = 10,
+    watermark: str = "1 day",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM inner join with an event-time range condition: each
     purchase matched to the same user's views in the preceding
@@ -139,7 +143,15 @@ def interval_join_stream(
     per user, not O(stream). Append output — a matched pair emits
     exactly once, when the watermark proves no earlier match can still
     arrive. On a batch-complete (availableNow) source the emitted set
-    equals the batch interval join, which is the registered oracle."""
+    equals the batch interval join, which is the registered oracle.
+
+    ``how="leftOuter"`` adds the unmatched-purchase rows: Spark holds
+    each left row in state until the watermark proves no qualifying
+    view can still arrive, THEN emits it null-padded — the streaming
+    twin of a batch LEFT JOIN, with the null-emission latency bounded
+    by the watermark delay (state eviction is what triggers it, so a
+    final watermark advance — e.g. a flush marker, or simply more data
+    — must occur for tail rows to emit)."""
     p = purchases.select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
@@ -155,7 +167,7 @@ def interval_join_stream(
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {minutes} MINUTES"))
         & (F.col("v_ts") <= F.col("p_ts"))
     )
-    return p.join(v, cond, "inner").select(
+    return p.join(v, cond, how).select(
         "purchase_id", F.col("p_user").alias("user_id"), "p_ts", "view_id", "v_ts"
     )
 

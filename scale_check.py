@@ -40,6 +40,10 @@ QUERIES = (
     "text_repetition_scores",
     "boilerplate_segment_audit",
     "source_mixture_sample",
+    # round-3 additions: the lossless set-similarity join and the
+    # corpus-trained bigram LM (two count shuffles + one join back)
+    "prefix_filter_jaccard",
+    "bigram_lm_quality",
 )
 
 VOWELS = "aeiou"

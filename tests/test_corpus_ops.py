@@ -188,3 +188,115 @@ def test_bloom_dedup_matches_plain_anti_join(spark):
         for r in QUERIES["incremental_dedup"](spark, SF_ORACLE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_prefix_filter_jaccard_is_lossless(spark):
+    """Prefix filtering must find EXACTLY the pairs the full uncapped
+    inverted-index join finds — same threshold, same n — proving the
+    |d|−⌈t·|d|⌉+1 rarest-shingle index drops no qualifying pair."""
+    from dieter___etl___monarchmoney_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    full = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.5, doc_freq_cap=None
+        ).collect()
+    }
+    prefix = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in prefix_filter_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.5
+        ).collect()
+    }
+    assert prefix == full and len(prefix) > 0
+
+
+def test_prefix_filter_indexes_fewer_postings(spark):
+    """The point of the prefix index: far fewer exploded postings than
+    the full inverted index, without losing a pair (previous test)."""
+    from dieter___etl___monarchmoney_spark.functions.text import tokens
+    from dieter___etl___monarchmoney_spark.operators.dedup import shingles_of
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("toks")
+    )
+    doc_sh = toks.select(
+        "doc_id", F.array_distinct(shingles_of(F.col("toks"), 3)).alias("sh_arr")
+    ).filter(F.size("sh_arr") > 0)
+    n_total = doc_sh.select(F.sum(F.size("sh_arr"))).collect()[0][0]
+    # prefix length with t=0.5 is ~half the shingles per doc
+    prefix_len = F.size("sh_arr") - F.ceil(F.lit(0.5) * F.size("sh_arr")) + 1
+    n_prefix = doc_sh.select(F.sum(prefix_len)).collect()[0][0]
+    assert n_prefix < 0.6 * n_total
+
+
+def test_bigram_lm_scores_fluency(spark):
+    """A doc made of corpus-frequent bigrams must outscore a doc of
+    corpus-unique bigrams (its transitions were seen; theirs weren't)."""
+    from dieter___etl___monarchmoney_spark.queries.corpus_ops import (
+        q_bigram_lm_quality,
+    )
+    import os
+    import tempfile
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "zq xv jk wp mn bz"))
+    tmp = os.path.join(tempfile.gettempdir(), "bigram_lm_unit")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r["doc_id"]: r["avg_logp"] for r in q_bigram_lm_quality(spark, tmp).collect()}
+    assert out[0] > out[100]
+    assert all(out[i] == out[0] for i in range(20))  # identical docs, identical score
+
+
+def test_table_checksum_localizes_a_mutation(spark, tmp_path):
+    """Flipping one field in one row changes the checksum in EXACTLY
+    that row's bucket — the migration-validation property."""
+    from dieter___etl___monarchmoney_spark.queries.scale_ops import q_table_checksum
+
+    src = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    base = {r["bucket"]: r["checksum"] for r in q_table_checksum(spark, SF_ORACLE).collect()}
+
+    mutated_dir = str(tmp_path / "mutated")
+    mutated = src.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") == 7, F.lit("TAMPERED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    mutated.write.parquet(mutated_dir + "/orders.parquet")
+    got = {
+        r["bucket"]: r["checksum"]
+        for r in q_table_checksum(spark, mutated_dir).collect()
+    }
+    diff = {b for b in base if base[b] != got.get(b)}
+    assert diff == {7 % 16}
+
+
+def test_streaming_left_join_emits_unmatched_nulls(spark):
+    """The left-outer stream-stream join emits every purchase exactly
+    once — matched rows with view ids, tail/unmatched rows null-padded
+    after the flush marker advances the watermark."""
+    from dieter___etl___monarchmoney_spark.queries.streaming_queries import (
+        q_streaming_left_join,
+    )
+
+    out = q_streaming_left_join(spark, SF_ORACLE)
+    rows = out.collect()
+    n_purchases = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    matched = [r for r in rows if r["view_id"] is not None]
+    unmatched = [r for r in rows if r["view_id"] is None]
+    # every purchase appears; unmatched ones exactly once with nulls
+    assert len({r["purchase_id"] for r in unmatched}) == len(unmatched)
+    assert len(matched) > 0 and len(unmatched) > 0
+    assert len({r["purchase_id"] for r in rows}) == n_purchases

@@ -327,3 +327,32 @@ def test_except_all_no_join_explosion(spark):
     plan = _plan(QUERIES["exact_dedup_removed"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_prefix_filter_jaccard_no_cartesian(spark):
+    """The prefix index is a hash-keyed posting join — never a
+    cartesian/nested-loop pair enumeration, and no Python UDFs."""
+    plan = _plan(QUERIES["prefix_filter_jaccard"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_table_checksum_single_shuffle(spark):
+    """Checksumming is one scan + one map-side-combined aggregate: the
+    plan carries exactly one Exchange (the bucket groupBy) and partial
+    aggregation below it."""
+    plan = _plan(QUERIES["table_checksum"](spark, SF_ORACLE))
+    # formatted mode prints each node in the tree AND the detail list,
+    # so one physical Exchange appears as one "+- Exchange" tree entry
+    assert plan.count("+- Exchange") == 1
+    assert "partial_sum" in plan  # map-side combine below the shuffle
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_bigram_lm_stays_jvm_side(spark):
+    """LM fit + scoring is pure column algebra: no Python evaluation
+    nodes, no cartesian joins (the vocab-size frame broadcasts)."""
+    plan = _plan(QUERIES["bigram_lm_quality"](spark, SF_ORACLE))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
