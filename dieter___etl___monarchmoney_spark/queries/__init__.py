@@ -27,6 +27,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     analytics_ops,
     curation,
     llm_pipeline,
+    sketch_ops,
 )
 
 #: Round-3 rotation — every query that has NEVER had a driver-side row
@@ -71,6 +72,13 @@ _NEW_THIS_ROUND: tuple = (
     "prefix_filter_jaccard",
     "bigram_lm_quality",
     "table_checksum",
+    "hll_distinct_users",
+    "countmin_heavy_hitters",
+    "fuzzy_name_dedup",
+    "embedding_quantization",
+    "vocab_id_assignment",
+    "incremental_agg_merge",
+    "zorder_layout_keys",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

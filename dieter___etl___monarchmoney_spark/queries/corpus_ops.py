@@ -710,3 +710,255 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("avg_logp", F.lit(0.0)).alias("avg_logp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy (edit-distance) dedup with blocking — the "typo dup" family
+# --------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 4
+
+_FUZZY_SQL = f"""
+WITH blocked AS (
+    SELECT p_partkey, p_name, p_brand,
+           string_split_regex(lower(trim(p_name)), '\\s+')[1] AS first_tok
+    FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+FROM blocked a JOIN blocked b
+  ON a.p_brand = b.p_brand AND a.first_tok = b.first_tok
+ AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= {_FUZZY_MAX_DIST}
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+ORDER BY id_a, id_b
+"""
+
+
+@query("fuzzy_name_dedup", _FUZZY_SQL)
+def q_fuzzy_name_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over part names: Levenshtein <= 4
+    within (brand, first-token) blocks — the fuzzy-match family the
+    shingle/minhash dedups can't express (those need token overlap; a
+    3-char typo in a single-token name defeats them).
+
+    Scale shape: NEVER an all-pairs product. The equi-join on the
+    (p_brand, first_tok) block key is an ordinary shuffle join whose
+    work is sum(block^2), not n^2, and the length-band predicate
+    |len(a)-len(b)| <= d is join-condition-cheap and PROVABLY lossless
+    (levenshtein >= length difference, so no pair with dist <= d is
+    dropped) — the expensive O(len^2)-per-pair levenshtein only runs on
+    survivors. At 100 TB you extend the block key (first 2 tokens, or a
+    q-gram prefix a la prefix_filter_jaccard) to keep block^2 bounded;
+    the lossless-band argument is unchanged."""
+    parts = load_table(spark, "part", sf_dir)
+    blocked = parts.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split(F.lower(F.trim(F.col("p_name"))), r"\s+")[0].alias("first_tok"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.first_tok") == F.col("b.first_tok"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (
+            F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+            <= _FUZZY_MAX_DIST
+        ),
+    )
+    return (
+        joined.withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("int"),
+        )
+        .filter(F.col("edit_distance") <= _FUZZY_MAX_DIST)
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            "edit_distance",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 scalar quantization + reconstruction-error audit
+# --------------------------------------------------------------------------
+
+_QUANT_SQL = """
+WITH base AS (
+    SELECT vec_id,
+           CAST(length(embedding) AS INT) AS n_dims,
+           CAST(list_min(embedding) AS DOUBLE) AS mn,
+           CAST(list_max(embedding) AS DOUBLE) AS mx
+    FROM embeddings
+),
+q AS (
+    SELECT b.vec_id, b.n_dims, b.mn, b.mx,
+           CASE WHEN b.mx = b.mn THEN CAST(0 AS BIGINT) ELSE CAST(list_sum(
+               list_transform(e.embedding, (x, i) ->
+                   CAST(i AS BIGINT) * LEAST(255, CAST(floor(
+                       (CAST(x AS DOUBLE) - b.mn) * 256.0 / (b.mx - b.mn)
+                   ) AS BIGINT)))
+           ) AS BIGINT) END AS code_checksum,
+           CASE WHEN b.mx = b.mn THEN 0.0 ELSE list_max(
+               list_transform(e.embedding, x ->
+                   abs(b.mn + (LEAST(255, CAST(floor(
+                       (CAST(x AS DOUBLE) - b.mn) * 256.0 / (b.mx - b.mn)
+                   ) AS BIGINT)) + 0.5) * ((b.mx - b.mn) / 256.0)
+                       - CAST(x AS DOUBLE)))
+           ) END AS max_abs_err
+    FROM base b JOIN embeddings e USING (vec_id)
+)
+SELECT vec_id, n_dims, mn, mx, code_checksum, max_abs_err FROM q
+"""
+
+
+@query("embedding_quantization", _QUANT_SQL)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings (per-vector min/max
+    affine codes, the FAISS SQ8 shape) with an in-query reconstruction
+    -error audit: code i = floor((x-mn)*256/(mx-mn)) clamped to 255,
+    dequant = mn + (code+0.5)*scale. The full code vector is
+    hash-checked via an order-pinned checksum sum(code_i * i); the
+    audit column is the max absolute reconstruction error, bounded by
+    scale/2 + float-representation noise (property-tested).
+
+    Every operation is IEEE +,-,*,/ and floor on binary64 — all exactly
+    specified, so both engines produce bit-identical codes and errors
+    with NO rounding tolerance (unlike transcendental-based scores).
+    Index convention: DuckDB's (x,i) lambda is 1-based, Spark's
+    transform index is 0-based, so the Spark side uses i+1.
+
+    Scale shape: embarrassingly parallel scan — zero shuffles, the
+    quantized corpus is written partition-local at 4x compression,
+    which is the point at 100 TB: ANN probes (ivf_ann_topk) then scan
+    int8 codes, not float32."""
+    vecs = load_table(spark, "embeddings", sf_dir)
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    base = vecs.select(
+        "vec_id",
+        "embedding",
+        F.size("embedding").cast("int").alias("n_dims"),
+        mn.alias("mn"),
+        mx.alias("mx"),
+    )
+
+    def code(x):
+        return F.least(
+            F.lit(255).cast("bigint"),
+            F.floor((x.cast("double") - F.col("mn")) * 256.0 / (F.col("mx") - F.col("mn"))),
+        )
+
+    checksum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x, i: (i + 1).cast("bigint") * code(x)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    err = F.array_max(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.abs(
+                F.col("mn")
+                + (code(x) + 0.5) * ((F.col("mx") - F.col("mn")) / 256.0)
+                - x.cast("double")
+            ),
+        )
+    )
+    degenerate = F.col("mx") == F.col("mn")
+    return base.select(
+        "vec_id",
+        "n_dims",
+        "mn",
+        "mx",
+        F.when(degenerate, F.lit(0).cast("bigint")).otherwise(checksum).alias(
+            "code_checksum"
+        ),
+        F.when(degenerate, F.lit(0.0)).otherwise(err).alias("max_abs_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer vocabulary construction: frequency-ranked IDs + OOV rate
+# --------------------------------------------------------------------------
+
+_VOCAB_MIN_COUNT = 5
+_VOCAB_TOPK = 200
+
+_VOCAB_SQL = f"""
+WITH words AS (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+),
+counts AS (
+    SELECT word, COUNT(*) AS freq FROM words WHERE word <> '' GROUP BY word
+),
+stats AS (
+    SELECT CAST(SUM(freq) AS DOUBLE) AS total_occ,
+           CAST(SUM(CASE WHEN freq >= {_VOCAB_MIN_COUNT} THEN freq ELSE 0 END)
+                AS DOUBLE) AS covered_occ
+    FROM counts
+),
+topv AS (
+    SELECT word, freq FROM counts WHERE freq >= {_VOCAB_MIN_COUNT}
+    ORDER BY freq DESC, word LIMIT {_VOCAB_TOPK}
+)
+SELECT t.word, CAST(t.freq AS BIGINT) AS freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY t.freq DESC, t.word) AS INT) AS vocab_id,
+       1.0 - s.covered_occ / s.total_occ AS oov_rate
+FROM topv t, stats s
+ORDER BY vocab_id
+"""
+
+
+@query("vocab_id_assignment", _VOCAB_SQL)
+def q_vocab_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction: corpus word frequencies,
+    min-count {_VOCAB_MIN_COUNT} threshold, dense frequency-ranked IDs
+    for the top {_VOCAB_TOPK} entries, and the corpus OOV rate (the
+    fraction of token OCCURRENCES falling outside the vocabulary) as a
+    constant audit column — the stats a BPE/WordPiece trainer needs
+    before merges start.
+
+    Scale shape: one word-count shuffle (map-side combinable); the
+    global frequency rank is NOT a single-partition window over the
+    vocabulary — the top-k is taken with orderBy().limit() (Take-
+    OrderedAndProject: per-partition top-k then a k-row driver merge)
+    and row_number runs over only those k finalists, so the funnel is
+    bounded at k rows no matter the vocabulary size. The OOV stats are
+    a 1-row aggregate broadcast onto the output."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    stats = counts.agg(
+        F.sum("freq").cast("double").alias("total_occ"),
+        F.sum(
+            F.when(F.col("freq") >= _VOCAB_MIN_COUNT, F.col("freq")).otherwise(0)
+        )
+        .cast("double")
+        .alias("covered_occ"),
+    )
+    topv = (
+        counts.filter(F.col("freq") >= _VOCAB_MIN_COUNT)
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(_VOCAB_TOPK)
+    )
+    w = Window.orderBy(F.col("freq").desc(), "word")
+    return (
+        topv.withColumn("vocab_id", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "word",
+            F.col("freq").cast("bigint").alias("freq"),
+            "vocab_id",
+            (F.lit(1.0) - F.col("covered_occ") / F.col("total_occ")).alias("oov_rate"),
+        )
+        .orderBy("vocab_id")
+    )

@@ -611,3 +611,146 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("h") % F.lit(9007199254740881)).cast("bigint").alias("checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance: merge materialized partials + delta
+# --------------------------------------------------------------------------
+
+_INC_MERGE_SQL = """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY event_date, event_type
+ORDER BY event_date, event_type
+"""
+
+
+@query("incremental_agg_merge", _INC_MERGE_SQL)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the daily
+    (event_date, event_type) rollup is NOT recomputed from the full
+    fact — yesterday's materialized PARTIALS (count + exact-decimal
+    sum, the mergeable state) are unioned with partials computed from
+    only the last-7-days delta, then merged by one more groupBy. The
+    oracle is the full recompute, so parity PROVES merge == recompute.
+
+    Mergeable-state rules: COUNT merges by +, SUM merges by + (kept as
+    DECIMAL(18,6) through the merge so neither the partial nor the
+    merge order can flake a hash), AVG is NOT mergeable and is derived
+    from the merged sum/count at the end — the same discipline the
+    sketch family (hll/countmin) applies to its registers.
+
+    Scale shape: at 100 TB the history partials are a stored table of
+    ~|groups| rows read back in one scan (here simulated by a filtered
+    aggregate over the same parquet); only the watermark window's delta
+    touches the fact. Cost per refresh is O(delta + groups), not
+    O(history) — the same contract as streaming/incremental.py's
+    watermark pipeline, expressed for aggregates."""
+    events = load_table(spark, "events", sf_dir)
+    cutoff = events.agg(
+        F.date_sub(F.max(F.col("ts")).cast("date"), 7).alias("cut")
+    )
+    dated = events.crossJoin(F.broadcast(cutoff)).select(
+        F.col("ts").cast("date").alias("event_date"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.col("ts").cast("date") < F.col("cut")).alias("is_history"),
+    )
+
+    def partials(df):
+        return df.groupBy("event_date", "event_type").agg(
+            F.count(F.lit(1)).alias("p_count"),
+            F.sum("v").alias("p_sum"),
+        )
+
+    history = partials(dated.filter(F.col("is_history")))   # stored MV stand-in
+    delta = partials(dated.filter(~F.col("is_history")))    # watermark window
+    merged = (
+        history.unionByName(delta)
+        .groupBy("event_date", "event_type")
+        .agg(F.sum("p_count").alias("n_events"), F.sum("p_sum").alias("s"))
+    )
+    return merged.select(
+        "event_date",
+        "event_type",
+        "n_events",
+        F.col("s").cast("double").alias("total_value"),
+        (F.col("s").cast("double") / F.col("n_events")).alias("avg_value"),
+    ).orderBy("event_date", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout keys: multi-dimensional clustering audit
+# --------------------------------------------------------------------------
+
+
+def _interleave_terms(a: str, b: str, bits: int = 8):
+    """SQL text for the Morton interleave of two ``bits``-bit ints —
+    ``a`` occupies even bit positions, ``b`` odd."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_SQL = f"""
+WITH dims AS (
+    SELECT user_id % 256 AS ua, dayofyear(ts) % 256 AS db FROM events
+),
+keyed AS (
+    SELECT CAST({_interleave_terms('ua', 'db')} AS BIGINT) AS z_value, ua, db
+    FROM dims
+)
+SELECT CAST(z_value >> 6 AS BIGINT) AS z_bucket,
+       COUNT(*) AS n_rows,
+       CAST(MIN(ua) AS BIGINT) AS min_user_bucket,
+       CAST(MAX(ua) AS BIGINT) AS max_user_bucket,
+       CAST(MIN(db) AS BIGINT) AS min_day_bucket,
+       CAST(MAX(db) AS BIGINT) AS max_day_bucket
+FROM keyed
+GROUP BY z_bucket
+ORDER BY z_bucket
+"""
+
+
+@query("zorder_layout_keys", _ZORDER_SQL)
+def q_zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering keys over (user bucket, day of
+    year): the 16-bit interleave of the two 8-bit dims, audited by the
+    per-zbucket bounding box (min/max of each dim inside each 1024-row
+    curve segment). Tight boxes on BOTH dims are the property that
+    makes Z-ordered file layout prune multi-dimensional predicates —
+    a sort by (user, day) gives perfect user pruning and useless day
+    pruning; the curve bounds both.
+
+    The interleave is 32 shift/mask/add integer terms — exact in both
+    engines, no UDF, codegen-friendly. At 100 TB this expression is the
+    sort key of the writer (``df.repartitionByRange(z).sortWithin-
+    Partitions(z).write...``) so min/max parquet footer stats become
+    2-D data-skipping indexes; this query is the audit that the layout
+    would actually prune (the same role SCALECHECK plays for growth)."""
+    events = load_table(spark, "events", sf_dir)
+    dims = events.select(
+        F.pmod(F.col("user_id"), F.lit(256)).alias("ua"),
+        F.pmod(F.dayofyear("ts"), F.lit(256)).alias("db"),
+    )
+    keyed = dims.select(
+        F.expr(f"CAST({_interleave_terms('ua', 'db')} AS BIGINT)").alias("z_value"),
+        "ua",
+        "db",
+    )
+    return (
+        keyed.groupBy(F.expr("CAST(z_value >> 6 AS BIGINT)").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ua").cast("bigint").alias("min_user_bucket"),
+            F.max("ua").cast("bigint").alias("max_user_bucket"),
+            F.min("db").cast("bigint").alias("min_day_bucket"),
+            F.max("db").cast("bigint").alias("max_day_bucket"),
+        )
+        .orderBy("z_bucket")
+    )

@@ -356,3 +356,46 @@ def test_bigram_lm_stays_jvm_side(spark):
     plan = _plan(QUERIES["bigram_lm_quality"](spark, SF_ORACLE))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_dedup_blocked_equijoin_no_cartesian(spark):
+    # the levenshtein self-join must ride the (brand, first_tok) equi-key:
+    # hash/sort-merge join, never a nested-loop over all pairs
+    plan = _plan(QUERIES["fuzzy_name_dedup"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_countmin_probe_broadcasts_topk(spark):
+    plan = _plan(QUERIES["countmin_heavy_hitters"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_rank_bounded_topk_not_global_sort(spark):
+    # the frequency rank must come from TakeOrderedAndProject over the
+    # k finalists, not a vocabulary-wide single-partition sort
+    plan = _plan(QUERIES["vocab_id_assignment"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_round3_ops_stay_jvm_side(spark):
+    # none of the round-3 operators may fall back to Python evaluation
+    for name in (
+        "hll_distinct_users",
+        "countmin_heavy_hitters",
+        "fuzzy_name_dedup",
+        "embedding_quantization",
+        "vocab_id_assignment",
+        "incremental_agg_merge",
+        "zorder_layout_keys",
+    ):
+        plan = _plan(QUERIES[name](spark, SF_ORACLE))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_quantization_shuffle_free(spark):
+    # per-vector quantization is a pure scan: no Exchange at all
+    plan = _plan(QUERIES["embedding_quantization"](spark, SF_ORACLE))
+    assert "Exchange" not in plan

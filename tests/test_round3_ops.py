@@ -1,0 +1,87 @@
+"""Property tests for the round-3 operator families: sketch error
+bounds (HLL two-sigma, count-min one-sided), quantization reconstruction
+bound, the fuzzy-dedup length-band losslessness claim, and Morton-key
+bijectivity. Cross-engine value parity is covered by test_oracle_parity;
+these pin the mathematical contracts the docstrings claim."""
+
+from __future__ import annotations
+
+import duckdb
+
+from dieter___etl___monarchmoney_spark import registry
+from dieter___etl___monarchmoney_spark.queries.corpus_ops import (
+    _FUZZY_MAX_DIST,
+    _FUZZY_SQL,
+)
+from dieter___etl___monarchmoney_spark.queries.scale_ops import _interleave_terms
+from tests.conftest import SF_ORACLE
+
+QUERIES, ORACLE_SQL = registry.load()
+
+
+def test_hll_estimate_within_error_bound(spark):
+    rows = QUERIES["hll_distinct_users"](spark, SF_ORACLE).collect()
+    assert rows, "no event types"
+    for r in rows:
+        # HLL-256 standard error is 1.04/sqrt(256) = 6.5%; 3 sigma ~ 20%
+        rel = abs(r.est_distinct - r.exact_distinct) / max(r.exact_distinct, 1)
+        assert rel < 0.20, f"{r.event_type}: est {r.est_distinct} vs {r.exact_distinct}"
+        assert 1 <= r.n_registers_hit <= 256
+
+
+def test_countmin_error_is_one_sided(spark):
+    rows = QUERIES["countmin_heavy_hitters"](spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cm_estimate >= r.exact_cnt, f"{r.word}: CM underestimated"
+        assert r.overestimate == r.cm_estimate - r.exact_cnt
+
+
+def test_quantization_reconstruction_bound(spark):
+    rows = QUERIES["embedding_quantization"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        scale = (r.mx - r.mn) / 256.0
+        # mid-rise dequant error is <= scale/2 (+ float slack)
+        assert r.max_abs_err <= scale / 2 + 1e-9, r.vec_id
+        assert r.mn <= r.mx
+
+
+def test_fuzzy_length_band_is_lossless(duck):
+    """Dropping the |len(a)-len(b)| <= d prefilter must not change the
+    result set: levenshtein(a,b) >= |len(a)-len(b)|, so the band can
+    never exclude a pair with distance <= d."""
+    banded = duck.sql(_FUZZY_SQL).fetchall()
+    unbanded_sql = _FUZZY_SQL.replace(
+        f"AND abs(length(a.p_name) - length(b.p_name)) <= {_FUZZY_MAX_DIST}\n", ""
+    )
+    assert unbanded_sql != _FUZZY_SQL, "band predicate not found to strip"
+    unbanded = duck.sql(unbanded_sql).fetchall()
+    assert banded == unbanded
+    assert len(banded) > 0, "blocking left no candidate pairs at sf0.01"
+
+
+def test_morton_interleave_is_bijective():
+    """All 2^16 (a, b) combinations map to 2^16 distinct z-values and
+    the even/odd bit split recovers both dims."""
+    con = duckdb.connect()
+    n_distinct, n_total = con.execute(
+        f"""
+        WITH g AS (
+            SELECT a.range AS ua, b.range AS db
+            FROM range(0, 256) a, range(0, 256) b
+        )
+        SELECT COUNT(DISTINCT {_interleave_terms('ua', 'db')}), COUNT(*) FROM g
+        """
+    ).fetchone()
+    assert n_distinct == n_total == 65536
+
+
+def test_vocab_ids_dense_and_oov_in_range(spark):
+    rows = QUERIES["vocab_id_assignment"](spark, SF_ORACLE).collect()
+    assert rows
+    ids = [r.vocab_id for r in rows]
+    assert ids == list(range(1, len(ids) + 1)), "vocab ids not dense from 1"
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    assert all(0.0 <= r.oov_rate <= 1.0 for r in rows)
