@@ -79,6 +79,9 @@ _NEW_THIS_ROUND: tuple = (
     "vocab_id_assignment",
     "incremental_agg_merge",
     "zorder_layout_keys",
+    "similarity_graph_triangles",
+    "containment_dedup_pairs",
+    "value_outliers_zscore",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

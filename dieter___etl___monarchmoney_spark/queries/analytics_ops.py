@@ -423,3 +423,69 @@ def q_monthly_merchant_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rnk") <= 3)
         .select("month", "merchant_id", "total", "rnk")
     )
+
+
+_ZSCORE_SQL = """
+WITH stats AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value AS DECIMAL(38,12)) * CAST(value AS DECIMAL(38,12)))
+                AS DOUBLE) AS s2
+    FROM events GROUP BY event_type
+),
+scored AS (
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.s1 / s.n)
+             / sqrt(greatest((s.s2 - s.s1 * s.s1 / s.n) / s.n, 1e-300)) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+)
+SELECT event_id, event_type, value, zscore
+FROM scored WHERE abs(zscore) > 3.0
+ORDER BY event_id
+"""
+
+
+@query("value_outliers_zscore", _ZSCORE_SQL)
+def q_value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: events whose value is more than 3 population
+    standard deviations from their event_type mean.
+
+    Determinism contract: mean and variance are derived from EXACT
+    decimal sums (sum and sum-of-squares — both order-independent),
+    then the finishing arithmetic is IEEE +,-,*,/,sqrt only, so both
+    engines compute bit-identical z-scores with no rounding tolerance.
+    The variance is clamped at 1e-300 before sqrt: catastrophic
+    cancellation on a near-constant group could otherwise produce a
+    tiny NEGATIVE difference and NaN (production note: a two-pass or
+    Welford-partial formulation avoids the cancellation entirely; the
+    decimal sums make the one-pass form safe here).
+
+    Scale shape: the stats table is |event_types| rows — a broadcast
+    join back onto the fact; one aggregate shuffle total, outlier
+    filter runs scan-side."""
+    events = load_table(spark, "events", sf_dir)
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s1"),
+        F.sum(
+            F.col("value").cast("decimal(38,12)") * F.col("value").cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    scored = events.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            (F.col("value") - F.col("s1") / F.col("n"))
+            / F.sqrt(
+                F.greatest(
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n"),
+                    F.lit(1e-300),
+                )
+            )
+        ).alias("zscore"),
+    )
+    return scored.filter(F.abs(F.col("zscore")) > 3.0).orderBy("event_id")

@@ -962,3 +962,192 @@ def q_vocab_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Similarity-graph triangle counting (graph analytics over the dup graph)
+# --------------------------------------------------------------------------
+
+#: shared shingle/posting CTE prefix for the graph-on-documents oracles —
+#: identical semantics to operators/dedup.py's inverted index with the
+#: parity-checked doc_freq<=64 stop-shingle guard.
+_SHINGLE_EDGE_SQL = r"""
+WITH docs AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+    FROM docs
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shfreq AS (SELECT shingle, COUNT(*) AS doc_freq FROM sh GROUP BY shingle),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b USING (shingle) JOIN shfreq USING (shingle)
+    WHERE a.doc_id < b.doc_id AND shfreq.doc_freq <= 64
+    GROUP BY 1, 2
+)
+"""
+
+_TRIANGLE_SQL = (
+    _SHINGLE_EDGE_SQL
+    + """
+, edges AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+),
+tri AS (
+    SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+    FROM edges e1
+    JOIN edges e2 ON e1.doc_b = e2.doc_a
+    JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+nodes AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+SELECT doc_id, COUNT(*) AS n_triangles
+FROM nodes GROUP BY doc_id ORDER BY doc_id
+"""
+)
+
+
+@query("similarity_graph_triangles", _TRIANGLE_SQL)
+def q_similarity_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the exact-Jaccard near-dup graph —
+    the graph-analytics primitive behind cluster-density auditing
+    (a dup CLUSTER from connected components might be a chain of
+    borderline pairs; triangles certify mutually-similar cores) and
+    the standard first step of clustering-coefficient / community
+    metrics.
+
+    Scale shape: edges are already id-oriented (doc_a < doc_b), so
+    each triangle is enumerated exactly once by the two equi-joins
+    (wedge build on the shared vertex + closure check). At 100 TB the
+    standard refinement is DEGREE orientation — point edges from the
+    lower-degree endpoint — which bounds wedge counts by sum(deg^1.5)
+    instead of sum(deg^2); the join shape is identical, only the
+    orientation key changes. The edge set itself comes from the
+    doc_freq-guarded inverted index (never all-pairs)."""
+    docs = load_table(spark, "documents", sf_dir)
+    from dieter___etl___monarchmoney_spark.operators.dedup import ngram_jaccard_pairs
+
+    edges = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, doc_freq_cap=64
+    ).select("doc_a", "doc_b")
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Containment dedup: document-subset detection (A's shingles ⊆ B's)
+# --------------------------------------------------------------------------
+
+_CONTAINMENT_SQL = (
+    _SHINGLE_EDGE_SQL
+    + """
+, nsc AS (
+    SELECT s.doc_id, COUNT(*) AS n_capped
+    FROM sh s JOIN shfreq USING (shingle)
+    WHERE doc_freq <= 64 GROUP BY s.doc_id
+)
+SELECT CASE WHEN i.n_inter = a.n_capped AND a.n_capped <= b.n_capped
+            THEN i.doc_a ELSE i.doc_b END AS inner_doc,
+       CASE WHEN i.n_inter = a.n_capped AND a.n_capped <= b.n_capped
+            THEN i.doc_b ELSE i.doc_a END AS outer_doc,
+       CAST(i.n_inter AS BIGINT) AS n_shared_shingles
+FROM inter i
+JOIN nsc a ON a.doc_id = i.doc_a
+JOIN nsc b ON b.doc_id = i.doc_b
+WHERE ((i.n_inter = a.n_capped AND a.n_capped <= b.n_capped)
+    OR (i.n_inter = b.n_capped AND b.n_capped < a.n_capped))
+  AND i.n_inter >= 3
+ORDER BY inner_doc, outer_doc
+"""
+)
+
+
+@query("containment_dedup_pairs", _CONTAINMENT_SQL)
+def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: (inner, outer) pairs where the inner doc's
+    entire (cap-surviving) shingle set appears in the outer doc — the
+    quote/excerpt/boilerplate-wrapper duplication that symmetric
+    Jaccard MISSES (a doc embedded in one 10x its size has Jaccard
+    ~0.1, far under any dedup threshold, yet contributes zero novel
+    text).
+
+    Semantics are exact over the capped shingle space: containment :=
+    n_inter == |capped shingles of inner| with >= 3 shingles of
+    evidence; the doc_freq <= 64 stop-shingle guard (the bound that
+    keeps posting-list self-joins sub-quadratic at 100 TB) is applied
+    identically in both engines, so the guard is itself parity-checked
+    — same discipline as ngram_jaccard_pairs.
+
+    Scale shape: one inverted-index self-join (the SAME join the
+    Jaccard path runs — a production pipeline computes both predicates
+    from one shared ``inter`` frame) plus two dim-sized joins against
+    the per-doc capped counts."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("toks")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of(F.col("toks"), 3))).alias("shingle"),
+    )
+    shfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    kept = sh.join(shfreq.filter(F.col("doc_freq") <= 64), "shingle")
+    nsc = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_capped"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    joined = (
+        inter.join(
+            nsc.select(F.col("doc_id").alias("doc_a"), F.col("n_capped").alias("ca")),
+            "doc_a",
+        )
+        .join(
+            nsc.select(F.col("doc_id").alias("doc_b"), F.col("n_capped").alias("cb")),
+            "doc_b",
+        )
+    )
+    a_inner = (F.col("n_inter") == F.col("ca")) & (F.col("ca") <= F.col("cb"))
+    b_inner = (F.col("n_inter") == F.col("cb")) & (F.col("cb") < F.col("ca"))
+    return (
+        joined.filter((a_inner | b_inner) & (F.col("n_inter") >= 3))
+        .select(
+            F.when(a_inner, F.col("doc_a")).otherwise(F.col("doc_b")).alias("inner_doc"),
+            F.when(a_inner, F.col("doc_b")).otherwise(F.col("doc_a")).alias("outer_doc"),
+            F.col("n_inter").cast("bigint").alias("n_shared_shingles"),
+        )
+        .orderBy("inner_doc", "outer_doc")
+    )

@@ -399,3 +399,16 @@ def test_quantization_shuffle_free(spark):
     # per-vector quantization is a pure scan: no Exchange at all
     plan = _plan(QUERIES["embedding_quantization"](spark, SF_ORACLE))
     assert "Exchange" not in plan
+
+
+def test_triangle_join_no_cartesian(spark):
+    plan = _plan(QUERIES["similarity_graph_triangles"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zscore_stats_broadcast_back(spark):
+    # the |event_types|-row stats frame must broadcast onto the fact
+    plan = _plan(QUERIES["value_outliers_zscore"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

@@ -85,3 +85,26 @@ def test_vocab_ids_dense_and_oov_in_range(spark):
     freqs = [r.freq for r in rows]
     assert freqs == sorted(freqs, reverse=True)
     assert all(0.0 <= r.oov_rate <= 1.0 for r in rows)
+
+
+def test_triangles_consistent_with_edges(duck, spark):
+    """Per-node triangle counts must sum to 3x the number of distinct
+    triangles (each triangle touches exactly three nodes)."""
+    rows = QUERIES["similarity_graph_triangles"](spark, SF_ORACLE).collect()
+    assert rows, "no triangles at sf0.01 — planted dup clusters missing"
+    total = sum(r.n_triangles for r in rows)
+    assert total % 3 == 0
+
+
+def test_containment_pairs_well_formed(spark):
+    rows = QUERIES["containment_dedup_pairs"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.inner_doc != r.outer_doc
+        assert r.n_shared_shingles >= 3
+
+
+def test_zscore_outliers_exceed_threshold(spark):
+    rows = QUERIES["value_outliers_zscore"](spark, SF_ORACLE).collect()
+    for r in rows:
+        assert abs(r.zscore) > 3.0
