@@ -82,6 +82,8 @@ _NEW_THIS_ROUND: tuple = (
     "similarity_graph_triangles",
     "containment_dedup_pairs",
     "value_outliers_zscore",
+    "streaming_sliding_rollup",
+    "event_trend_regression",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

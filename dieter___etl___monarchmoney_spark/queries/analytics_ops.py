@@ -489,3 +489,84 @@ def q_value_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zscore"),
     )
     return scored.filter(F.abs(F.col("zscore")) > 3.0).orderBy("event_id")
+
+
+_TREND_SQL = """
+WITH pts AS (
+    SELECT event_type,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+           value AS y
+    FROM events
+),
+sums AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(x) AS sx,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(y AS DECIMAL(38,12)) * CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+    FROM pts GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+       CASE WHEN (n * syy - sy * sy) = 0 THEN 1.0
+            ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
+FROM sums
+ORDER BY event_type
+"""
+
+
+@query("event_trend_regression", _TREND_SQL)
+def q_event_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-only least-squares trend per event_type: slope /
+    intercept / r² of value against epoch-day, computed ENTIRELY from
+    mergeable sums (n, Σx, Σx², Σy, Σxy, Σy²) — the closed-form OLS
+    that needs one aggregation pass and no iterative solver.
+
+    Determinism contract: the x sums are exact BIGINTs, the y sums are
+    exact decimals (same DECIMAL(18,6) / (38,12) discipline as the
+    z-score stats), and the finishing arithmetic is IEEE-only on
+    identical inputs, so both engines produce bit-identical
+    coefficients. A constant-y group would zero the r² denominator —
+    guarded to r²=1 in both engines.
+
+    Scale shape: one map-side-combinable aggregate shuffle over the
+    fact; the regression finish runs on |event_types| rows. This is
+    the sufficient-statistics pattern every aggregate-only estimator
+    (OLS, Pearson r, variance, covariance matrices) shares: partials
+    merge by +, so the same sums maintain incrementally next to the
+    watermark pipeline."""
+    events = load_table(spark, "events", sf_dir)
+    pts = events.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.col("value").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("y").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,12)") * F.col("y").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den_x
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        F.when(den_y == 0, F.lit(1.0)).otherwise(num * num / (den_x * den_y)).alias("r2"),
+    ).orderBy("event_type")

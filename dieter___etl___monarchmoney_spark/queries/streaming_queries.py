@@ -338,3 +338,44 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         F.unix_micros("v_ts").alias("v_ts_us"),
     )
+
+
+@query(
+    "streaming_sliding_rollup",
+    """
+    WITH starts AS (
+        SELECT event_type, value,
+               unnest([CAST(ts AS DATE), CAST(ts AS DATE) - 1]) AS win_start
+        FROM events
+    )
+    SELECT win_start, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM starts
+    GROUP BY win_start, event_type
+    """,
+)
+def q_streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming rollup: 2-day windows advancing by 1
+    day under a watermark — each event contributes to exactly two
+    overlapping windows (trailing 48-hour totals refreshed daily).
+
+    The oracle expands the window calendar relationally: every event
+    unnests into its two window-start dates and a plain GROUP BY
+    aggregates — on a batch-complete availableNow source Spark's
+    sliding-window state machine must emit exactly that relation
+    (window starts align to whole days because the slide is 1 day and
+    epoch day 0 anchors the grid in both engines).
+
+    Scale shape: state is window/slide = 2 live windows per
+    (window, type) key within the watermark horizon; eviction is
+    event-time ordered. The per-event fan-out is 2 regardless of data
+    size (window/slide), unlike a per-event range self-join."""
+    from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
+        sliding_rollup_stream,
+    )
+
+    stream = sliding_rollup_stream(read_events_stream(spark, sf_dir))
+    return run_available_now(
+        stream, f"sliding_rollup_{_digest(sf_dir)}", state_partitions=8
+    )

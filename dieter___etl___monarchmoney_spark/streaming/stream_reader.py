@@ -201,3 +201,26 @@ def enriched_rollup_stream(
             "n_events",
         )
     )
+
+
+def sliding_rollup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Watermarked SLIDING-window rollup (2-day windows advancing by 1
+    day): every event lands in exactly two overlapping windows — the
+    trailing-aggregate shape (\"last 48 h per type, refreshed daily\")
+    tumbling windows can't express. State is bounded by
+    window/slide = 2 open windows per key per horizon; the watermark
+    closes and evicts them in event-time order."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("win_start"),
+            "event_type",
+            "total_value",
+            "n_events",
+        )
+    )

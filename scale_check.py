@@ -44,6 +44,13 @@ QUERIES = (
     # corpus-trained bigram LM (two count shuffles + one join back)
     "prefix_filter_jaccard",
     "bigram_lm_quality",
+    # round-3 second wave (documents-based only — this harness scales
+    # just the documents table): count-min build+probe, vocabulary
+    # construction, containment dedup, triangle counting on the dup graph
+    "countmin_heavy_hitters",
+    "vocab_id_assignment",
+    "containment_dedup_pairs",
+    "similarity_graph_triangles",
 )
 
 VOWELS = "aeiou"

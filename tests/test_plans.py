@@ -412,3 +412,12 @@ def test_zscore_stats_broadcast_back(spark):
     plan = _plan(QUERIES["value_outliers_zscore"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_trend_regression_single_aggregate_pass(spark):
+    # OLS from sufficient statistics: one aggregate over one scan, no
+    # join, no window, no Python
+    plan = _plan(QUERIES["event_trend_regression"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan

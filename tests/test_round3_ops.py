@@ -108,3 +108,20 @@ def test_zscore_outliers_exceed_threshold(spark):
     rows = QUERIES["value_outliers_zscore"](spark, SF_ORACLE).collect()
     for r in rows:
         assert abs(r.zscore) > 3.0
+
+
+def test_sliding_windows_double_count_events(spark, duck):
+    """window=2d, slide=1d => every event lands in exactly 2 windows."""
+    rows = QUERIES["streaming_sliding_rollup"](spark, SF_ORACLE).collect()
+    n_events_total = sum(r.n_events for r in rows)
+    (n_raw,) = duck.sql("SELECT COUNT(*) FROM events").fetchone()
+    assert n_events_total == 2 * n_raw
+
+
+def test_trend_regression_r2_bounds(spark):
+    rows = QUERIES["event_trend_regression"](spark, SF_ORACLE).collect()
+    assert rows
+    import math
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0 + 1e-12, r.event_type
+        assert math.isfinite(r.slope) and math.isfinite(r.intercept)
