@@ -84,6 +84,8 @@ _NEW_THIS_ROUND: tuple = (
     "value_outliers_zscore",
     "streaming_sliding_rollup",
     "event_trend_regression",
+    "weekday_type_chi2",
+    "winsorized_stats",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

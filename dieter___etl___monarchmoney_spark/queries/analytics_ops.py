@@ -570,3 +570,163 @@ def q_event_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
         F.when(den_y == 0, F.lit(1.0)).otherwise(num * num / (den_x * den_y)).alias("r2"),
     ).orderBy("event_type")
+
+
+_CHI2_SQL = """
+WITH obs AS (
+    SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+    FROM events GROUP BY event_type, dow
+),
+margins AS (
+    SELECT event_type, SUM(o) AS row_total FROM obs GROUP BY event_type
+),
+cols AS (
+    SELECT dow, SUM(o) AS col_total FROM obs GROUP BY dow
+),
+total AS (
+    SELECT SUM(o) AS grand FROM obs
+)
+SELECT o.event_type, CAST(o.dow AS INT) AS dow,
+       CAST(o.o AS BIGINT) AS observed,
+       CAST(m.row_total AS DOUBLE) * CAST(c.col_total AS DOUBLE)
+           / CAST(t.grand AS DOUBLE) AS expected,
+       (CAST(o.o AS DOUBLE) - CAST(m.row_total AS DOUBLE) * CAST(c.col_total AS DOUBLE)
+            / CAST(t.grand AS DOUBLE))
+       * (CAST(o.o AS DOUBLE) - CAST(m.row_total AS DOUBLE) * CAST(c.col_total AS DOUBLE)
+            / CAST(t.grand AS DOUBLE))
+       / (CAST(m.row_total AS DOUBLE) * CAST(c.col_total AS DOUBLE)
+            / CAST(t.grand AS DOUBLE)) AS chi2_term
+FROM obs o
+JOIN margins m USING (event_type)
+JOIN cols c USING (dow)
+CROSS JOIN total t
+ORDER BY event_type, dow
+"""
+
+
+@query("weekday_type_chi2", _CHI2_SQL)
+def q_weekday_type_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence audit between event_type and weekday:
+    per-cell observed count, expected count under independence
+    (row x col / grand), and the cell's chi^2 contribution — the
+    contingency-table shape behind seasonality / drift checks on a
+    100 TB event log.
+
+    All inputs are exact integer counts; expected values and chi^2
+    terms are IEEE *,/ on those integers, so both engines agree
+    bit-for-bit (dayofweek: Spark 1=Sunday matches DuckDB only after
+    mapping — DuckDB dayofweek is 0=Sunday, so the Spark side subtracts
+    1 to land on DuckDB's convention).
+
+    Scale shape: ONE aggregate shuffle over the fact builds the
+    |types| x 7 contingency table; margins and the grand total derive
+    from that tiny table (the two joins and the 1-row cross join all
+    broadcast). Nothing re-scans the fact."""
+    events = load_table(spark, "events", sf_dir)
+    obs = events.groupBy(
+        "event_type", (F.dayofweek("ts") - F.lit(1)).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = obs.groupBy("event_type").agg(F.sum("o").alias("row_total"))
+    cols = obs.groupBy("dow").agg(F.sum("o").alias("col_total"))
+    total = obs.agg(F.sum("o").alias("grand"))
+    expected = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("grand").cast("double")
+    )
+    diff = F.col("o").cast("double") - expected
+    return (
+        obs.join(F.broadcast(margins), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("o").cast("bigint").alias("observed"),
+            expected.alias("expected"),
+            (diff * diff / expected).alias("chi2_term"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+_WINSOR_SQL = """
+WITH bounds AS (
+    SELECT event_type,
+           quantile_cont(value, 0.01) AS p01,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+),
+clipped AS (
+    SELECT e.event_type,
+           GREATEST(b.p01, LEAST(b.p99, e.value)) AS v,
+           e.value,
+           b.p01, b.p99
+    FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       p01, p99,
+       CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS winsorized_mean,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS raw_mean,
+       CAST(SUM(CASE WHEN value < p01 OR value > p99 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped
+FROM clipped
+GROUP BY event_type, p01, p99
+ORDER BY event_type
+"""
+
+
+@query("winsorized_stats", _WINSOR_SQL)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (tail-clipped) per-group means: values outside the
+    exact p01/p99 quantiles clip to the quantile, giving the
+    outlier-robust mean next to the raw mean and the clip count — the
+    robust-statistics counterpart of value_outliers_zscore (that one
+    FLAGS tails; this one BOUNDS their influence).
+
+    Determinism: Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` use the same (n-1)p linear interpolation (the
+    parity precedent percentile_stats_by_lang established); clipping is
+    GREATEST/LEAST on identical doubles; the clipped sum uses the
+    exact-decimal discipline so aggregation order cannot flake.
+
+    Scale shape: bounds are one sort-based aggregate (|types| rows —
+    swap percentile_approx's mergeable t-digest at 100 TB, validated
+    against this exact form at test scale) broadcast back onto the
+    fact; the clip + sum pass is map-side-combinable."""
+    events = load_table(spark, "events", sf_dir)
+    bounds = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    clipped = events.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "p01",
+        "p99",
+        "value",
+        F.greatest("p01", F.least("p99", F.col("value"))).alias("v"),
+    )
+    return (
+        clipped.groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "winsorized_mean"
+            ),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("raw_mean"),
+            F.sum(
+                F.when((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .select(
+            "event_type", "n", "p01", "p99", "winsorized_mean", "raw_mean", "n_clipped"
+        )
+        .orderBy("event_type")
+    )

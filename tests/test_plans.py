@@ -421,3 +421,17 @@ def test_trend_regression_single_aggregate_pass(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_contingency_margins_broadcast(spark):
+    # chi2: margins/cols/total derive from the tiny contingency table
+    # and broadcast — the fact is aggregated exactly once
+    plan = _plan(QUERIES["weekday_type_chi2"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorize_bounds_broadcast(spark):
+    plan = _plan(QUERIES["winsorized_stats"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

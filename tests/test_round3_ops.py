@@ -125,3 +125,55 @@ def test_trend_regression_r2_bounds(spark):
     for r in rows:
         assert 0.0 <= r.r2 <= 1.0 + 1e-12, r.event_type
         assert math.isfinite(r.slope) and math.isfinite(r.intercept)
+
+
+def test_hll_daily_sketches_merge_to_global(duck):
+    """The incremental-maintenance contract: per-day HLL registers
+    max-merged across days must equal the registers built over the full
+    table in one pass — the property that lets daily sketch increments
+    replace history rescans."""
+    q = """
+    WITH hashed AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS reg_idx,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14)) AS BIGINT) AS w
+        FROM events
+    ),
+    rho AS (
+        SELECT event_type, d, reg_idx,
+               CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END AS r
+        FROM hashed
+    ),
+    daily AS (
+        SELECT event_type, d, reg_idx, MAX(r) AS m FROM rho GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT event_type, reg_idx, MAX(m) AS m FROM daily GROUP BY 1, 2
+    ),
+    direct AS (
+        SELECT event_type, reg_idx, MAX(r) AS m FROM rho GROUP BY 1, 2
+    )
+    SELECT
+      (SELECT COUNT(*) FROM merged) AS n_merged,
+      (SELECT COUNT(*) FROM direct) AS n_direct,
+      (SELECT COUNT(*) FROM merged JOIN direct USING (event_type, reg_idx, m)) AS n_equal
+    """
+    n_merged, n_direct, n_equal = duck.sql(q).fetchone()
+    assert n_merged == n_direct == n_equal
+
+
+def test_winsorized_mean_between_bounds_and_robust(spark):
+    rows = QUERIES["winsorized_stats"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.p01 <= r.winsorized_mean <= r.p99, r.event_type
+        assert r.n_clipped <= max(1, int(0.02 * r.n) + 2), r.event_type
+
+
+def test_chi2_expected_totals_match_observed(spark):
+    rows = QUERIES["weekday_type_chi2"](spark, SF_ORACLE).collect()
+    assert rows
+    obs_total = sum(r.observed for r in rows)
+    exp_total = sum(r.expected for r in rows)
+    assert abs(obs_total - exp_total) < 1e-6 * obs_total
+    assert all(r.chi2_term >= 0 for r in rows)
