@@ -277,25 +277,35 @@ def prefix_filter_jaccard_pairs(
     Scale shape: the shuffled index is the prefix postings — a fraction
     ~(1−t) of corpus shingles, and rarest-first ordering makes those
     posting lists the SHORTEST ones, so Σdf² over the index stays small
-    without dropping any true pair. Candidates verify with one
-    ``array_intersect`` against the (persisted) distinct-shingle
-    arrays. This is the shape that holds at 100 TB when the cap-based
-    prune is not acceptable (e.g. legal dedup audits needing provable
-    completeness)."""
+    without dropping any true pair. Before the verify join, two further
+    LOSSLESS candidate prunes run as pure column predicates: the LENGTH
+    filter (J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|)) and the PPJoin
+    POSITIONAL filter (the globally-smallest shared prefix shingle at
+    positions (pA, pB) admits no earlier shared shingle, so |A∩B| ≤
+    1 + min(|A|−pA, |B|−pB), which must reach ⌈t/(1+t)·(|A|+|B|)⌉) —
+    at sf0.1 they cut verify candidates ~3× and the query ~2.5×.
+    Survivors verify with one ``array_intersect`` against the
+    (persisted) distinct-shingle arrays. This is the shape that holds
+    at 100 TB when the cap-based prune is not acceptable (e.g. legal
+    dedup audits needing provable completeness)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.filter(tokens(text_col), lambda t: t != "").alias("toks"),
     )
-    doc_sh = (
-        toks.select(
-            "doc_id", F.array_distinct(shingles_of(F.col("toks"), n)).alias("sh_arr")
-        )
-        .filter(F.size("sh_arr") > 0)
-        .persist()  # feeds frequency build, prefix build, and both verify sides
-    )
+    # NO size()>0 filter here and explode_OUTER below: a size filter (or
+    # the one Catalyst infers from a plain explode) gets pushed through
+    # the projection and re-inlines the whole tokenize+shingle pipeline
+    # into a scan-level Filter — measured ~5x the query at sf0.1 (same
+    # trap ngram_jaccard_pairs documents). Empty-shingle docs simply
+    # produce no rows downstream.
+    doc_sh = toks.select(
+        "doc_id", F.array_distinct(shingles_of(F.col("toks"), n)).alias("sh_arr")
+    ).persist()  # feeds frequency build, prefix build, and both verify sides
     exploded = doc_sh.select(
-        "doc_id", F.size("sh_arr").alias("n_sh"), F.explode("sh_arr").alias("shingle")
-    )
+        "doc_id",
+        F.size("sh_arr").alias("n_sh"),
+        F.explode_outer("sh_arr").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
     freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
     # global rarest-first total order: (doc_freq, shingle) — identical
     # in every doc, so prefixes are mutually consistent
@@ -309,39 +319,74 @@ def prefix_filter_jaccard_pairs(
         )
     )
     prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    # posexplode: each prefix entry carries its 1-based POSITION in the
+    # doc's rarity order — the raw material of the positional filter
     prefix = ordered.select(
         "doc_id",
-        F.explode(
+        "n_sh",
+        F.posexplode(
             F.transform(
                 F.slice("by_rarity", F.lit(1), prefix_len), lambda s: s["shingle"]
             )
-        ).alias("shingle"),
-    )
+        ).alias("pos0", "shingle"),
+    ).select("doc_id", "n_sh", (F.col("pos0") + 1).alias("pos"), "shingle")
     postings = (
         prefix.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "n_sh", "pos"))
+            ).alias("ids")
+        )
         .filter(F.size("ids") >= 2)
     )
-    cand = (
+    # Two further LOSSLESS prunes before the expensive verify join
+    # (both textbook PPJoin filters; the oracle is the naive uncapped
+    # join, so a green row proves no true pair is dropped):
+    # - LENGTH: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|).
+    # - POSITIONAL: the prefixes follow ONE global rarity order, so the
+    #   globally-smallest shared prefix shingle minimizes pos in BOTH
+    #   docs simultaneously; if it sits at (pA, pB) there are no shared
+    #   shingles before it, hence |A∩B| <= 1 + min(|A|-pA, |B|-pB).
+    #   J >= t needs |A∩B| >= ceil(t/(1+t)*(|A|+|B|)) — prune below.
+    pair_stats = (
         postings.select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .select(
+            F.col("p.doc_a.doc_id").alias("doc_a"),
+            F.col("p.doc_a.n_sh").alias("n_a"),
+            F.col("p.doc_a.pos").alias("pos_a"),
+            F.col("p.doc_b.doc_id").alias("doc_b"),
+            F.col("p.doc_b.n_sh").alias("n_b"),
+            F.col("p.doc_b.pos").alias("pos_b"),
+        )
+        .groupBy("doc_a", "n_a", "doc_b", "n_b")
+        .agg(F.min("pos_a").alias("min_pa"), F.min("pos_b").alias("min_pb"))
     )
+    alpha = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("n_a") + F.col("n_b"))
+    )
+    ubound = 1 + F.least(
+        F.col("n_a") - F.col("min_pa"), F.col("n_b") - F.col("min_pb")
+    )
+    cand = pair_stats.filter(
+        (F.least("n_a", "n_b") >= F.ceil(F.lit(threshold) * F.greatest("n_a", "n_b")))
+        & (ubound >= alpha)
+    ).select("doc_a", "doc_b")
     a = doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a"))
     b = doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b"))
     verified = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
+        # materialize the intersection size once: array_intersect is the
+        # O(|A|+|B|) hot loop of the verify stage and is NOT
+        # common-subexpression-eliminated across the numerator and
+        # denominator when inlined twice
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .select(
             "doc_a",
             "doc_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / (
-                    F.size("sh_a")
-                    + F.size("sh_b")
-                    - F.size(F.array_intersect("sh_a", "sh_b"))
-                )
+                F.col("n_inter").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -541,8 +541,13 @@ def q_paged_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(payload_dir, exist_ok=True)
     payload = os.path.join(payload_dir, "documents.jsonl")
+    # one bounded collect of the 3-column projection: toLocalIterator
+    # would run one sequential job per shuffle partition (32 mini-jobs
+    # for a file-write), ~5x slower than a single job for this
+    # driver-side test scaffolding (a real deployment reads the remote
+    # API directly and never exports at all)
     with open(payload, "w") as f:
-        for r in docs.toLocalIterator():  # streamed, not a bulk collect
+        for r in docs.collect():
             f.write(
                 _json.dumps(
                     {"doc_id": r["doc_id"], "lang": r["lang"], "n_chars": r["n_chars"]}
@@ -1036,9 +1041,16 @@ def q_similarity_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     from dieter___etl___monarchmoney_spark.operators.dedup import ngram_jaccard_pairs
 
-    edges = ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.5, doc_freq_cap=64
-    ).select("doc_a", "doc_b")
+    edges = (
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5, doc_freq_cap=64)
+        .select("doc_a", "doc_b")
+        # the wedge+closure joins scan the edge set three times; without
+        # this the whole inverted-index Jaccard pipeline re-runs per
+        # alias (3x the dominant cost). Edges are the SMALL output of
+        # the similarity join — at scale this is a materialized edge
+        # table, not a recompute.
+        .persist()
+    )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -1107,10 +1119,19 @@ def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines, so the guard is itself parity-checked
     — same discipline as ngram_jaccard_pairs.
 
-    Scale shape: one inverted-index self-join (the SAME join the
-    Jaccard path runs — a production pipeline computes both predicates
-    from one shared ``inter`` frame) plus two dim-sized joins against
-    the per-doc capped counts."""
+    Scale shape: ONE shingle-keyed shuffle builds capped posting lists
+    (the doc-frequency guard is just the list length — no separate
+    frequency aggregate + join-back), persisted compactly so both
+    consumers (per-doc capped counts, i<j pair intersections bounded by
+    cap² per shingle) read it once — the shared posting table the whole
+    dedup predicate family (Jaccard / containment / dup-fraction)
+    materializes once in production. Local-bench note: the persist is
+    WORK-optimal, not wall-optimal at demo scale — without it Spark
+    recomputes the posting pipeline per consumer, which idle local
+    cores hide; on a busy cluster total work is the cost that matters,
+    so the materialization wins at 100 TB."""
+    from dieter___etl___monarchmoney_spark.operators.dedup import _pair_combos
+
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("toks")
@@ -1119,15 +1140,29 @@ def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(shingles_of(F.col("toks"), 3))).alias("shingle"),
     )
-    shfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
-    kept = sh.join(shfreq.filter(F.col("doc_freq") <= 64), "shingle")
-    nsc = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_capped"))
-    a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # ONE shingle-keyed shuffle builds the capped posting lists; the
+    # doc-frequency guard is simply the list length, so there is no
+    # separate frequency aggregate + join-back. The compact posting
+    # table (one row per shingle) is persisted and BOTH predicates
+    # derive from it: per-doc capped counts from a posting explode,
+    # pair intersections from the i<j combo explode (bounded by cap**2
+    # per shingle). This is the shared posting table a production
+    # pipeline materializes once for the whole dedup predicate family.
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= 64)
+        .persist()
+    )
+    nsc = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_capped"))
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        postings.filter(F.size("ids") >= 2)
+        .select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     joined = (
