@@ -86,6 +86,7 @@ _NEW_THIS_ROUND: tuple = (
     "event_trend_regression",
     "weekday_type_chi2",
     "winsorized_stats",
+    "percentile_sketch_validation",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

@@ -730,3 +730,51 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("percentile_sketch_validation", None)
+def q_percentile_sketch_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validates the 100 TB quantile path: SCALE.md prescribes swapping
+    the exact sort-based ``percentile`` for the mergeable
+    ``percentile_approx`` t-digest sketch at scale — this query runs
+    BOTH per language and reports the absolute sketch error against
+    the exact quantile plus a within-tolerance flag.
+
+    Rows-only by design (no DuckDB oracle): the t-digest is a
+    Spark-internal sketch with no cross-engine twin — which is exactly
+    why the exact/approx pair must be validated inside one engine. The
+    unit test asserts every group is within tolerance, making the
+    documented "swap at scale" claim an executable fact rather than a
+    docstring promise.
+
+    Scale shape: both aggregates share one scan and one lang-keyed
+    shuffle; the t-digest (accuracy 1000) is mergeable state, so it
+    map-side combines where the exact form must sort whole groups."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile("n_chars", F.lit(0.5)).alias("p50_exact"),
+            F.percentile_approx("n_chars", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+            F.percentile("n_chars", F.lit(0.95)).alias("p95_exact"),
+            F.percentile_approx("n_chars", F.lit(0.95), F.lit(1000)).alias("p95_approx"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "p50_exact",
+            "p50_approx",
+            F.abs(F.col("p50_approx") - F.col("p50_exact")).alias("p50_abs_err"),
+            "p95_exact",
+            "p95_approx",
+            F.abs(F.col("p95_approx") - F.col("p95_exact")).alias("p95_abs_err"),
+            (
+                (F.abs(F.col("p50_approx") - F.col("p50_exact"))
+                 <= 0.05 * F.abs(F.col("p50_exact")) + 1.0)
+                & (F.abs(F.col("p95_approx") - F.col("p95_exact"))
+                   <= 0.05 * F.abs(F.col("p95_exact")) + 1.0)
+            ).alias("within_tolerance"),
+        )
+        .orderBy("lang")
+    )

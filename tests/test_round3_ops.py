@@ -177,3 +177,27 @@ def test_chi2_expected_totals_match_observed(spark):
     exp_total = sum(r.expected for r in rows)
     assert abs(obs_total - exp_total) < 1e-6 * obs_total
     assert all(r.chi2_term >= 0 for r in rows)
+
+
+def test_rotation_lists_name_real_queries():
+    """A typo in the registry rotation tuples would silently fall back
+    to default ordering and waste the driver's evaluation window."""
+    from dieter___etl___monarchmoney_spark.queries import (
+        _FLAGSHIP,
+        _NEW_THIS_ROUND,
+        _PRIORITY,
+    )
+
+    for name in (*_PRIORITY, *_FLAGSHIP, *_NEW_THIS_ROUND):
+        assert name in QUERIES, f"rotation names unknown query {name!r}"
+    # the never-driver-checked queries must occupy the first positions
+    order = list(QUERIES)
+    assert order[: len(_PRIORITY)] == list(_PRIORITY)
+
+
+def test_percentile_sketch_within_tolerance(spark):
+    rows = QUERIES["percentile_sketch_validation"](spark, SF_ORACLE).collect()
+    assert rows
+    assert all(r.within_tolerance for r in rows), [
+        (r.lang, r.p50_abs_err, r.p95_abs_err) for r in rows if not r.within_tolerance
+    ]
