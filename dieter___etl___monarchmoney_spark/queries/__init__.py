@@ -87,6 +87,7 @@ _NEW_THIS_ROUND: tuple = (
     "weekday_type_chi2",
     "winsorized_stats",
     "percentile_sketch_validation",
+    "bpe_merge_rules",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

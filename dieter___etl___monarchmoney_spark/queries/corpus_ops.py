@@ -1186,3 +1186,139 @@ def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("inner_doc", "outer_doc")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning: iterative corpus-wide pair counting, in-engine
+# --------------------------------------------------------------------------
+
+_BPE_K = 3
+_S = "\x1f"  # unit-separator sentinel: wraps every token, absent from text
+
+
+def _bpe_stage_sql(k: int) -> str:
+    """One unrolled BPE iteration: pair counts over stage k-1 strings →
+    deterministic top merge → apply via sentinel-delimited replace."""
+    prev = f"d{k - 1}"
+    return f"""
+p{k} AS (
+    SELECT pr['l'] AS l, pr['r'] AS r, COUNT(*) AS cnt FROM (
+        SELECT unnest(list_transform(
+            generate_series(1, greatest(len(t) - 1, 0)),
+            i -> {{'l': t[i], 'r': t[i+1]}})) AS pr
+        FROM (SELECT string_split(trim(s, chr(31)), chr(31)||chr(31)) AS t
+              FROM {prev})
+    ) GROUP BY l, r
+),
+r{k} AS (
+    SELECT {k} AS merge_rank, l, r, cnt FROM p{k}
+    ORDER BY cnt DESC, l, r LIMIT 1
+),
+d{k} AS (
+    SELECT doc_id,
+           replace(s,
+                   chr(31) || (SELECT l FROM r{k}) || chr(31) || chr(31)
+                           || (SELECT r FROM r{k}) || chr(31),
+                   chr(31) || (SELECT l || r FROM r{k}) || chr(31)) AS s
+    FROM {prev}
+)"""
+
+
+_BPE_SQL = (
+    """
+WITH toks0 AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+d0 AS (
+    SELECT doc_id,
+           chr(31) || array_to_string(toks, chr(31)||chr(31)) || chr(31) AS s
+    FROM toks0 WHERE len(toks) > 0
+),"""
+    + ",".join(_bpe_stage_sql(k) for k in range(1, _BPE_K + 1))
+    + """
+SELECT merge_rank, l AS left_sym, r AS right_sym, CAST(cnt AS BIGINT) AS pair_count
+FROM ("""
+    + " UNION ALL ".join(f"SELECT * FROM r{k}" for k in range(1, _BPE_K + 1))
+    + """)
+ORDER BY merge_rank
+"""
+)
+
+
+@query("bpe_merge_rules", _BPE_SQL)
+def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE (byte-pair-encoding) merge learning IN the engine: the first
+    {K} tokenizer merges, each learned by a corpus-wide adjacent-pair
+    count, a deterministic top-1 (count DESC, pair ASC), and a greedy
+    left-to-right merge apply before the next round — the actual
+    training loop of a BPE/WordPiece vocabulary, not just its
+    frequency statistics (``vocab_id_assignment`` covers those).
+
+    Representation: every token is wrapped in its own \\x1f sentinels
+    (``␟tok␟``, adjacency = ``␟␟``), so the merge is ONE literal
+    string replace — ``␟a␟␟b␟ → ␟ab␟`` — whose non-overlapping
+    left-to-right semantics are exactly BPE's greedy apply, and
+    consecutive pair occurrences (``a b a b``) all merge because each
+    token carries its own delimiters. Both engines implement the
+    identical loop (DuckDB: {K} unrolled CTE stages with scalar-
+    subquery rules), so the oracle checks the LEARNED RULES of a
+    stateful iterative algorithm, not a one-shot aggregate.
+
+    Scale shape: each iteration is one pair-count shuffle (map-side
+    combinable) + a 1-row driver collect (the rule — O(K) total driver
+    data) + a scan-local string rewrite; the corpus is never shuffled
+    for the apply. K iterations = K aggregate passes, the textbook BPE
+    cost model; intermediate stages persist and are released once the
+    rules are learned."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("toks")
+    )
+    wrapped = toks.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.concat(
+            F.lit(_S), F.array_join("toks", _S + _S), F.lit(_S)
+        ).alias("s"),
+    )
+    cur = wrapped.persist()
+    cached = [cur]
+    rules = []
+    for k in range(1, _BPE_K + 1):
+        arr = F.split(F.regexp_replace("s", "^\x1f+|\x1f+$", ""), "\x1f\x1f")
+        n = F.size(arr)
+        pairs = (
+            cur.select(
+                F.explode_outer(
+                    F.arrays_zip(
+                        F.slice(arr, 1, F.greatest(n - 1, F.lit(0))).alias("l"),
+                        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))).alias("r"),
+                    )
+                ).alias("pr")
+            )
+            .filter(F.col("pr").isNotNull())
+            .select(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        a, b, cnt = top[0].l, top[0].r, top[0].cnt
+        rules.append((k, a, b, int(cnt)))
+        cur = cur.select(
+            "doc_id",
+            F.replace(
+                F.col("s"), F.lit(_S + a + _S + _S + b + _S), F.lit(_S + a + b + _S)
+            ).alias("s"),
+        ).persist()
+        cached.append(cur)
+    for frame in cached:
+        frame.unpersist()
+    return spark.createDataFrame(
+        rules, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+    )

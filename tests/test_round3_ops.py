@@ -201,3 +201,13 @@ def test_percentile_sketch_within_tolerance(spark):
     assert all(r.within_tolerance for r in rows), [
         (r.lang, r.p50_abs_err, r.p95_abs_err) for r in rows if not r.within_tolerance
     ]
+
+
+def test_bpe_rules_well_formed(spark):
+    rows = QUERIES["bpe_merge_rules"](spark, SF_ORACLE).collect()
+    assert [r.merge_rank for r in rows] == [1, 2, 3]
+    assert all(r.pair_count > 0 for r in rows)
+    pairs = [(r.left_sym, r.right_sym) for r in rows]
+    assert len(set(pairs)) == 3, "a merge rule repeated — apply step is broken"
+    for r in rows:
+        assert "\x1f" not in r.left_sym + r.right_sym
