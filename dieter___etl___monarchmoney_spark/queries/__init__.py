@@ -88,6 +88,7 @@ _NEW_THIS_ROUND: tuple = (
     "winsorized_stats",
     "percentile_sketch_validation",
     "bpe_merge_rules",
+    "hll_daily_merge",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

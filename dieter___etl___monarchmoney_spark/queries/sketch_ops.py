@@ -278,3 +278,68 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_cnt").desc(), "word")
     )
+
+
+# --------------------------------------------------------------------------
+# HLL incremental maintenance: daily sketches max-merged == direct sketch
+# --------------------------------------------------------------------------
+
+_HLL_MERGE_SQL = f"""
+WITH hashed AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS reg_idx,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14)) AS BIGINT) AS w
+    FROM events
+),
+registers AS (
+    SELECT event_type, reg_idx,
+           MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END) AS m_j
+    FROM hashed GROUP BY event_type, reg_idx
+)
+SELECT event_type,
+       CAST(COUNT(*) AS INT) AS n_registers_hit,
+       CAST(SUM(CAST((CAST(1 AS BIGINT) << ({_HLL_K} - m_j)) AS DECIMAL(38,0)))
+            AS VARCHAR) AS register_sum
+FROM registers GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("hll_daily_merge", _HLL_MERGE_SQL)
+def q_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL incremental maintenance on the parity surface: the Spark
+    side builds PER-DAY register sketches and max-merges them across
+    days; the oracle builds registers directly over the whole table in
+    one pass. A green row proves merge == direct across two engines —
+    the contract that lets a 100 TB pipeline maintain distinct-count
+    state by folding each watermark window's 256-byte sketch into the
+    stored one instead of rescanning history (the sketch analog of
+    incremental_agg_merge, whose sums merge by +; registers merge by
+    max)."""
+    events = load_table(spark, "events", sf_dir)
+    h = F.md5(F.col("user_id").cast("string").cast("binary"))
+    hashed = events.select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("reg_idx"),
+        F.conv(F.substring(h, 3, 14), 16, 10).cast("bigint").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(57)).otherwise(
+        F.lit(57) - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+    )
+    daily = hashed.groupBy("event_type", "d", "reg_idx").agg(F.max(rho).alias("m_day"))
+    merged = daily.groupBy("event_type", "reg_idx").agg(F.max("m_day").alias("m_j"))
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("int").alias("n_registers_hit"),
+            F.sum(
+                F.expr(
+                    f"CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_K} - m_j) AS DECIMAL(38,0))"
+                )
+            )
+            .cast("string")
+            .alias("register_sum"),
+        )
+        .orderBy("event_type")
+    )
