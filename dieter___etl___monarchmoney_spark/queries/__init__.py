@@ -89,6 +89,7 @@ _NEW_THIS_ROUND: tuple = (
     "percentile_sketch_validation",
     "bpe_merge_rules",
     "hll_daily_merge",
+    "approx_distinct_validation",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

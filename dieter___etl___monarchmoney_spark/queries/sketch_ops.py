@@ -343,3 +343,38 @@ def q_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("approx_distinct_validation", None)
+def q_approx_distinct_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validates Spark's built-in HLL++ (``approx_count_distinct``)
+    against the exact distinct per event_type, next to this module's
+    hand-built HLL-256 — rows-only by design (HLL++ register state is
+    Spark-internal, no cross-engine twin; the hand-built sketch above
+    is the one with register-level parity). The rsd=0.05 sketch must
+    land within ~3x its advertised relative standard deviation
+    (unit-test-pinned), making the "use the built-in mergeable sketch
+    at 100 TB" advice executable, like percentile_sketch_validation
+    does for quantiles."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_distinct"),
+            F.approx_count_distinct("user_id", 0.05).alias("approx_distinct"),
+        )
+        .select(
+            "event_type",
+            "exact_distinct",
+            "approx_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            ).alias("rel_error"),
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= 0.15 * F.col("exact_distinct")
+            ).alias("within_tolerance"),
+        )
+        .orderBy("event_type")
+    )

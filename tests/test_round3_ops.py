@@ -211,3 +211,65 @@ def test_bpe_rules_well_formed(spark):
     assert len(set(pairs)) == 3, "a merge rule repeated — apply step is broken"
     for r in rows:
         assert "\x1f" not in r.left_sym + r.right_sym
+
+
+def test_approx_distinct_within_tolerance(spark):
+    rows = QUERIES["approx_distinct_validation"](spark, SF_ORACLE).collect()
+    assert rows
+    assert all(r.within_tolerance for r in rows), [
+        (r.event_type, r.rel_error) for r in rows if not r.within_tolerance
+    ]
+
+
+def test_bpe_sentinel_merge_matches_reference(spark):
+    """The sentinel-string merge apply must equal greedy left-to-right
+    BPE on adversarial token sequences (consecutive pairs, overlaps,
+    self-pairs)."""
+    from pyspark.sql import functions as F
+
+    S = "\x1f"
+
+    def ref_merge(toks, a, b):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    cases = [
+        ["a", "b"],
+        ["a", "b", "a", "b"],
+        ["a", "a", "a"],
+        ["a", "a", "a", "a"],
+        ["x", "a", "b", "b", "a", "b"],
+        ["b", "a", "b", "a", "b"],
+        ["ab", "a", "b"],
+        ["a"],
+    ]
+    for a, b in (("a", "b"), ("a", "a")):
+        df = spark.createDataFrame(
+            [(i, S + (S + S).join(t) + S) for i, t in enumerate(cases)], "i int, s string"
+        )
+        got = (
+            df.select(
+                "i",
+                F.split(
+                    F.regexp_replace(
+                        F.replace(
+                            F.col("s"), F.lit(S + a + S + S + b + S), F.lit(S + a + b + S)
+                        ),
+                        "^\x1f+|\x1f+$",
+                        "",
+                    ),
+                    "\x1f\x1f",
+                ).alias("m"),
+            )
+            .orderBy("i")
+            .collect()
+        )
+        for row, toks in zip(got, cases):
+            assert row.m == ref_merge(toks, a, b), (a, b, toks, row.m)
