@@ -1308,6 +1308,8 @@ def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()
         )
+        if not top:  # corpus of single-token docs: nothing left to merge
+            break
         a, b, cnt = top[0].l, top[0].r, top[0].cnt
         rules.append((k, a, b, int(cnt)))
         cur = cur.select(
