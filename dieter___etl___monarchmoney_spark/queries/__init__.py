@@ -90,6 +90,7 @@ _NEW_THIS_ROUND: tuple = (
     "bpe_merge_rules",
     "hll_daily_merge",
     "approx_distinct_validation",
+    "user_activity_streaks",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

@@ -778,3 +778,71 @@ def q_percentile_sketch_validation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+_STREAKS_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+numbered AS (
+    SELECT user_id, d,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS BIGINT) AS rn
+    FROM days
+),
+islands AS (
+    SELECT user_id, d - CAST(rn AS INT) AS grp, COUNT(*) AS streak_len,
+           MIN(d) AS streak_start
+    FROM numbered GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak_days,
+       CAST(SUM(streak_len) AS BIGINT) AS active_days,
+       MIN(streak_start) AS first_active
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("user_activity_streaks", _STREAKS_SQL)
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the classic date-minus-row_number grouping key (consecutive dates
+    share ``d - rn``) — streak counts, the longest run, total active
+    days, and first activity. The calendar-day sibling of
+    ``sessionization``'s 30-minute event-time gaps.
+
+    Determinism: everything is integer dates and counts; the islands
+    key is exact date arithmetic in both engines.
+
+    Scale shape: one user_id shuffle serves the distinct, the window,
+    and both aggregates (all partition/group on user_id, so AQE reuses
+    the clustering); the window input is distinct (user, day) rows —
+    orders of magnitude smaller than the event fact — and no window
+    ever spans more than one user's days."""
+    events = load_table(spark, "events", sf_dir)
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    numbered = days.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    islands = (
+        numbered.groupBy(
+            "user_id", F.date_sub(F.col("d"), F.col("rn").cast("int")).alias("grp")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("d").alias("streak_start"),
+        )
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("streak_len").cast("bigint").alias("longest_streak_days"),
+            F.sum("streak_len").cast("bigint").alias("active_days"),
+            F.min("streak_start").alias("first_active"),
+        )
+        .orderBy("user_id")
+    )

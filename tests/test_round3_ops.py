@@ -273,3 +273,15 @@ def test_bpe_sentinel_merge_matches_reference(spark):
         )
         for row, toks in zip(got, cases):
             assert row.m == ref_merge(toks, a, b), (a, b, toks, row.m)
+
+
+def test_streaks_internally_consistent(spark, duck):
+    rows = QUERIES["user_activity_streaks"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.longest_streak_days <= r.active_days
+        assert r.n_streaks <= r.active_days
+    (n_user_days,) = duck.sql(
+        "SELECT COUNT(*) FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)"
+    ).fetchone()
+    assert sum(r.active_days for r in rows) == n_user_days
