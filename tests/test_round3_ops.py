@@ -285,3 +285,58 @@ def test_streaks_internally_consistent(spark, duck):
         "SELECT COUNT(*) FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)"
     ).fetchone()
     assert sum(r.active_days for r in rows) == n_user_days
+
+
+def test_prefix_filter_lossless_on_random_corpus(spark):
+    """Adversarial losslessness check for the PPJoin prefix/length/
+    positional filters: variable-length docs from a tiny alphabet (lots
+    of ceil-boundary and tied-frequency cases) vs a naive Python
+    all-pairs Jaccard."""
+    import itertools
+    import random
+
+    from dieter___etl___monarchmoney_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rng = random.Random(20260814)
+    alphabet = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    docs = []
+    for i in range(20):
+        docs.append(
+            (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(3, 14))))
+        )
+    # mutated near-copies of random bases: substitute/append one token so
+    # true pairs straddle the threshold from both sides
+    for j in range(20, 40):
+        base = list(docs[rng.randrange(20)][1].split())
+        if rng.random() < 0.5 and len(base) > 3:
+            base[rng.randrange(len(base))] = rng.choice(alphabet)
+        else:
+            base.append(rng.choice(alphabet))
+        docs.append((j, " ".join(base)))
+
+    def sh3(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    expected = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        A, B = sh3(ta), sh3(tb)
+        if not A or not B:
+            continue
+        inter = len(A & B)
+        if inter and inter / (len(A) + len(B) - inter) >= 0.5:
+            expected.add((min(ia, ib), max(ia, ib)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == expected, (
+        f"missing={sorted(expected - got)} extra={sorted(got - expected)}"
+    )
+    assert expected, "seed produced no qualifying pairs — weaken it"
