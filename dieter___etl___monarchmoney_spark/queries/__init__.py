@@ -91,6 +91,7 @@ _NEW_THIS_ROUND: tuple = (
     "hll_daily_merge",
     "approx_distinct_validation",
     "user_activity_streaks",
+    "series_correlation_matrix",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

@@ -846,3 +846,82 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_SERIES_CORR_SQL = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, event_type,
+           SUM(CAST(value AS DECIMAL(18,6))) AS total
+    FROM events GROUP BY d, event_type
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_days,
+           CAST(SUM(a.total) AS DOUBLE) AS sx,
+           CAST(SUM(b.total) AS DOUBLE) AS sy,
+           CAST(SUM(a.total * b.total) AS DOUBLE) AS sxy,
+           CAST(SUM(a.total * a.total) AS DOUBLE) AS sxx,
+           CAST(SUM(b.total * b.total) AS DOUBLE) AS syy
+    FROM daily a JOIN daily b ON a.d = b.d AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, CAST(n_days AS BIGINT) AS n_days,
+       (n_days * sxy - sx * sy)
+           / sqrt((n_days * sxx - sx * sx) * (n_days * syy - sy * sy)) AS pearson_r
+FROM pairs
+ORDER BY type_a, type_b
+"""
+
+
+@query("series_correlation_matrix", _SERIES_CORR_SQL)
+def q_series_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event-type DAILY series —
+    the upper triangle of the cross-series correlation matrix, the
+    co-movement audit behind anomaly attribution ("did errors spike
+    with traffic or on their own?").
+
+    Same sufficient-statistics discipline as event_trend_regression:
+    daily totals are exact decimal sums, the five pair sums (Σx, Σy,
+    Σxy, Σx², Σy²) stay exact decimal through aggregation, and the
+    Pearson finish is IEEE *,/,sqrt on identical doubles — engine-
+    identical with no tolerance.
+
+    Scale shape: the fact aggregates ONCE to the (days x types) daily
+    frame; the equi-join on date runs over that tiny frame, never the
+    fact, and the triangular predicate halves it. At 100 TB with T
+    types this is O(days * T^2) post-aggregate work — independent of
+    event volume."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("total"))
+    a = daily.select(
+        F.col("d").alias("d"), F.col("event_type").alias("type_a"), F.col("total").alias("xa")
+    )
+    b = daily.select(
+        F.col("d").alias("d"), F.col("event_type").alias("type_b"), F.col("total").alias("xb")
+    )
+    pairs = (
+        a.join(b, "d")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("xa").cast("double").alias("sx"),
+            F.sum("xb").cast("double").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).cast("double").alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).cast("double").alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).cast("double").alias("syy"),
+        )
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        (num / den).alias("pearson_r"),
+    ).orderBy("type_a", "type_b")

@@ -340,3 +340,10 @@ def test_prefix_filter_lossless_on_random_corpus(spark):
         f"missing={sorted(expected - got)} extra={sorted(got - expected)}"
     )
     assert expected, "seed produced no qualifying pairs — weaken it"
+
+
+def test_correlations_in_valid_range(spark):
+    rows = QUERIES["series_correlation_matrix"](spark, SF_ORACLE).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.pearson_r <= 1.0 + 1e-9, (r.type_a, r.type_b)
