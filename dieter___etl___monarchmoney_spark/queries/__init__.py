@@ -92,6 +92,7 @@ _NEW_THIS_ROUND: tuple = (
     "approx_distinct_validation",
     "user_activity_streaks",
     "series_correlation_matrix",
+    "rolling_distinct_users_7d",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

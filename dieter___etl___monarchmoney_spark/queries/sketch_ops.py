@@ -378,3 +378,151 @@ def q_approx_distinct_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day distinct users: HLL registers merged over a sliding window
+# --------------------------------------------------------------------------
+
+_HLL_ROLLING_SQL = f"""
+WITH hashed AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS reg_idx,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14)) AS BIGINT) AS w
+    FROM events
+),
+daily_regs AS (
+    SELECT event_type, d, reg_idx,
+           MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END) AS m_day
+    FROM hashed GROUP BY event_type, d, reg_idx
+),
+anchors AS (SELECT DISTINCT event_type, d FROM hashed),
+rolled AS (
+    SELECT a.event_type, a.d, r.reg_idx, MAX(r.m_day) AS m_j
+    FROM anchors a
+    JOIN daily_regs r
+      ON r.event_type = a.event_type
+     AND r.d <= a.d AND r.d >= a.d - 6
+    GROUP BY a.event_type, a.d, r.reg_idx
+),
+folded AS (
+    SELECT event_type, d,
+           COUNT(*) AS n_registers_hit,
+           SUM(CAST((CAST(1 AS BIGINT) << ({_HLL_K} - m_j)) AS DECIMAL(38,0)))
+               AS s_present
+    FROM rolled GROUP BY event_type, d
+),
+est AS (
+    SELECT event_type, d, n_registers_hit,
+           CAST(s_present
+                + CAST(({_HLL_M} - n_registers_hit) AS DECIMAL(38,0))
+                  * CAST(CAST(1 AS BIGINT) << {_HLL_K} AS DECIMAL(38,0))
+                AS DECIMAL(38,0)) AS s_total
+    FROM folded
+),
+raw AS (
+    SELECT *,
+           {_HLL_ALPHA_M2!r} * CAST(CAST(1 AS BIGINT) << {_HLL_K} AS DOUBLE)
+               / CAST(s_total AS DOUBLE) AS e_raw
+    FROM est
+)
+SELECT event_type, d,
+       CAST(n_registers_hit AS INT) AS n_registers_hit,
+       ROUND(CASE WHEN e_raw <= 2.5 * {_HLL_M}
+                   AND n_registers_hit < {_HLL_M}
+             THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                / ({_HLL_M} - n_registers_hit))
+             ELSE e_raw END, 2) AS est_distinct_7d
+FROM raw
+ORDER BY event_type, d
+"""
+
+
+@query("rolling_distinct_users_7d", _HLL_ROLLING_SQL)
+def q_rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per (event_type, day) via SLIDING
+    HLL register merges — the rolling-distinct metric (weekly active
+    users, refreshed daily) that exact COUNT(DISTINCT) makes brutally
+    expensive: every anchor day would rescan a week of raw IDs, and
+    distinct counts are NOT additive across days so no prefix trick
+    works. Registers ARE mergeable by max, so the week's sketch is a
+    fold of seven 256-byte daily sketches.
+
+    The merge is expressed as a banded join (anchor day joins register
+    days within [d-6, d], same quantized-band shape as
+    range_banded_join) over the (types x days x registers) frame —
+    already orders of magnitude smaller than the fact. Register sums
+    stay exact DECIMAL; the estimate rounds to 2dp (ln-branch
+    tolerance, as in hll_distinct_users).
+
+    Scale shape: the fact is scanned ONCE into daily registers (one
+    map-side-combinable shuffle); everything after runs on sketch-sized
+    data — at 100 TB the daily register table for 1000 groups is
+    ~256k rows per day regardless of event volume. A production
+    deployment stores daily registers as the incremental state
+    (hll_daily_merge's contract) and derives any window — 7d, 28d,
+    month-to-date — from the same table without touching raw data."""
+    events = load_table(spark, "events", sf_dir)
+    h = F.md5(F.col("user_id").cast("string").cast("binary"))
+    hashed = events.select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("reg_idx"),
+        F.conv(F.substring(h, 3, 14), 16, 10).cast("bigint").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(57)).otherwise(
+        F.lit(57) - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+    )
+    daily_regs = hashed.groupBy("event_type", "d", "reg_idx").agg(
+        F.max(rho).alias("m_day")
+    )
+    anchors = hashed.select("event_type", "d").distinct()
+    rolled = (
+        anchors.alias("a")
+        .join(
+            daily_regs.alias("r"),
+            (F.col("r.event_type") == F.col("a.event_type"))
+            & (F.col("r.d") <= F.col("a.d"))
+            & (F.col("r.d") >= F.date_sub(F.col("a.d"), 6)),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.d").alias("d"),
+            F.col("r.reg_idx").alias("reg_idx"),
+        )
+        .agg(F.max("r.m_day").alias("m_j"))
+    )
+    folded = rolled.groupBy("event_type", "d").agg(
+        F.count("*").alias("n_registers_hit"),
+        F.sum(
+            F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_K} - m_j) AS DECIMAL(38,0))")
+        ).alias("s_present"),
+    )
+    two_k = F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_K}) AS DECIMAL(38,0))")
+    est = folded.withColumn(
+        "s_total",
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("n_registers_hit")).cast("decimal(38,0)") * two_k
+        ).cast("decimal(38,0)"),
+    )
+    e_raw = (
+        F.lit(_HLL_ALPHA_M2)
+        * F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_K}) AS DOUBLE)")
+        / F.col("s_total").cast("double")
+    )
+    small_range = (e_raw <= 2.5 * _HLL_M) & (F.col("n_registers_hit") < _HLL_M)
+    linear_count = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_registers_hit")).cast("double")
+    )
+    return (
+        est.select(
+            "event_type",
+            "d",
+            F.col("n_registers_hit").cast("int").alias("n_registers_hit"),
+            F.round(F.when(small_range, linear_count).otherwise(e_raw), 2).alias(
+                "est_distinct_7d"
+            ),
+        )
+        .orderBy("event_type", "d")
+    )

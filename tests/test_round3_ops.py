@@ -347,3 +347,31 @@ def test_correlations_in_valid_range(spark):
     assert len(rows) == 10  # C(5,2) event-type pairs
     for r in rows:
         assert -1.0 - 1e-9 <= r.pearson_r <= 1.0 + 1e-9, (r.type_a, r.type_b)
+
+
+def test_rolling_hll_tracks_exact_weekly_distinct(spark, duck):
+    rows = QUERIES["rolling_distinct_users_7d"](spark, SF_ORACLE).collect()
+    assert rows
+    exact = {
+        (t, d): n
+        for t, d, n in duck.sql(
+            """
+            WITH anchors AS (
+                SELECT DISTINCT event_type, CAST(ts AS DATE) AS d FROM events
+            )
+            SELECT a.event_type, a.d, COUNT(DISTINCT e.user_id)
+            FROM anchors a JOIN events e
+              ON e.event_type = a.event_type
+             AND CAST(e.ts AS DATE) BETWEEN a.d - 6 AND a.d
+            GROUP BY a.event_type, a.d
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        true = exact[(r.event_type, r.d)]
+        assert abs(r.est_distinct_7d - true) / true < 0.20, (
+            r.event_type,
+            r.d,
+            r.est_distinct_7d,
+            true,
+        )
