@@ -93,6 +93,7 @@ _NEW_THIS_ROUND: tuple = (
     "user_activity_streaks",
     "series_correlation_matrix",
     "rolling_distinct_users_7d",
+    "source_keyness_g2",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

@@ -1324,3 +1324,108 @@ def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Source keyness: log-likelihood ratio (G²) of word overuse per source
+# --------------------------------------------------------------------------
+
+_KEYNESS_SQL = """
+WITH words AS (
+    SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+),
+counts AS (
+    SELECT source, word, COUNT(*) AS k1 FROM words WHERE word <> ''
+    GROUP BY source, word
+),
+src_tot AS (SELECT source, SUM(k1) AS n1 FROM counts GROUP BY source),
+word_tot AS (SELECT word, SUM(k1) AS k FROM counts GROUP BY word),
+grand AS (SELECT SUM(k1) AS n FROM counts),
+scored AS (
+    SELECT c.source, c.word,
+           CAST(c.k1 AS BIGINT) AS k1,
+           CAST(w.k - c.k1 AS BIGINT) AS k2,
+           ROUND(2.0 * (
+               CASE WHEN c.k1 = 0 THEN 0.0
+                    ELSE c.k1 * ln(c.k1 / (s.n1 * CAST(w.k AS DOUBLE) / g.n)) END
+             + CASE WHEN w.k - c.k1 = 0 THEN 0.0
+                    ELSE (w.k - c.k1)
+                         * ln((w.k - c.k1) / ((g.n - s.n1) * CAST(w.k AS DOUBLE) / g.n)) END
+           ), 3) AS g2,
+           (c.k1 * CAST(g.n AS DOUBLE) > CAST(w.k AS DOUBLE) * s.n1) AS overused
+    FROM counts c
+    JOIN src_tot s USING (source)
+    JOIN word_tot w USING (word)
+    CROSS JOIN grand g
+    WHERE c.k1 >= 5
+)
+SELECT source, word, k1, k2, g2, overused, CAST(rnk AS INT) AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY g2 DESC, word
+    ) AS rnk FROM scored WHERE overused
+) WHERE rnk <= 10
+ORDER BY source, rnk
+"""
+
+
+@query("source_keyness_g2", _KEYNESS_SQL)
+def q_source_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness: the top-10 OVERUSED words per source by log-likelihood
+    ratio (Dunning's G²) against the rest of the corpus — the corpus-
+    linguistics contrast statistic behind "what characterizes this
+    source" audits and domain-signature features.
+
+    Determinism: the G² terms use ``ln`` (transcendental, up to 1 ulp
+    apart between libm and the JVM), so the statistic is ROUNDED to 3dp
+    BEFORE ranking — both engines then rank identical values with the
+    word tie-break, and a 1-ulp wobble can neither reorder the top-10
+    nor flake the hash. Counts and margins are exact integers.
+
+    Scale shape: one word-count shuffle; source margins (|sources|
+    rows) and the grand total (1 row) broadcast; the word-margin join
+    is vocabulary-sized. The per-source top-10 compiles to
+    WindowGroupLimit (rank pushed into the window operator), so each
+    partition emits at most 10 survivors before the final sort."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("k1"))
+    src_tot = counts.groupBy("source").agg(F.sum("k1").alias("n1"))
+    word_tot = counts.groupBy("word").agg(F.sum("k1").alias("k"))
+    grand = counts.agg(F.sum("k1").alias("n"))
+
+    def term(x, e):
+        return F.when(x == 0, F.lit(0.0)).otherwise(
+            x.cast("double") * F.log(x.cast("double") / e)
+        )
+
+    k2 = F.col("k") - F.col("k1")
+    e1 = F.col("n1") * F.col("k").cast("double") / F.col("n")
+    e2 = (F.col("n") - F.col("n1")) * F.col("k").cast("double") / F.col("n")
+    scored = (
+        counts.filter(F.col("k1") >= 5)
+        .join(F.broadcast(src_tot), "source")
+        .join(word_tot, "word")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "word",
+            F.col("k1").cast("bigint").alias("k1"),
+            k2.cast("bigint").alias("k2"),
+            F.round(2.0 * (term(F.col("k1"), e1) + term(k2, e2)), 3).alias("g2"),
+            (
+                F.col("k1") * F.col("n").cast("double")
+                > F.col("k").cast("double") * F.col("n1")
+            ).alias("overused"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("g2").desc(), "word")
+    return (
+        scored.filter(F.col("overused"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("source", "rnk")
+    )

@@ -435,3 +435,10 @@ def test_winsorize_bounds_broadcast(spark):
     plan = _plan(QUERIES["winsorized_stats"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_keyness_topk_uses_window_group_limit(spark):
+    # per-source top-10 must push the rank bound into the window
+    # operator so partitions emit at most 10 survivors
+    plan = _plan(QUERIES["source_keyness_g2"](spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan
