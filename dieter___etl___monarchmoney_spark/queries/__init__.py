@@ -94,6 +94,7 @@ _NEW_THIS_ROUND: tuple = (
     "series_correlation_matrix",
     "rolling_distinct_users_7d",
     "source_keyness_g2",
+    "dup_graph_pagerank",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

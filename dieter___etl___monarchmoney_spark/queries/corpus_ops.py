@@ -1429,3 +1429,126 @@ def q_source_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .orderBy("source", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank (fixed 3 iterations) over the near-dup similarity graph
+# --------------------------------------------------------------------------
+
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+def _pr_stage_sql(k: int) -> str:
+    """One unrolled PageRank iteration: every node's next score is
+    (1-d)/N + d * sum of neighbor score/degree contributions, each
+    contribution cast to exact DECIMAL before SUM."""
+    prev = f"pr{k - 1}"
+    return f"""
+pr{k} AS (
+    SELECT v.node,
+           (1.0 - {_PR_D}) / (SELECT n_nodes FROM meta)
+           + {_PR_D} * CAST(COALESCE(SUM(
+                 CAST(p.score / CAST(deg.degree AS DOUBLE) AS DECIMAL(38,18))
+             ), 0) AS DOUBLE) AS score
+    FROM vertices v
+    LEFT JOIN sym e ON e.dst = v.node
+    LEFT JOIN {prev} p ON p.node = e.src
+    LEFT JOIN degrees deg ON deg.node = e.src
+    GROUP BY v.node
+)"""
+
+
+_PAGERANK_SQL = (
+    _SHINGLE_EDGE_SQL
+    + f"""
+, edges AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+),
+sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM edges
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM edges
+),
+vertices AS (SELECT DISTINCT src AS node FROM sym),
+degrees AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src),
+meta AS (SELECT COUNT(*) AS n_nodes FROM vertices),
+pr0 AS (
+    SELECT node, 1.0 / (SELECT n_nodes FROM meta) AS score FROM vertices
+),"""
+    + ",".join(_pr_stage_sql(k) for k in range(1, _PR_ITERS + 1))
+    + f"""
+SELECT node AS doc_id, ROUND(score, 9) AS pagerank
+FROM pr{_PR_ITERS}
+ORDER BY doc_id
+"""
+)
+
+
+@query("dup_graph_pagerank", _PAGERANK_SQL)
+def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {K} fixed iterations) over the
+    symmetrized near-dup similarity graph — centrality inside dup
+    clusters identifies the "hub" document every other near-copy
+    orbits, a better canonical-survivor signal than quality score
+    alone when clusters are star-shaped (one original, many partial
+    copies).
+
+    Iterative-algorithm parity, like bpe_merge_rules: the oracle
+    unrolls the same {K} power iterations as CTE stages. Per-node
+    message sums cast each neighbor contribution to DECIMAL(38,18)
+    before SUM, so Spark's aggregation order cannot flake the hash;
+    the per-contribution score/degree division is IEEE on identical
+    doubles. Scores round to 9dp at the output edge.
+
+    Scale shape: each iteration is one join of the score vector
+    against the edge list + one grouped sum — the standard distributed
+    PageRank step, state O(V), messages O(E), never adjacency-
+    materialized beyond the edge list. Fixed iteration count keeps the
+    plan static (no driver-side convergence loop; neardup_clusters
+    shows the converging variant with 2-hop checkpointing)."""
+    docs = load_table(spark, "documents", sf_dir)
+    from dieter___etl___monarchmoney_spark.operators.dedup import ngram_jaccard_pairs
+
+    edges = (
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5, doc_freq_cap=64)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    vertices = sym.select(F.col("src").alias("node")).distinct().persist()
+    degrees = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    n_nodes = vertices.count()  # bounded: similarity-graph vertices only
+    scores = vertices.select("node", (F.lit(1.0) / n_nodes).alias("score"))
+    messages_base = sym.join(
+        degrees.withColumnRenamed("node", "src"), "src"
+    ).persist()
+    for _ in range(_PR_ITERS):
+        contrib = (
+            messages_base.join(scores.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("score") / F.col("degree").cast("double"))
+                .cast("decimal(38,18)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        scores = vertices.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - _PR_D) / n_nodes)
+                + F.lit(_PR_D) * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            ).alias("score"),
+        )
+    result = scores.select(
+        F.col("node").alias("doc_id"), F.round("score", 9).alias("pagerank")
+    ).orderBy("doc_id")
+    return result

@@ -375,3 +375,12 @@ def test_rolling_hll_tracks_exact_weekly_distinct(spark, duck):
             r.est_distinct_7d,
             true,
         )
+
+
+def test_pagerank_mass_conserved(spark):
+    """No dangling nodes (every vertex has degree >= 1), so total
+    PageRank mass stays 1 through every power iteration."""
+    rows = QUERIES["dup_graph_pagerank"](spark, SF_ORACLE).collect()
+    assert rows
+    assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-6
+    assert all(r.pagerank > 0 for r in rows)
