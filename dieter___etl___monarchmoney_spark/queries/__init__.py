@@ -54,14 +54,16 @@ _PRIORITY = (
 
 #: re-confirm the flagship set inside the same ~50-query window so new
 #: evidence isn't traded for stale (VERDICT r2 #6).
+#: trimmed to 6 for round 3: streaming_event_dedup / streaming_enriched_
+#: rollup stay r2-green on the cumulative record, freeing window slots so
+#: all 30 first-evidence queries in _NEW_THIS_ROUND fit inside the
+#: driver's ~50-query evaluation window.
 _FLAGSHIP = (
     "portfolio_holdings",
     "cashflow_report_all",
     "budget_grouping_sets",
     "knn_batch_join",
     "streaming_daily_rollup",
-    "streaming_event_dedup",
-    "streaming_enriched_rollup",
     "streaming_interval_join",
 )
 
