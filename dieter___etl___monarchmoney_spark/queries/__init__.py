@@ -97,6 +97,7 @@ _NEW_THIS_ROUND: tuple = (
     "rolling_distinct_users_7d",
     "source_keyness_g2",
     "dup_graph_pagerank",
+    "weighted_sample_race",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

@@ -850,3 +850,57 @@ def q_quality_decile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "lang", "quality", F.ntile(10).over(w).alias("q_decile")
     )
+
+
+_WSAMPLE_SQL = """
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           ROUND(
+               -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                         AS BIGINT) + 0.5) / 4503599627370496.0)
+               / n_chars, 9) AS race_key
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, race_key
+FROM keyed
+ORDER BY race_key, doc_id
+LIMIT 100
+"""
+
+
+@query("weighted_sample_race", _WSAMPLE_SQL)
+def q_weighted_sample_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the exponential race
+    (Efraimidis-Spirakis): each doc draws a deterministic uniform from
+    md5(doc_id) (52 bits -> exact dyadic u in (0,1)) and races with
+    key = -ln(u)/weight; the 100 smallest keys win. Inclusion
+    probability is proportional to weight (n_chars here — a
+    quality-weighted variant just swaps the column), and the sample is
+    identical across runs, retries, and engines because there is no
+    RNG state — the same contract as train/val/test splitting and
+    mixture sampling, extended to WEIGHTED selection.
+
+    Determinism: u is exact in both engines; ln is transcendental, so
+    the race key ROUNDS to 9dp before ranking (the keyness pattern) —
+    a 1-ulp libm wobble cannot reorder the race, and doc_id breaks
+    exact ties.
+
+    Scale shape: per-row key math at scan speed, then top-k =
+    orderBy().limit() -> TakeOrderedAndProject (per-partition top-100
+    + driver merge of 100-row candidates) — no global sort, no
+    single-partition window, no weight-prefix-sum pass over the
+    corpus (the naive cumulative-weight method needs one)."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 13),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + 0.5) / float(1 << 52)
+    key = F.round(-F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", key.alias("race_key"))
+        .orderBy("race_key", "doc_id")
+        .limit(100)
+    )

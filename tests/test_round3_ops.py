@@ -384,3 +384,15 @@ def test_pagerank_mass_conserved(spark):
     assert rows
     assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-6
     assert all(r.pagerank > 0 for r in rows)
+
+
+def test_weighted_sample_biased_toward_weight(spark, duck):
+    """Inclusion probability proportional to n_chars => the sample's
+    mean n_chars must exceed the corpus mean."""
+    rows = QUERIES["weighted_sample_race"](spark, SF_ORACLE).collect()
+    assert len(rows) == 100
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    (corpus_mean,) = duck.sql(
+        "SELECT AVG(n_chars) FROM documents WHERE n_chars > 0"
+    ).fetchone()
+    assert sample_mean > corpus_mean
