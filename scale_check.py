@@ -51,6 +51,10 @@ QUERIES = (
     "vocab_id_assignment",
     "containment_dedup_pairs",
     "similarity_graph_triangles",
+    # iterative + contrast-statistic families
+    "bpe_merge_rules",
+    "source_keyness_g2",
+    "dup_graph_pagerank",
 )
 
 VOWELS = "aeiou"
