@@ -98,6 +98,7 @@ _NEW_THIS_ROUND: tuple = (
     "source_keyness_g2",
     "dup_graph_pagerank",
     "weighted_sample_race",
+    "fuzzy_entity_resolution",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

@@ -1552,3 +1552,92 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"), F.round("score", 9).alias("pagerank")
     ).orderBy("doc_id")
     return result
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: fuzzy pairs → components → canonical survivor record
+# --------------------------------------------------------------------------
+
+_ER_SQL = f"""
+WITH RECURSIVE blocked AS (
+    SELECT p_partkey, p_name, p_brand,
+           string_split_regex(lower(trim(p_name)), '\\s+')[1] AS first_tok
+    FROM part
+),
+fpairs AS (
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+    FROM blocked a JOIN blocked b
+      ON a.p_brand = b.p_brand AND a.first_tok = b.first_tok
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= {_FUZZY_MAX_DIST}
+    WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+),
+edges AS (
+    SELECT id_a AS v, id_b AS u FROM fpairs
+    UNION ALL SELECT id_b, id_a FROM fpairs
+),
+reach(v, u) AS (
+    SELECT p_partkey, p_partkey FROM part
+    UNION
+    SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v
+),
+labels AS (SELECT v AS p_partkey, MIN(u) AS entity_id FROM reach GROUP BY v),
+groups AS (
+    SELECT entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           array_to_string(list_sort(list(p_partkey)), ',') AS member_ids
+    FROM labels GROUP BY entity_id
+    HAVING COUNT(*) >= 2
+)
+SELECT g.entity_id, g.n_members, g.member_ids, p.p_name AS canonical_name
+FROM groups g JOIN part p ON p.p_partkey = g.entity_id
+ORDER BY g.entity_id
+"""
+
+
+@query("fuzzy_entity_resolution", _ER_SQL)
+def q_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked Levenshtein match pairs →
+    connected components → one canonical record per entity (min-id
+    survivor carries its name, members ride as a sorted id list) —
+    the master-data shape behind merchant/vendor/product
+    canonicalization, composed entirely from operators already proven
+    separately (fuzzy_name_dedup's lossless blocking,
+    neardup_clusters' adaptive union-find).
+
+    The oracle recomputes the SAME pipeline relationally, with DuckDB's
+    recursive CTE playing transitive closure against Spark's min-label
+    propagation — two different algorithms agreeing on every entity,
+    its size, and its full member list.
+
+    Scale shape: inherits each stage's contract — Σblock² match
+    pairs, component state O(matched vertices) (the entity graph,
+    orders of magnitude smaller than the catalog), canonical join
+    dim-sized."""
+    from dieter___etl___monarchmoney_spark.operators.dedup import neardup_clusters
+
+    parts = load_table(spark, "part", sf_dir)
+    pairs = q_fuzzy_name_dedup(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    labels = neardup_clusters(parts, pairs, "p_partkey").withColumnRenamed(
+        "cluster_id", "entity_id"
+    )
+    groups = (
+        labels.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.array_join(F.sort_array(F.collect_list("p_partkey")), ",").alias(
+                "member_ids"
+            ),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    canonical = parts.select(
+        F.col("p_partkey").alias("entity_id"), F.col("p_name").alias("canonical_name")
+    )
+    return (
+        groups.join(canonical, "entity_id")
+        .select("entity_id", "n_members", "member_ids", "canonical_name")
+        .orderBy("entity_id")
+    )

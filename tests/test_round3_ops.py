@@ -396,3 +396,12 @@ def test_weighted_sample_biased_toward_weight(spark, duck):
         "SELECT AVG(n_chars) FROM documents WHERE n_chars > 0"
     ).fetchone()
     assert sample_mean > corpus_mean
+
+
+def test_entity_resolution_members_contain_canonical(spark):
+    rows = QUERIES["fuzzy_entity_resolution"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        members = [int(x) for x in r.member_ids.split(",")]
+        assert r.entity_id == members[0] == min(members)
+        assert len(members) == r.n_members >= 2
