@@ -99,6 +99,7 @@ _NEW_THIS_ROUND: tuple = (
     "dup_graph_pagerank",
     "weighted_sample_race",
     "fuzzy_entity_resolution",
+    "data_quality_expectations",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

@@ -754,3 +754,99 @@ def q_zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations: one-pass rule audit across fact + dim
+# --------------------------------------------------------------------------
+
+_DQ_SQL = """
+WITH o AS (
+    SELECT COUNT(*) AS n,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_pk,
+           SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_date
+    FROM orders
+),
+l AS (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END)
+               AS bad_qty,
+           SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+               AS bad_disc
+    FROM lineitem
+),
+orphans AS (
+    SELECT COUNT(*) AS n_orphan
+    FROM lineitem li LEFT JOIN orders og ON li.l_orderkey = og.o_orderkey
+    WHERE og.o_orderkey IS NULL
+)
+SELECT rule, CAST(violations AS BIGINT) AS violations,
+       CAST(checked AS BIGINT) AS checked,
+       (violations = 0) AS passed
+FROM (
+    SELECT 'orders_pk_unique' AS rule, dup_pk AS violations, n AS checked FROM o
+    UNION ALL
+    SELECT 'orders_price_positive', bad_price, n FROM o
+    UNION ALL
+    SELECT 'orders_date_not_null', null_date, n FROM o
+    UNION ALL
+    SELECT 'lineitem_qty_in_range', bad_qty, n FROM l
+    UNION ALL
+    SELECT 'lineitem_discount_in_range', bad_disc, n FROM l
+    UNION ALL
+    SELECT 'lineitem_fk_orders', n_orphan, (SELECT n FROM l) FROM orphans
+)
+ORDER BY rule
+"""
+
+
+@query("data_quality_expectations", _DQ_SQL)
+def q_data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite audit (the Great-Expectations shape): primary-
+    key uniqueness, value-range, not-null, and referential-integrity
+    rules evaluated as one row per rule with violation counts and a
+    pass flag — the gate a 100 TB ingest runs between landing and
+    publishing a partition (the generic sibling of the reference-
+    specific ``reconciliation_audit``).
+
+    Scale shape: each table's rules fold into ONE aggregate over ONE
+    scan (no per-rule scans); the FK check is a broadcast-or-shuffle
+    anti-join counted, not materialized. Adding a rule adds a column
+    to an existing aggregate, not a pass over the data."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_pk"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("bad_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("null_date"),
+    ).collect()[0]
+    l = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("bad_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("bad_disc"),
+    ).collect()[0]
+    n_orphan = (
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).count()
+    )
+    rules = [
+        ("orders_pk_unique", int(o.dup_pk), int(o.n)),
+        ("orders_price_positive", int(o.bad_price), int(o.n)),
+        ("orders_date_not_null", int(o.null_date), int(o.n)),
+        ("lineitem_qty_in_range", int(l.bad_qty), int(l.n)),
+        ("lineitem_discount_in_range", int(l.bad_disc), int(l.n)),
+        ("lineitem_fk_orders", int(n_orphan), int(l.n)),
+    ]
+    return spark.createDataFrame(
+        [(r, v, c, v == 0) for r, v, c in sorted(rules)],
+        "rule string, violations bigint, checked bigint, passed boolean",
+    )
