@@ -783,3 +783,42 @@ def q_exact_dedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("survivor_id").alias("doc_id")
     )
     return docs.select("doc_id").exceptAll(survivors)
+
+
+@query("ann_recall_audit", None)
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of both approximate ANN paths against the exact
+    brute-force cosine top-10: IVF (nprobe=2) plus the WHOLE LSH
+    multiprobe curve (radius 1/2/3/6) — the recall-vs-cost knob
+    measured, not asserted (0.2 -> 1.0 at sf0.01 as the probe radius
+    widens). Rows-only by design (the audit composes queries that each
+    have their own oracle); the unit test pins the IVF floor and the
+    monotone multiprobe curve, so the ANN family's accuracy claim is
+    executable, completing the validation family next to the sketch
+    audits (percentile / approx-distinct).
+
+    Scale shape: three probe-sized queries (the exact baseline is the
+    one that wouldn't run at 100 TB — which is the point of measuring
+    the approximate paths against it at test scale before trusting
+    them at cluster scale)."""
+    from dieter___etl___monarchmoney_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    vectors = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    exact = {r[0] for r in cosine_topk(vectors, qv, k=10).select("vec_id").collect()}
+    probes = [("ivf_nprobe2", ivf_ann_topk(vectors, qv, k=10))] + [
+        (f"lsh_multiprobe{mp}", lsh_ann_topk(vectors, qv, k=10, bits=6, multiprobe=mp))
+        for mp in (1, 2, 3, 6)
+    ]
+    rows = []
+    for method, df in probes:
+        got = {r[0] for r in df.select("vec_id").collect()}
+        hits = len(got & exact)
+        rows.append((method, 10, hits, hits / 10.0))
+    return spark.createDataFrame(
+        sorted(rows), "method string, k int, n_hits int, recall double"
+    )

@@ -405,3 +405,12 @@ def test_entity_resolution_members_contain_canonical(spark):
         members = [int(x) for x in r.member_ids.split(",")]
         assert r.entity_id == members[0] == min(members)
         assert len(members) == r.n_members >= 2
+
+
+def test_ann_recall_floor_and_multiprobe_monotone(spark):
+    rows = {r.method: r.recall for r in QUERIES["ann_recall_audit"](spark, SF_ORACLE).collect()}
+    assert rows["ivf_nprobe2"] >= 0.7, rows
+    # widening the multiprobe radius can only add candidate buckets
+    curve = [rows[f"lsh_multiprobe{mp}"] for mp in (1, 2, 3, 6)]
+    assert curve == sorted(curve), curve
+    assert curve[-1] >= 0.9, curve
