@@ -63,7 +63,6 @@ _FLAGSHIP = (
     "cashflow_report_all",
     "budget_grouping_sets",
     "knn_batch_join",
-    "streaming_daily_rollup",
     "streaming_interval_join",
 )
 
