@@ -100,6 +100,7 @@ _NEW_THIS_ROUND: tuple = (
     "fuzzy_entity_resolution",
     "data_quality_expectations",
     "ann_recall_audit",
+    "pca_top_component",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

@@ -822,3 +822,147 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "method string, k int, n_hits int, recall double"
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA: covariance matrix + power iteration, both in-engine
+# --------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+
+
+def _pca_iter_sql(k: int) -> str:
+    """One unrolled power iteration: w = C·v (exact-decimal message
+    sums), then normalize by the exact-sum L2 norm."""
+    prev = f"v{k - 1}"
+    return f"""
+w{k} AS (
+    SELECT c.i, CAST(SUM(CAST(c.cov * v.vj AS DECIMAL(38,18))) AS DOUBLE) AS w
+    FROM cmat c JOIN {prev} v ON v.j = c.j GROUP BY c.i
+),
+n{k} AS (
+    SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM w{k}
+),
+v{k} AS (
+    SELECT i AS j, w / (SELECT nrm FROM n{k}) AS vj FROM w{k}
+)"""
+
+
+_PCA_SQL = (
+    """
+WITH long AS (
+    SELECT vec_id,
+           unnest(range(1, len(embedding) + 1)) AS i,
+           unnest(embedding) AS x
+    FROM embeddings
+),
+means AS (
+    SELECT i,
+           CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS m
+    FROM long GROUP BY i
+),
+centered AS (
+    SELECT l.vec_id, l.i, CAST(l.x AS DOUBLE) - ms.m AS c
+    FROM long l JOIN means ms USING (i)
+),
+nrows AS (SELECT COUNT(*) AS n FROM embeddings),
+cmat AS (
+    SELECT a.i AS i, b.i AS j,
+           CAST(SUM(CAST(a.c * b.c AS DECIMAL(38,15))) AS DOUBLE)
+               / ((SELECT n FROM nrows) - 1) AS cov
+    FROM centered a JOIN centered b USING (vec_id)
+    GROUP BY a.i, b.i
+),
+v0 AS (SELECT DISTINCT i AS j, 0.125 AS vj FROM long),"""
+    + ",".join(_pca_iter_sql(k) for k in range(1, _PCA_ITERS + 1))
+    + f"""
+SELECT CAST(j AS INT) AS dim_idx,
+       ROUND(vj, 9) AS loading,
+       ROUND((SELECT nrm FROM n{_PCA_ITERS}), 6) AS eigenvalue
+FROM v{_PCA_ITERS}
+ORDER BY dim_idx
+"""
+)
+
+
+@query("pca_top_component", _PCA_SQL)
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, first principal component: per-dimension means
+    and the 64x64 covariance matrix from exact-decimal sums (the
+    outer-product pair join on vec_id — dim^2 terms per vector with
+    map-side combine), then {N} power iterations run AS DATAFRAME OPS
+    (w = C·v message sums, exact-decimal; L2 normalize) — the third
+    iterative algorithm on the parity surface after BPE and PageRank,
+    this one over continuous linear algebra instead of strings/graphs.
+
+    Determinism: v0 = 1/8 exactly (dyadic), every matrix-vector message
+    and every norm accumulates as DECIMAL before the IEEE finish, and
+    loadings/eigenvalue round at the output edge — the oracle unrolls
+    identical iterations as CTEs, so both engines produce the same
+    eigenvector to 9dp.
+
+    Scale shape: covariance is ONE shuffle keyed on (i, j) after a
+    self-join co-partitioned on vec_id — at 100 TB this is the
+    standard d^2-state distributed Gram/covariance build (state is
+    dim^2 cells regardless of row count; AQE handles the skewless
+    uniform key space). Each power iteration then runs on the d^2
+    matrix alone — driver-free, fact-free. Centering subtracts
+    broadcast means; eigenvalue = final ||C·v||."""
+    vectors = load_table(spark, "embeddings", sf_dir)
+    n = vectors.count()  # bounded driver read: one scalar
+    long = vectors.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+    means = long.groupBy("i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    centered = long.join(F.broadcast(means), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("m")).alias("c")
+    )
+    a = centered.select("vec_id", F.col("i").alias("i"), F.col("c").alias("ca"))
+    b = centered.select("vec_id", F.col("i").alias("j"), F.col("c").alias("cb"))
+    cmat = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,15)")).cast("double")
+                / F.lit(float(n - 1))
+            ).alias("cov")
+        )
+        .persist()  # the power iterations re-read the d^2 matrix, not the fact
+    )
+    v = means.select(F.col("i").alias("j"), F.lit(0.125).alias("vj"))
+    last_norm = None
+    for _ in range(_PCA_ITERS):
+        w = (
+            cmat.join(v, "j")
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("cov") * F.col("vj")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        norm = w.agg(
+            F.sqrt(F.sum((F.col("w") * F.col("w")).cast("decimal(38,18)")).cast("double")).alias(
+                "nrm"
+            )
+        )
+        last_norm = norm
+        v = w.crossJoin(F.broadcast(norm)).select(
+            F.col("i").alias("j"), (F.col("w") / F.col("nrm")).alias("vj")
+        )
+    return (
+        v.crossJoin(F.broadcast(last_norm))
+        .select(
+            F.col("j").cast("int").alias("dim_idx"),
+            F.round("vj", 9).alias("loading"),
+            F.round("nrm", 6).alias("eigenvalue"),
+        )
+        .orderBy("dim_idx")
+    )

@@ -414,3 +414,24 @@ def test_ann_recall_floor_and_multiprobe_monotone(spark):
     curve = [rows[f"lsh_multiprobe{mp}"] for mp in (1, 2, 3, 6)]
     assert curve == sorted(curve), curve
     assert curve[-1] >= 0.9, curve
+
+
+def test_pca_component_is_unit_and_eigenvalue_bounded(spark, duck):
+    rows = QUERIES["pca_top_component"](spark, SF_ORACLE).collect()
+    assert len(rows) == 64
+    norm_sq = sum(r.loading**2 for r in rows)
+    assert abs(norm_sq - 1.0) < 1e-6
+    ev = rows[0].eigenvalue
+    assert all(r.eigenvalue == ev for r in rows)
+    (trace,) = duck.sql(
+        """
+        WITH long AS (
+            SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )
+        SELECT SUM(v) FROM (
+            SELECT var_samp(x) AS v FROM long GROUP BY i
+        )"""
+    ).fetchone()
+    assert 0 < ev <= trace + 1e-9
