@@ -1620,6 +1620,11 @@ def q_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_fuzzy_name_dedup(spark, sf_dir).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
+    # TPC-H-ish part names are short color tuples, so the match graph is
+    # dense (~470k pairs at sf0.1): past the adaptive threshold, the
+    # counted edge list routes to the DISTRIBUTED min-label path — both
+    # paths measure ~equal wall here, which is exactly the crossover
+    # the threshold encodes.
     labels = neardup_clusters(parts, pairs, "p_partkey").withColumnRenamed(
         "cluster_id", "entity_id"
     )
