@@ -25,7 +25,6 @@ from dieter___etl___monarchmoney_spark.functions.text import (
     BPE_PATTERN,
     STOPWORDS,
     bpe_token_count,
-    fingerprint_md5,
     lang_id,
     punct_count,
     quality_score,
