@@ -388,7 +388,14 @@ class FinanceWarehouse:
         """monarchmoney.py:1556-1613 — returns the new id; amount is
         rounded to 2dp like the reference (:1601)."""
         txns = self.table("transactions")
-        new_id = f"manual-{abs(hash((date, str(account_id), amount, merchant_name))) % 10**12}"
+        # stable content digest, not hash(): Python str hashing is
+        # per-process randomized, so a retried create in a new process
+        # would mint a DIFFERENT id for the same logical transaction —
+        # breaking idempotent retries and cross-run references
+        import hashlib
+
+        key = f"{date}|{account_id}|{amount}|{merchant_name}"
+        new_id = f"manual-{hashlib.md5(key.encode()).hexdigest()[:12]}"
         row = self.spark.createDataFrame(
             [(new_id, date, round(float(amount), 2), account_id, category_id,
               merchant_name, notes)],
