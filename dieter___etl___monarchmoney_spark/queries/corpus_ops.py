@@ -1558,6 +1558,12 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Entity resolution: fuzzy pairs → components → canonical survivor record
 # --------------------------------------------------------------------------
 
+#: entity-resolution match radius — deliberately TIGHTER than the
+#: dedup query's {_FUZZY_MAX_DIST}: dedup optimizes recall (a missed
+#: near-dup costs training quality), ER optimizes precision (a false
+#: merge corrupts the canonical record and chain-merges entities).
+_ER_MAX_DIST = 2
+
 _ER_SQL = f"""
 WITH RECURSIVE blocked AS (
     SELECT p_partkey, p_name, p_brand,
@@ -1569,8 +1575,8 @@ fpairs AS (
     FROM blocked a JOIN blocked b
       ON a.p_brand = b.p_brand AND a.first_tok = b.first_tok
      AND a.p_partkey < b.p_partkey
-     AND abs(length(a.p_name) - length(b.p_name)) <= {_FUZZY_MAX_DIST}
-    WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+     AND abs(length(a.p_name) - length(b.p_name)) <= {_ER_MAX_DIST}
+    WHERE levenshtein(a.p_name, b.p_name) <= {_ER_MAX_DIST}
 ),
 edges AS (
     SELECT id_a AS v, id_b AS u FROM fpairs
@@ -1617,8 +1623,31 @@ def q_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dieter___etl___monarchmoney_spark.operators.dedup import neardup_clusters
 
     parts = load_table(spark, "part", sf_dir)
-    pairs = q_fuzzy_name_dedup(spark, sf_dir).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    blocked = parts.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split(F.lower(F.trim(F.col("p_name"))), r"\s+")[0].alias("first_tok"),
+    )
+    a_side = blocked.alias("fa")
+    b_side = blocked.alias("fb")
+    pairs = (
+        a_side.join(
+            b_side,
+            (F.col("fa.p_brand") == F.col("fb.p_brand"))
+            & (F.col("fa.first_tok") == F.col("fb.first_tok"))
+            & (F.col("fa.p_partkey") < F.col("fb.p_partkey"))
+            & (
+                F.abs(F.length(F.col("fa.p_name")) - F.length(F.col("fb.p_name")))
+                <= _ER_MAX_DIST
+            ),
+        )
+        .filter(
+            F.levenshtein(F.col("fa.p_name"), F.col("fb.p_name")) <= _ER_MAX_DIST
+        )
+        .select(
+            F.col("fa.p_partkey").alias("doc_a"), F.col("fb.p_partkey").alias("doc_b")
+        )
     )
     # TPC-H-ish part names are short color tuples, so the match graph is
     # dense (~470k pairs at sf0.1): past the adaptive threshold, the
