@@ -442,3 +442,28 @@ def test_keyness_topk_uses_window_group_limit(spark):
     # operator so partitions emit at most 10 survivors
     plan = _plan(QUERIES["source_keyness_g2"](spark, SF_ORACLE))
     assert "WindowGroupLimit" in plan
+
+
+def test_whole_registry_plan_hygiene(spark):
+    """Sweeping net over EVERY registered query's physical plan: no
+    row-at-a-time Python evaluation anywhere, Arrow-batched Python only
+    in the multimodal stubs (by design), and no cartesian products."""
+    arrow_allowed = {
+        "multimodal_decode_fake",
+        "multimodal_feature_extract",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+    }
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, SF_ORACLE))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if (
+            ("ArrowEvalPython" in plan or "MapInPandas" in plan)
+            and name not in arrow_allowed
+        ):
+            offenders.append((name, "unexpected-arrow"))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders
