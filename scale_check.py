@@ -55,6 +55,8 @@ QUERIES = (
     "bpe_merge_rules",
     "source_keyness_g2",
     "dup_graph_pagerank",
+    # blocked-match + components over the replicated part catalog
+    "fuzzy_entity_resolution",
 )
 
 VOWELS = "aeiou"
@@ -78,6 +80,28 @@ def build_scaled_docs(spark, sf_dir: str, scale: int, out_dir: str) -> None:
     for p in parts[1:]:
         union = union.unionByName(p)
     union.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    # replicate the part catalog the same way (fresh key ranges,
+    # vowel-rotated names) so the entity-resolution / fuzzy-match
+    # family measures too: match-pair structure replicates per copy,
+    # cross-copy names don't collide
+    cat = spark.read.parquet(f"{sf_dir}/part.parquet")
+    reps = []
+    for k in range(scale):
+        rot = VOWELS[k % 5 :] + VOWELS[: k % 5]
+        reps.append(
+            cat.select(
+                (F.col("p_partkey") + F.lit(k * 100_000_000)).alias("p_partkey"),
+                F.translate("p_name", VOWELS, rot).alias("p_name"),
+                "p_brand",
+                "p_type",
+                "p_size",
+                "p_retailprice",
+            )
+        )
+    cu = reps[0]
+    for r in reps[1:]:
+        cu = cu.unionByName(r)
+    cu.write.mode("overwrite").parquet(f"{out_dir}/part.parquet")
 
 
 def main() -> None:
