@@ -28,6 +28,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     curation,
     llm_pipeline,
     sketch_ops,
+    wave4_ops,
 )
 
 #: Round-3 rotation — every query that has NEVER had a driver-side row

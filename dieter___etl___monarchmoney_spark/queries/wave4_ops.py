@@ -1,0 +1,717 @@
+"""Round-3 wave-4 operators: corpus hygiene and cluster-layout
+primitives that round out the LLM-pipeline surface.
+
+- ``intra_doc_dedup``: WITHIN-document repeated-segment removal (the
+  complement of the cross-document boilerplate audit) with a
+  reassembled-text fingerprint, oracle-checked end to end.
+- ``range_partition_plan``: the terasort primitive — sample-derived
+  range boundaries plus a partition-balance audit of the resulting
+  layout (the thing every 100 TB global sort / Z-order write needs).
+- ``source_quality_calibration``: how hard each source's own top-decile
+  quality bar is against the GLOBAL score distribution — the
+  cross-source comparability check behind mixture weighting.
+- ``minhash_error_audit``: per-candidate-pair MinHash-estimated vs
+  exact 3-gram Jaccard — closes the sketch-validation family
+  (hll/count-min/t-digest already have theirs) for the dedup sketch.
+- ``source_divergence_matrix``: pairwise Jensen-Shannon divergence
+  between source unigram distributions — the distribution-shift metric
+  used to pick mixture proportions.
+- ``hot_key_skew_profile``: per-key histogram statistics (top-key
+  share, Shannon entropy, Gini) for shuffle keys — the measurement that
+  DECIDES when skew salting (operators/skew.py) is needed.
+
+Reference framing: the reference engine (an API-bound single-node ETL,
+monarchmoney/monarchmoney.py) has none of these; they belong to the
+SURVEY.md §6 large-scale-training-pipeline extension family the task
+brief makes first-class.
+
+Determinism rules follow the repo contract: md5 for cross-engine
+hashing, exact integer/decimal arithmetic wherever sums occur,
+transcendental (ln) terms cast to DECIMAL(38,18) per-term before
+summing (order-independent; same pattern as bigram_lm_quality), and
+transcendental-derived outputs rounded to 9dp at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.registry import query
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+from dieter___etl___monarchmoney_spark.functions.text import tokens, quality_score
+from dieter___etl___monarchmoney_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles_of,
+)
+
+_DEC18 = "decimal(38,18)"
+
+# --------------------------------------------------------------------------
+# Intra-document repeated-segment dedup (within-doc complement of the
+# cross-doc boilerplate audit)
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+
+_INTRA_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+segs AS (
+    SELECT doc_id, i AS pos, array_to_string(t[i*3+1 : i*3+3], ' ') AS seg
+    FROM toks, unnest(
+        CASE WHEN len(t) // 3 > 0
+             THEN generate_series(0, len(t) // 3 - 1) ELSE [] END) AS u(i)
+),
+firsts AS (
+    SELECT doc_id, seg, MIN(pos) AS p, COUNT(*) AS cnt
+    FROM segs GROUP BY doc_id, seg
+),
+per_doc AS (
+    SELECT doc_id, SUM(cnt) AS n_segments, COUNT(*) AS n_unique,
+           md5(string_agg(seg, ' ' ORDER BY p)) AS dedup_fp
+    FROM firsts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(p.n_unique, 0) AS BIGINT) AS n_unique,
+       COALESCE(p.dedup_fp, md5('')) AS dedup_fp
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def intra_doc_segment_dedup(docs: DataFrame) -> DataFrame:
+    """Within-document repeated-segment removal over fixed 3-token
+    segments (same segmentation as boilerplate_segment_audit): keep the
+    FIRST occurrence of each distinct segment, preserve original order,
+    and fingerprint the reassembled text. Factored out so tests can run
+    it on synthetic frames."""
+    toks_df = docs.select("doc_id", tokens("text").alias("toks"))
+    n_seg = F.floor(F.size("toks") / 3).cast("int")
+    segs = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(F.slice(F.col("toks"), i * 3 + 1, F.lit(3)), " "),
+        ),
+    ).otherwise(F.lit(None).cast("array<string>"))
+    exploded = toks_df.select("doc_id", segs.alias("segs")).select(
+        "doc_id", F.posexplode_outer("segs").alias("pos", "seg")
+    )
+    firsts = (
+        exploded.filter(F.col("seg").isNotNull())
+        .groupBy("doc_id", "seg")
+        .agg(F.min("pos").alias("p"), F.count(F.lit(1)).alias("cnt"))
+    )
+    # collect_list is bounded by the DOCUMENT's own segment count (the
+    # reassembly inherently needs the doc in one place), then ordered
+    # deterministically by first-occurrence position via array_sort on
+    # (p, seg) structs — p is unique per doc so the sort is total.
+    per_doc = firsts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("seg")))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            )
+        ).alias("dedup_fp"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+            F.coalesce("n_unique", F.lit(0)).cast("bigint").alias("n_unique"),
+            F.coalesce("dedup_fp", F.md5(F.lit(""))).alias("dedup_fp"),
+        )
+    )
+
+
+@query("intra_doc_dedup", _INTRA_SQL)
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-segment dedup (the RefinedWeb
+    intra-document repetition trim): for each doc, drop every repeat of
+    an already-seen 3-token segment, keep original order, and report
+    segment counts plus the md5 fingerprint of the deduplicated text —
+    the fingerprint proves the REASSEMBLY (not just the counts) matches
+    the oracle bit for bit.
+
+    Scale shape: one shuffle keyed on (doc_id, segment) for the
+    first-occurrence aggregate, one keyed on doc_id for reassembly.
+    Both are doc-local keys, so a layout already partitioned by doc_id
+    (the normal corpus layout) makes BOTH exchanges disappear; state
+    per doc is bounded by that doc's own length. No cross-document
+    traffic at all — this composes with the cross-doc boilerplate
+    audit, which handles the between-docs direction."""
+    return intra_doc_segment_dedup(load_table(spark, "documents", sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Terasort-style range-partition planning + balance audit
+# --------------------------------------------------------------------------
+
+_RANGE_B = 8
+
+_RANGE_SQL = f"""
+WITH sample AS (
+    SELECT o_totalprice AS p, o_orderkey AS k FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+),
+ns AS (SELECT COUNT(*) AS n FROM sample),
+ranked AS (SELECT p, k, ROW_NUMBER() OVER (ORDER BY p, k) AS rn FROM sample),
+bounds AS (
+    SELECT DISTINCT r.p, r.k
+    FROM ranked r, ns, unnest(generate_series(1, {_RANGE_B - 1})) AS g(j)
+    WHERE r.rn = greatest(1, (g.j * ns.n) // {_RANGE_B})
+),
+assigned AS (
+    SELECT o.o_totalprice,
+           1 + (SELECT COUNT(*) FROM bounds b
+                WHERE o.o_totalprice > b.p
+                   OR (o.o_totalprice = b.p AND o.o_orderkey >= b.k)) AS bucket
+    FROM orders o
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       ROUND(COUNT(*) * {_RANGE_B}.0 / SUM(COUNT(*)) OVER (), 6) AS balance_ratio
+FROM assigned GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("range_partition_plan", _RANGE_SQL)
+def q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The terasort primitive, made measurable: derive {_RANGE_B}-way
+    range boundaries for (o_totalprice, o_orderkey) from a
+    deterministic 1/16 hash sample (first md5 hex digit of the key),
+    assign every order to its range bucket at scan speed, and audit the
+    resulting layout — per-bucket row count, value range, and
+    balance_ratio (bucket size ÷ ideal size). This is the planning step
+    behind every distributed global sort, sorted-parquet write, and
+    range-bucketed layout; Spark's own RangePartitioner does exactly
+    this sampling internally but exposes neither the boundaries nor the
+    balance, so it cannot be audited or reused across jobs.
+
+    Determinism: boundaries are SELECTED sample rows (ranks
+    floor(j·n/{_RANGE_B}) of the sorted sample, (price, key)
+    tie-broken) — never interpolated, so no floating arithmetic exists
+    to diverge between engines. Assignment compares raw doubles
+    lexicographically against those selected values.
+
+    Scale shape: the sample is the only sorted thing (hash-filtered at
+    the scan, orders of magnitude smaller than the fact; at 100 TB you
+    lengthen the md5 prefix to keep it at O(100·B) rows, which is what
+    terasort's own sampler does); the ≤{_RANGE_B - 1} boundary rows are
+    a BOUNDED driver collect (same contract as the IVF centroid
+    collect), embedded as literals so bucket assignment is a pure scan
+    with map-side-combinable aggregation — the fact table is never
+    sorted or shuffled at all to produce the audit."""
+    orders = load_table(spark, "orders", sf_dir)
+    sample = orders.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    ).select(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    n_s = sample.count()
+    ranks = sorted({max(1, (j * n_s) // _RANGE_B) for j in range(1, _RANGE_B)})
+    w = Window.orderBy("p", "k")
+    bounds = sorted(
+        (r["p"], r["k"])
+        for r in sample.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").isin(ranks))
+        .select("p", "k")
+        .distinct()
+        .collect()
+    )
+    bucket = F.lit(1)
+    for bp, bk in bounds:
+        ge = (F.col("o_totalprice") > F.lit(bp)) | (
+            (F.col("o_totalprice") == F.lit(bp)) & (F.col("o_orderkey") >= F.lit(bk))
+        )
+        bucket = bucket + F.when(ge, 1).otherwise(0)
+    per_bucket = (
+        orders.select(bucket.cast("int").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    return per_bucket.select(
+        "bucket",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "min_price",
+        "max_price",
+        F.round(
+            F.col("n_rows") * F.lit(float(_RANGE_B))
+            / F.sum("n_rows").over(Window.partitionBy()),
+            6,
+        ).alias("balance_ratio"),
+    ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# Cross-source quality-bar calibration
+# --------------------------------------------------------------------------
+
+
+def _quality_sql() -> str:
+    from dieter___etl___monarchmoney_spark.queries.llm_pipeline import _QUALITY_SQL
+
+    return _QUALITY_SQL
+
+
+def _calibration_sql() -> str:
+    return f"""
+WITH scored AS (
+    SELECT doc_id, source, {_quality_sql()} AS q FROM documents
+),
+deciled AS (
+    SELECT source, q,
+           NTILE(10) OVER (PARTITION BY source ORDER BY q, doc_id) AS decile
+    FROM scored
+),
+q90 AS (SELECT source, MIN(q) AS q90 FROM deciled WHERE decile = 10 GROUP BY source),
+counts AS (SELECT source, COUNT(*) AS n_docs FROM scored GROUP BY source),
+tot AS (SELECT COUNT(*) AS n_total FROM scored),
+above AS (
+    SELECT b.source, COUNT(*) AS n_global_ge
+    FROM scored d JOIN q90 b ON d.q >= b.q90
+    GROUP BY b.source
+)
+SELECT c.source,
+       CAST(c.n_docs AS BIGINT) AS n_docs,
+       b.q90,
+       CAST(a.n_global_ge AS BIGINT) AS n_global_ge,
+       ROUND(CAST(a.n_global_ge AS DOUBLE) / t.n_total, 9) AS global_share_ge
+FROM counts c JOIN q90 b USING (source) JOIN above a USING (source)
+CROSS JOIN tot t
+ORDER BY source
+"""
+
+
+@query("source_quality_calibration", _calibration_sql())
+def q_source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality-bar calibration: each source's own
+    top-decile boundary (min quality among its NTILE(10)=10 docs) is
+    measured against the GLOBAL distribution — what fraction of ALL
+    documents clear source s's bar. A source whose "top 10%" is cleared
+    by 60% of the corpus has a lax bar; one cleared by 3% has a strict
+    one. Per-source decile cuts alone (quality_decile_assignment) can't
+    see this — it's the comparability check that makes per-source
+    quality quotas meaningful before mixture weighting.
+
+    Determinism: every output is either an exact count, a raw score
+    (integer-count arithmetic, engine-identical), or a single division
+    of two exact integers rounded at the edge — no transcendental, no
+    float summation.
+
+    Scale shape: decile ranking is partitioned by source (no global
+    sort); the 20-row q90 boundary table BROADCASTS into an inequality
+    join against the fact, whose expansion collapses immediately in a
+    map-side-combinable count — the fact is scanned, never shuffled, for
+    the global pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select("doc_id", "source", quality_score("text").alias("q"))
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    q90 = (
+        scored.select("source", "q", F.ntile(10).over(w).alias("decile"))
+        .filter(F.col("decile") == 10)
+        .groupBy("source")
+        .agg(F.min("q").alias("q90"))
+    )
+    counts = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    above = (
+        scored.alias("d")
+        .join(F.broadcast(q90.alias("b")), F.col("d.q") >= F.col("b.q90"))
+        .groupBy(F.col("b.source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_global_ge"))
+    )
+    return (
+        counts.join(q90, "source")
+        .join(above, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "q90",
+            F.col("n_global_ge").cast("bigint").alias("n_global_ge"),
+            F.round(
+                F.col("n_global_ge").cast("double") / F.col("n_total"), 9
+            ).alias("global_share_ge"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimate vs exact Jaccard: the dedup sketch's error audit
+# --------------------------------------------------------------------------
+
+
+def _minhash_audit_sql() -> str:
+    from dieter___etl___monarchmoney_spark.queries.llm_pipeline import _MINHASH_SIG_SQL
+
+    matches = " + ".join(
+        f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(1, 9)
+    )
+    return (
+        _MINHASH_SIG_SQL
+        + f"""
+, cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band_key)
+    WHERE a.doc_id < b.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN dsh x ON x.doc_id = c.doc_a
+    JOIN dsh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+       abs(est_jaccard - exact_jaccard) AS abs_err
+FROM (
+    SELECT c.doc_a, c.doc_b,
+           ({matches}) / 8.0 AS est_jaccard,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+               / (za.n + zb.n - COALESCE(i.n_inter, 0)) AS exact_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+)
+ORDER BY doc_a, doc_b
+"""
+    )
+
+
+@query("minhash_error_audit", _minhash_audit_sql())
+def q_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-validation row for the dedup family: for every MinHash-LSH
+    candidate pair, the 8-hash MinHash ESTIMATE of Jaccard (matching
+    signature positions ÷ 8) next to the EXACT distinct-3-gram Jaccard
+    and their absolute error — the same exact-vs-sketch contract that
+    percentile_sketch_validation and approx_distinct_validation give
+    the quantile and distinct-count sketches, completing the set for
+    the similarity sketch the dedup pipeline actually gates on.
+
+    Everything is integer-derived doubles (k/8 is exact dyadic; exact
+    Jaccard is one int÷int division), so there is NO rounding tolerance
+    — the driver hash must match to the last bit.
+
+    Scale shape: candidates come from the single-shuffle LSH banding
+    (never all pairs); exact Jaccard is computed ONLY for candidates —
+    per-pair intersection via two joins against the distinct-shingle
+    postings, all keyed joins, work proportional to candidate count ×
+    doc length, not n². At 100 TB the audit runs on a hash-sampled
+    slice of candidates (swap the LSH frame for its TABLESAMPLE) with
+    the identical plan."""
+    docs = load_table(spark, "documents", sf_dir)
+    sig = minhash_signatures(docs, "text", "doc_id")
+    cand = lsh_candidate_pairs(sig)
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(1, 9)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(1, 9)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(1, 9)
+    )
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    dsh = toks.select(
+        "doc_id", F.explode(shingles_of(F.col("toks"))).alias("shingle")
+    ).distinct()
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(dsh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(dsh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    est = (matches / F.lit(8.0)).alias("est_jaccard")
+    n_i = F.coalesce("n_inter", F.lit(0))
+    exact = (n_i.cast("double") / (F.col("na") + F.col("nb") - n_i)).alias(
+        "exact_jaccard"
+    )
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", est, exact)
+        .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pairwise Jensen-Shannon divergence between source unigram distributions
+# --------------------------------------------------------------------------
+
+_JS_SQL = r"""
+WITH toks AS (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              t -> t <> '')) AS w
+    FROM documents
+),
+cnt AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w),
+tot AS (SELECT source, SUM(c) AS t FROM cnt GROUP BY source),
+probs AS (
+    SELECT c.source, c.w, CAST(c.c AS DOUBLE) / t.t AS p
+    FROM cnt c JOIN tot t USING (source)
+),
+per_src AS (
+    SELECT source,
+           SUM(CAST(-(p * ln(p)) AS DECIMAL(38,18))) AS hp,
+           SUM(CAST(-((p/2.0) * ln(p/2.0)) AS DECIMAL(38,18))) AS s_half
+    FROM probs GROUP BY source
+),
+shared AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_words,
+           SUM(CAST((a.p/2.0) * ln(a.p/2.0) + (b.p/2.0) * ln(b.p/2.0)
+                    - ((a.p + b.p)/2.0) * ln((a.p + b.p)/2.0)
+                AS DECIMAL(38,18))) AS t_shared
+    FROM probs a JOIN probs b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b,
+       CAST(s.n_shared_words AS BIGINT) AS n_shared_words,
+       ROUND(CAST(pa.s_half AS DOUBLE) + CAST(pb.s_half AS DOUBLE)
+             + CAST(s.t_shared AS DOUBLE)
+             - (CAST(pa.hp AS DOUBLE) + CAST(pb.hp AS DOUBLE)) / 2.0,
+             9) AS js_nats
+FROM shared s
+JOIN per_src pa ON pa.source = s.source_a
+JOIN per_src pb ON pb.source = s.source_b
+ORDER BY source_a, source_b
+"""
+
+
+@query("source_divergence_matrix", _JS_SQL)
+def q_source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every source pair — the distribution-shift metric
+    that drives mixture-proportion choices (two near-identical sources
+    shouldn't both get full weight; an outlier source needs deliberate
+    up/down-weighting).
+
+    The naive JS needs, per pair, a FULL OUTER join over the union
+    vocabulary (words present in only one source still contribute).
+    Instead JS(P,Q) = H(M) − (H(P)+H(Q))/2 is decomposed so one-sided
+    words never need joining: Σ_only-A −(p/2)ln(p/2) equals the
+    per-source total S_A minus the shared-word part, giving
+    JS = S_A + S_B + Σ_shared[(p_a/2)ln(p_a/2) + (p_b/2)ln(p_b/2)
+    − m·ln m] − (H_A+H_B)/2 with m=(p_a+p_b)/2 — i.e. ONE inner
+    self-join on the word plus 20-row per-source scalars.
+
+    Determinism: probabilities are exact-int divisions (identical
+    doubles both engines); every ln term is cast to DECIMAL(38,18)
+    per-TERM before summing so the sum is order-independent (the
+    bigram_lm_quality pattern — a ≤1-ulp ln discrepancy perturbs the
+    18th decimal, and the 9dp edge rounding absorbs it); the final
+    combination is a fixed-shape 5-operand double expression written
+    identically in both engines.
+
+    Scale shape: one shuffle keyed on the word for counts, one
+    word-keyed self-join whose fan-out is bounded by sources-per-word
+    (≤20 here; ≤ the source catalog generally — this is a
+    vocab × sources frame, already collapsed from the corpus), then a
+    190-row result. The per-source scalar frame broadcasts."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(tokens("text"), lambda t: t != "")).alias("w"),
+    )
+    cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    probs = cnt.join(F.broadcast(tot), "source").select(
+        "source", "w", (F.col("c").cast("double") / F.col("t")).alias("p")
+    )
+    half = F.col("p") / F.lit(2.0)
+    per_src = probs.groupBy("source").agg(
+        F.sum((-(F.col("p") * F.log(F.col("p")))).cast(_DEC18)).alias("hp"),
+        F.sum((-(half * F.log(half))).cast(_DEC18)).alias("s_half"),
+    )
+    pa2 = F.col("a.p") / F.lit(2.0)
+    pb2 = F.col("b.p") / F.lit(2.0)
+    m = (F.col("a.p") + F.col("b.p")) / F.lit(2.0)
+    term = (pa2 * F.log(pa2) + pb2 * F.log(pb2) - m * F.log(m)).cast(_DEC18)
+    shared = (
+        probs.alias("a")
+        .join(
+            probs.alias("b"),
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_words"),
+            F.sum(term).alias("t_shared"),
+        )
+    )
+    scal_a = per_src.select(
+        F.col("source").alias("source_a"),
+        F.col("hp").cast("double").alias("ha"),
+        F.col("s_half").cast("double").alias("sa"),
+    )
+    scal_b = per_src.select(
+        F.col("source").alias("source_b"),
+        F.col("hp").cast("double").alias("hb"),
+        F.col("s_half").cast("double").alias("sb"),
+    )
+    return (
+        shared.join(F.broadcast(scal_a), "source_a")
+        .join(F.broadcast(scal_b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared_words").cast("bigint").alias("n_shared_words"),
+            F.round(
+                F.col("sa") + F.col("sb") + F.col("t_shared").cast("double")
+                - (F.col("ha") + F.col("hb")) / F.lit(2.0),
+                9,
+            ).alias("js_nats"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hot-key skew profile: the measurement behind the salting decision
+# --------------------------------------------------------------------------
+
+_SKEW_SPECS = (
+    ("events.event_type", "events", "event_type"),
+    ("events.user_id", "events", "user_id"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+)
+
+
+def _skew_entity_sql(entity: str, table: str, key: str) -> str:
+    return f"""
+SELECT '{entity}' AS entity,
+       CAST(MAX(t.nk) AS BIGINT) AS n_keys,
+       CAST(MAX(t.n) AS BIGINT) AS total_rows,
+       arg_max(r.k, r.i) AS top_key,
+       ROUND(CAST(MAX(r.c) AS DOUBLE) / CAST(MAX(t.n) AS DOUBLE), 9) AS top_share,
+       ROUND(CAST(SUM(CAST(-((CAST(r.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                             * ln(CAST(r.c AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                        AS DECIMAL(38,18))) AS DOUBLE), 9) AS entropy_nats,
+       ROUND(CAST(2 * SUM(CAST(r.i AS HUGEINT) * r.c)
+                  - CAST(MAX(t.nk) + 1 AS HUGEINT)
+                    * CAST(MAX(t.n) AS HUGEINT) AS DOUBLE)
+             / CAST(CAST(MAX(t.nk) AS HUGEINT)
+                    * CAST(MAX(t.n) AS HUGEINT) AS DOUBLE), 9) AS gini
+FROM (
+    SELECT k, c, ROW_NUMBER() OVER (ORDER BY c, k) AS i
+    FROM (SELECT CAST({key} AS VARCHAR) AS k, COUNT(*) AS c FROM {table} GROUP BY 1)
+) r
+CROSS JOIN (
+    SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS nk
+    FROM (SELECT COUNT(*) AS c FROM {table} GROUP BY {key})
+) t
+"""
+
+
+_SKEW_SQL = (
+    "SELECT * FROM ("
+    + ") UNION ALL SELECT * FROM (".join(
+        _skew_entity_sql(e, t, k) for e, t, k in _SKEW_SPECS
+    )
+    + ") ORDER BY entity"
+)
+
+
+@query("hot_key_skew_profile", _SKEW_SQL)
+def q_hot_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew measurement — the number that DECIDES whether a
+    join/agg needs salting (operators/skew.py) before it runs: for each
+    candidate key, the key-histogram's top-key share, Shannon entropy,
+    and Gini coefficient. top_share ≈ 1/n_keys and Gini ≈ 0 means a
+    uniform key (salt-free); top_share ≫ 1/n_keys or Gini → 1 means a
+    hot key that will straggle a 1000-executor shuffle.
+
+    Determinism: entropy terms are per-term DECIMAL(38,18) casts summed
+    exactly; Gini uses the rank formula (2·Σi·cᵢ − (K+1)·N)/(K·N) where
+    every sum is exact DECIMAL integer arithmetic — one double division
+    at the edge, rounded 9dp; top_key ties are impossible (arg-max over
+    the unique rank i, which orders by (count, key)).
+
+    Scale shape: the fact is scanned once into a per-key histogram
+    (map-side-combinable count) — every later step runs on K rows, not
+    N. The rank window sorts the HISTOGRAM, which is the already-reduced
+    frame; for billion-key histograms swap ROW_NUMBER for a two-pass
+    partition-offset rank (count per range, prefix-sum the offsets) and
+    the formulas are unchanged — or estimate the same three stats from
+    the count-min/HLL sketch family at zero extra shuffles."""
+    spark_frames = []
+    for entity, table, key in _SKEW_SPECS:
+        hist = (
+            load_table(spark, table, sf_dir)
+            .groupBy(F.col(key).cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        ranked = hist.select(
+            "k", "c", F.row_number().over(Window.orderBy("c", "k")).alias("i")
+        )
+        totals = hist.agg(
+            F.sum("c").cast("bigint").alias("n"), F.count(F.lit(1)).alias("nk")
+        )
+        p = F.col("c").cast("double") / F.col("n").cast("double")
+        agg = (
+            ranked.crossJoin(F.broadcast(totals))
+            .agg(
+                F.max("nk").alias("nk"),
+                F.max("n").alias("n"),
+                F.max_by("k", "i").alias("top_key"),
+                F.max("c").alias("top_cnt"),
+                F.sum((-(p * F.log(p))).cast(_DEC18)).alias("h"),
+                F.sum(
+                    F.col("i").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+                ).alias("s_ic"),
+            )
+        )
+        nk_d = (F.col("nk")).cast("decimal(38,0)")
+        n_d = (F.col("n")).cast("decimal(38,0)")
+        gini_num = (
+            F.lit(2).cast("decimal(38,0)") * F.col("s_ic")
+            - (F.col("nk") + 1).cast("decimal(38,0)") * n_d
+        )
+        spark_frames.append(
+            agg.select(
+                F.lit(entity).alias("entity"),
+                F.col("nk").cast("bigint").alias("n_keys"),
+                F.col("n").cast("bigint").alias("total_rows"),
+                "top_key",
+                F.round(
+                    F.col("top_cnt").cast("double") / F.col("n").cast("double"), 9
+                ).alias("top_share"),
+                F.round(F.col("h").cast("double"), 9).alias("entropy_nats"),
+                F.round(
+                    gini_num.cast("double") / (nk_d * n_d).cast("double"), 9
+                ).alias("gini"),
+            )
+        )
+    out = spark_frames[0]
+    for fr in spark_frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("entity")
