@@ -29,6 +29,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     llm_pipeline,
     sketch_ops,
     wave4_ops,
+    wave5_ops,
 )
 
 #: Round-3 rotation — every query that has NEVER had a driver-side row

@@ -1274,6 +1274,19 @@ def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost model; intermediate stages persist and are released once the
     rules are learned."""
     docs = load_table(spark, "documents", sf_dir)
+    rules, final = bpe_learn(docs)
+    final.unpersist()
+    return spark.createDataFrame(
+        rules, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def bpe_learn(docs: DataFrame, k_max: int = _BPE_K):
+    """Run the BPE learning loop of ``q_bpe_merge_rules`` and return
+    ``(rules, final_frame)`` where ``final_frame`` is the
+    sentinel-wrapped corpus AFTER all merges applied (persisted —
+    callers that don't consume it must unpersist). Shared with the
+    encode pass (wave5_ops) so learn and apply can never drift."""
     toks = docs.select(
         "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("toks")
     )
@@ -1286,7 +1299,7 @@ def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = wrapped.persist()
     cached = [cur]
     rules = []
-    for k in range(1, _BPE_K + 1):
+    for k in range(1, k_max + 1):
         arr = F.split(F.regexp_replace("s", "^\x1f+|\x1f+$", ""), "\x1f\x1f")
         n = F.size(arr)
         pairs = (
@@ -1319,11 +1332,9 @@ def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         ).persist()
         cached.append(cur)
-    for frame in cached:
+    for frame in cached[:-1]:
         frame.unpersist()
-    return spark.createDataFrame(
-        rules, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
-    )
+    return rules, cached[-1]
 
 
 # --------------------------------------------------------------------------

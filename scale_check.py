@@ -57,6 +57,13 @@ QUERIES = (
     "dup_graph_pagerank",
     # blocked-match + components over the replicated part catalog
     "fuzzy_entity_resolution",
+    # wave 4: within-doc dedup (doc-local keys), sketch error audit
+    # (candidate-bounded exact Jaccard), JS divergence (vocab x sources
+    # self-join), cross-source calibration (broadcast inequality join)
+    "intra_doc_dedup",
+    "minhash_error_audit",
+    "source_divergence_matrix",
+    "source_quality_calibration",
 )
 
 VOWELS = "aeiou"

@@ -1,0 +1,97 @@
+"""Property tests for the wave-5 operators (parity is covered by
+test_oracle_parity; these pin the semantic invariants)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dieter___etl___monarchmoney_spark import registry
+from tests.conftest import SF_SMOKE
+
+QUERIES, _ = registry.load()
+
+
+def test_bpe_encode_counts_shrink_consistently(spark):
+    rows = QUERIES["bpe_encode_corpus"](spark, SF_SMOKE).collect()
+    assert rows
+    merged_somewhere = False
+    for r in rows:
+        assert 0 <= r["n_syms_after"] <= r["n_syms_before"]
+        assert r["n_merges_applied"] == r["n_syms_before"] - r["n_syms_after"]
+        merged_somewhere |= r["n_merges_applied"] > 0
+    # the learned merges must actually fire on the corpus they were
+    # learned from (the top pair occurs somewhere by construction)
+    assert merged_somewhere
+
+
+def test_bpe_encode_agrees_with_learned_rules(spark):
+    # total merges applied across the corpus == sum of non-overlapping
+    # occurrences is at least the count of the LAST rule learned (its
+    # pair count survives earlier rewrites by definition of the loop)
+    from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+    from dieter___etl___monarchmoney_spark.queries.corpus_ops import bpe_learn
+
+    rules, final = bpe_learn(load_table(spark, "documents", SF_SMOKE))
+    final.unpersist()
+    total_applied = (
+        QUERIES["bpe_encode_corpus"](spark, SF_SMOKE)
+        .groupBy()
+        .sum("n_merges_applied")
+        .first()[0]
+    )
+    assert total_applied == sum(cnt for _k, _a, _b, cnt in rules)
+
+
+def test_ewma_recurrence(spark):
+    rows = QUERIES["ewma_smoothing"](spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r["d"])
+        assert series[0]["ewma"] == pytest.approx(series[0]["daily_mean"], abs=1e-9)
+        e = series[0]["daily_mean"]
+        for r in series[1:]:
+            e = 0.3 * r["daily_mean"] + 0.7 * e
+            assert r["ewma"] == pytest.approx(e, abs=1e-8)
+
+
+def test_mad_outliers_flags_match_threshold(spark):
+    rows = QUERIES["mad_outliers"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["mad"] >= 0.0
+        if r["mad"] > 0:
+            assert r["is_outlier"] == (r["robust_z"] > 3.5) or abs(
+                r["robust_z"] - 3.5
+            ) < 1e-6
+        else:
+            assert not r["is_outlier"]
+
+
+def test_benford_audit_shares(spark):
+    rows = QUERIES["benford_digit_audit"](spark, SF_SMOKE).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert sum(r["obs_share"] for r in rows) == pytest.approx(1.0, abs=1e-6)
+    expected_total = sum(math.log10(1 + 1 / d) for d in range(1, 10))
+    assert sum(r["expected_share"] for r in rows) == pytest.approx(
+        expected_total, abs=1e-12
+    )
+    chi2 = {r["chi2_stat"] for r in rows}
+    assert len(chi2) == 1 and min(chi2) >= 0.0
+
+
+def test_compaction_bins_partition_everything(spark):
+    from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+
+    rows = QUERIES["compaction_bin_packing"](spark, SF_SMOKE).collect()
+    orders = load_table(spark, "orders", SF_SMOKE)
+    assert sum(r["bin_rows"] for r in rows) == orders.count()
+    n_dates = orders.select("o_orderdate").distinct().count()
+    assert sum(r["n_partitions"] for r in rows) == n_dates
+    # prefix-sum next-fit: every bin except the last lands within one
+    # partition's size of its target
+    for r in rows[:-1]:
+        assert 0.5 <= r["fill_ratio"] <= 1.5, r
