@@ -379,3 +379,65 @@ def q_streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         stream, f"sliding_rollup_{_digest(sf_dir)}", state_partitions=8
     )
+
+
+def _ewma_stream_oracle() -> str:
+    from dieter___etl___monarchmoney_spark.queries.wave5_ops import _EWMA_SQL
+
+    return _EWMA_SQL
+
+
+@query("ewma_stream", _ewma_stream_oracle())
+def q_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState EWMA (streaming/ewma_stream.py) run
+    availableNow against the SAME recursive-CTE oracle as the batch
+    fold (wave5_ops ewma_smoothing) — two independent implementations
+    of a recursive statistic, one windowless fold and one stateful
+    stream, must produce identical smoothed series. Next to
+    sessionize_stream this is the second custom stateful operator
+    family: sessions carry interval state, this carries an exact
+    integer accumulator plus the float recurrence — and the
+    exact-decimal discipline survives the Arrow round trip (the fn
+    reproduces Spark's double→DECIMAL(18,6) cast and F.round(…, 9)
+    digit for digit).
+
+    Flush uses the shared end-of-log sentinel pattern: one marker per
+    event_type 30 days past max event time triggers the group's emit;
+    markers are never accumulated. A live deployment instead emits
+    closed days from the event-time timeout path with state bounded by
+    the watermark's calendar horizon."""
+    events = load_table(spark, "events", sf_dir)
+    max_ts = events.agg(F.max("ts").alias("m")).first()["m"]
+    sentinel_ts = max_ts + dt.timedelta(days=30)
+
+    sent_dir = os.path.join(tempfile.gettempdir(), f"ewma_flush_{_digest(sf_dir)}")
+    shutil.rmtree(sent_dir, ignore_errors=True)
+    sentinels = events.select("event_type").distinct().select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(sentinel_ts).cast("timestamp_ntz").alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    sentinels.write.parquet(sent_dir)
+
+    from dieter___etl___monarchmoney_spark.sources.parquet import (
+        _normalize_event_time,
+    )
+    from dieter___etl___monarchmoney_spark.streaming.ewma_stream import ewma_stream
+    from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
+        EVENTS_RAW_SCHEMA,
+    )
+
+    real = read_events_stream(spark, sf_dir)
+    flush = _normalize_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(sent_dir)
+    )
+    out = ewma_stream(real.unionByName(flush))
+    return run_available_now(
+        out,
+        f"ewma_stream_{_digest(sf_dir)}",
+        output_mode="append",
+        state_partitions=8,
+    )

@@ -95,3 +95,17 @@ def test_compaction_bins_partition_everything(spark):
     # partition's size of its target
     for r in rows[:-1]:
         assert 0.5 <= r["fill_ratio"] <= 1.5, r
+
+
+def test_ewma_stream_equals_batch_fold(spark):
+    # two independent implementations (windowless fold vs stateful
+    # stream) must emit identical smoothed series
+    batch = {
+        (r["event_type"], r["d"]): (r["daily_mean"], r["ewma"])
+        for r in QUERIES["ewma_smoothing"](spark, SF_SMOKE).collect()
+    }
+    stream = {
+        (r["event_type"], r["d"]): (r["daily_mean"], r["ewma"])
+        for r in QUERIES["ewma_stream"](spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
