@@ -30,6 +30,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     sketch_ops,
     wave4_ops,
     wave5_ops,
+    olap,
 )
 
 #: Round-3 rotation — every query that has NEVER had a driver-side row

@@ -1,0 +1,151 @@
+"""Classic OLAP anchor queries over the full TPC-H-ish star: the
+pricing-summary scan-aggregate (Q1 shape) and the snowflake
+regional-revenue rollup (Q5 shape, lineitem→orders→customer→nation→
+region). The rest of the repo expresses the reference's surface plus
+the training-pipeline extensions; these two pin the canonical
+warehouse shapes every Spark deployment is benchmarked on, with the
+repo's exact-decimal determinism discipline applied to TPC-H's own
+money expressions.
+
+Reference framing: the reference engine serves per-user API entities;
+FIXTURES.md maps them onto this star (lineitem ⋈ orders is the
+transactions fact). These queries exercise the UNMAPPED remainder of
+the star — the snowflake dim chain customer→nation→region — so every
+driver table is load-bearing in at least one registered query.
+
+Determinism: per-row money expressions ((1−disc)/( 1+tax) products)
+are fixed-shape double arithmetic — identical operand doubles and
+operation order in both engines — then quantized to DECIMAL(18,6) for
+the order-independent SUM (functions/money.py pattern); averages
+divide the exact decimal sum by the exact count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.registry import query
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+
+_CUTOFF = "2001-09-02"
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '{_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary_report", _Q1_SQL)
+def q_pricing_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the pricing summary report — the canonical
+    scan-heavy aggregate (8 aggregates over one filtered scan, 4 output
+    groups). TPC-H's disc_price/charge money products run as fixed-shape
+    double arithmetic per row and quantize to DECIMAL(18,6) for the
+    order-independent sums, so the report hashes identically under any
+    partitioning.
+
+    Scale shape: the whole query is one map-side-combinable aggregate
+    inside whole-stage codegen over a pruned scan (ReadSchema carries
+    only the 7 referenced columns; the shipdate predicate reaches the
+    parquet scan as PushedFilters) — the shuffle moves 4 groups × 8
+    cells no matter how many billions of rows the fact has. This is the
+    shape Spark was built to saturate I/O on."""
+    li = load_table(spark, "lineitem", sf_dir)
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit(_CUTOFF).cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(dec(charge)).cast("double").alias("sum_charge"),
+            (F.sum(dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            (
+                F.sum(dec(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))
+            ).alias("avg_price"),
+            (F.sum(dec(F.col("l_discount"))).cast("double") / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q5_SQL = """
+SELECT r.r_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r_name, n_name
+"""
+
+
+@query("regional_revenue_rollup", _Q5_SQL)
+def q_regional_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue rolled up the snowflake dim chain
+    lineitem → orders → customer → nation → region — the canonical
+    multi-way star join, and the query that makes the remaining driver
+    tables (customer, nation, region) load-bearing.
+
+    Scale shape: the one genuinely big join (lineitem ⋈ orders, two
+    facts) shuffles on the order key; every dim hop is
+    broadcast-eligible — nation/region are hinted outright, customer is
+    left to AQE/threshold (dim-sized here, and at 100 TB a large
+    customer dim correctly degrades to a shuffle join on the already-
+    shuffled custkey side). Revenue uses the per-row double product +
+    DECIMAL(18,6) sum pattern, so the rollup hashes identically under
+    any join order AQE picks."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    revenue_row = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue_row.cast("decimal(18,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("r_name", "n_name")
+    )

@@ -467,3 +467,23 @@ def test_whole_registry_plan_hygiene(spark):
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
     assert not offenders, offenders
+
+
+def test_pricing_summary_scan_shape(spark):
+    plan = _plan(QUERIES["pricing_summary_report"](spark, SF_ORACLE))
+    # shipdate cutoff reaches the parquet scan; only the 7 referenced
+    # columns are read; the aggregate partial-combines before the
+    # 4-group shuffle
+    assert "LessThan(l_shipdate" in plan
+    assert "ReadSchema: struct<l_quantity" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema", 1)[1][:400]
+    assert "partial_sum" in plan
+
+
+def test_regional_rollup_dims_broadcast(spark):
+    plan = _plan(QUERIES["regional_revenue_rollup"](spark, SF_ORACLE))
+    # the snowflake dim chain broadcasts end to end at this SF (AQE
+    # upgrades even the fact joins here; at scale lineitem x orders
+    # degrades to shuffle while the hinted dims stay broadcast)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
