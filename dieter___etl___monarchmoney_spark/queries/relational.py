@@ -660,3 +660,104 @@ def q_cashflow_report_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_expense",
         "n",
     )
+
+
+# --------------------------------------------------------------------------
+# Join/set-op completeness: FULL OUTER reconciliation and INTERSECT
+# --------------------------------------------------------------------------
+
+_FULL_OUTER_SQL = """
+WITH booked AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS booked_total,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+shipped AS (
+    SELECT CAST(l_shipdate AS DATE) AS d,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS shipped_total,
+           COUNT(*) AS n_shipments
+    FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+)
+SELECT COALESCE(b.d, s.d) AS d,
+       b.booked_total,
+       CAST(b.n_orders AS BIGINT) AS n_orders,
+       s.shipped_total,
+       CAST(s.n_shipments AS BIGINT) AS n_shipments,
+       CASE WHEN b.d IS NULL THEN 'shipped_only'
+            WHEN s.d IS NULL THEN 'booked_only'
+            ELSE 'both' END AS status
+FROM booked b FULL OUTER JOIN shipped s ON b.d = s.d
+ORDER BY d
+"""
+
+
+@query("full_outer_reconciliation", _FULL_OUTER_SQL)
+def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join surface (the one join type the rest of the
+    registry didn't exercise): reconcile the booked-per-day ledger
+    (orders) against the shipped-per-day ledger (lineitem). Days
+    present on only one side keep honest NULLs on the other and are
+    labelled booked_only/shipped_only — the standard two-ledger
+    reconciliation report, and the join shape MERGE-style pipelines
+    use to find both kinds of orphans in one pass (two anti-joins
+    would scan both sides twice).
+
+    Scale shape: each side pre-aggregates to its date grain before the
+    join, so the full-outer runs on two calendar-sized frames, not the
+    facts; totals are exact-decimal sums (hash-stable under any
+    partitioning)."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    booked = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        money_sum("o_totalprice").alias("booked_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    shipped = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        money_sum("l_extendedprice").alias("shipped_total"),
+        F.count(F.lit(1)).alias("n_shipments"),
+    )
+    b, s = booked.alias("b"), shipped.alias("s")
+    return (
+        b.join(s, F.col("b.d") == F.col("s.d"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.d"), F.col("s.d")).alias("d"),
+            "booked_total",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "shipped_total",
+            F.col("n_shipments").cast("bigint").alias("n_shipments"),
+            F.when(F.col("b.d").isNull(), "shipped_only")
+            .when(F.col("s.d").isNull(), "booked_only")
+            .otherwise("both")
+            .alias("status"),
+        )
+        .orderBy("d")
+    )
+
+
+_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+INTERSECT
+SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+ORDER BY user_id
+"""
+
+
+@query("retained_users_intersect", _INTERSECT_SQL)
+def q_retained_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT surface (completing the set-op family next to
+    union/unionByName and exceptAll): users active in BOTH halves of
+    the event window — the retention set. The reference client has no
+    set operations at all (SURVEY.md §2.7); a warehouse engine needs
+    all three.
+
+    Scale shape: Spark plans INTERSECT as distinct + left-semi hash
+    join on the already-deduplicated key sets — one shuffle per side
+    keyed on user_id, no fact-sized state."""
+    events = load_table(spark, "events", sf_dir)
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    first = events.filter(F.col("ts") < split).select("user_id")
+    second = events.filter(F.col("ts") >= split).select("user_id")
+    return first.intersect(second).orderBy("user_id")
