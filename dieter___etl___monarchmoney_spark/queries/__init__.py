@@ -31,6 +31,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave4_ops,
     wave5_ops,
     olap,
+    stats_ops,
 )
 
 #: Round-3 rotation — every query that has NEVER had a driver-side row

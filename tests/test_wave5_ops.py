@@ -109,3 +109,21 @@ def test_ewma_stream_equals_batch_fold(spark):
         for r in QUERIES["ewma_stream"](spark, SF_SMOKE).collect()
     }
     assert stream == batch
+
+
+def test_ks_and_mann_whitney_invariants(spark):
+    ks = QUERIES["ks_two_sample"](spark, SF_SMOKE).collect()
+    assert len(ks) == 1
+    r = ks[0]
+    assert 0.0 <= r["ks_d"] <= 1.0
+    assert r["d_crit_05"] > 0
+    assert r["significant"] == (r["ks_d"] > r["d_crit_05"]) or abs(
+        r["ks_d"] - r["d_crit_05"]
+    ) < 1e-9
+
+    mw = QUERIES["mann_whitney_u"](spark, SF_SMOKE).collect()
+    assert len(mw) == 1
+    m = mw[0]
+    # U1 + U2 == n1*n2 exactly (dyadic halves sum to the integer)
+    assert m["u1"] + m["u2"] == m["n1"] * m["n2"]
+    assert 0.0 <= m["u1"] <= m["n1"] * m["n2"]
