@@ -107,6 +107,21 @@ _NEW_THIS_ROUND: tuple = (
     "pca_top_component",
 )
 
+#: ROUND-4 ROTATION CANDIDATES (added late in round 3, registered
+#: after the ~50-query driver window was already full — locally
+#: oracle-green, no driver row yet). Next round: move these into
+#: _PRIORITY, demote this round's _NEW_THIS_ROUND to module rank:
+#:   wave4_ops (6): intra_doc_dedup, range_partition_plan,
+#:     source_quality_calibration, minhash_error_audit,
+#:     source_divergence_matrix, hot_key_skew_profile
+#:   wave5_ops (5): bpe_encode_corpus, ewma_smoothing, mad_outliers,
+#:     benford_digit_audit, compaction_bin_packing
+#:   streaming (1): ewma_stream
+#:   olap (2): pricing_summary_report, regional_revenue_rollup
+#:   relational (2): full_outer_reconciliation, retained_users_intersect
+#:   stats_ops (2): ks_two_sample, mann_whitney_u
+#:   corpus_ops (1): paged_sink_roundtrip
+
 #: remaining slots go to modules whose latest green rows are from r1
 #: (stale) before modules fully re-confirmed green in r2.
 _MODULE_RANK = {

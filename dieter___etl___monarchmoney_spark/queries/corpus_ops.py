@@ -564,6 +564,54 @@ def q_paged_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "paged_sink_roundtrip",
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+def q_paged_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector\'s WRITE path on the parity surface: the documents
+    projection is written through ``df.write.format("paged_json")`` —
+    executor tasks stage JSON-lines part files, the driver\'s commit
+    merges them atomically into the payload (the two-phase protocol of
+    sources/paged_source.PagedJsonWriter, truncate+overwrite like the
+    reference\'s sheet replace) — and read back through the paged READER.
+    The oracle reads the original table directly, so a green row proves
+    the full write → commit → page-scan cycle neither drops, duplicates,
+    nor mangles a single record (including float round-tripping through
+    JSON text).
+
+    Unlike paged_source_roundtrip (whose export is driver-side test
+    scaffolding), the export HERE is the distributed sink under test."""
+    import hashlib
+    import os
+    import tempfile
+
+    from dieter___etl___monarchmoney_spark.sources.paged_source import register
+
+    register(spark)
+    payload_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"paged_sink_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(payload_dir, exist_ok=True)
+    payload = os.path.join(payload_dir, "documents.jsonl")
+    (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "lang", "n_chars")
+        .write.format("paged_json")
+        .mode("overwrite")
+        .option("path", payload)
+        .save()
+    )
+    return (
+        spark.read.format("paged_json")
+        .schema("doc_id long, lang string, n_chars long")
+        .option("path", payload)
+        .option("pageSize", 100)
+        .load()
+    )
+
+
 # --------------------------------------------------------------------------
 # Prefix-filtering exact set-similarity join (PPJoin-family)
 # --------------------------------------------------------------------------

@@ -21,7 +21,13 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 DEFAULT_PAGE_SIZE = 500  # TXN_PAGE_LIMIT, MonarchMoneyMain-v3.py:42
@@ -68,6 +74,9 @@ class PagedJsonDataSource(DataSource):
         if self.options.get("filterpushdown", "false").lower() == "true":
             return PushdownPagedJsonReader(schema, self.options)
         return PagedJsonReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "PagedJsonWriter":
+        return PagedJsonWriter(schema, self.options, overwrite)
 
 
 class PagedJsonReader(DataSourceReader):
@@ -201,3 +210,83 @@ def register(spark) -> None:
     except Exception as exc:  # already registered in this session
         if "already" not in str(exc).lower():
             raise
+
+
+# --------------------------------------------------------------------------
+# Writer side: the reference's truncate+overwrite sheet sink (K1) as a
+# Python DataSource WRITER with a real commit protocol
+# --------------------------------------------------------------------------
+
+
+class PagePartFile(WriterCommitMessage):
+    """Per-task commit message: the staged part file and its row count."""
+
+    def __init__(self, part_path: str, n_rows: int):
+        self.part_path = part_path
+        self.n_rows = n_rows
+
+
+class PagedJsonWriter(DataSourceWriter):
+    """Tasks write JSON-lines part files into a staging directory; the
+    driver-side ``commit`` merges them into the single payload file the
+    reader pages over, via write-temp-then-rename so a concurrent reader
+    never sees a half-written file; ``abort`` removes the staging
+    directory and leaves the previous payload untouched — the
+    all-or-nothing contract the reference gets from replacing a sheet
+    in one API call (K1 truncate+overwrite), expressed as a distributed
+    two-phase commit.
+
+    The merge is driver-side because the TARGET is a single sheet-like
+    payload (exactly the reference's sink shape); a 100 TB sink keeps
+    the part files as the table (this module's reader would then take a
+    directory) or writes parquet — the task/commit/abort protocol is
+    identical."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        import uuid
+
+        if not overwrite:
+            raise ValueError(
+                "paged_json sink is truncate+overwrite (the reference's "
+                "sheet replace, SURVEY §2.1 K1) — use mode('overwrite')"
+            )
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("paged_json sink requires option 'path'")
+        self.fields = [f.name for f in schema.fields]
+        self.staging = f"{self.path}.staging-{uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator) -> PagePartFile:
+        import os
+        import uuid
+
+        os.makedirs(self.staging, exist_ok=True)
+        part = os.path.join(self.staging, f"part-{uuid.uuid4().hex[:12]}.jsonl")
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                rec = {name: row[name] for name in self.fields}
+                f.write(json.dumps(rec, default=str) + "\n")
+                n += 1
+        return PagePartFile(part, n)
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        tmp = f"{self.path}.tmp-{os.path.basename(self.staging)}"
+        with open(tmp, "wb") as out:
+            # deterministic merge order: sort by part path, not task
+            # completion order
+            for m in sorted(
+                (m for m in messages if m is not None), key=lambda m: m.part_path
+            ):
+                with open(m.part_path, "rb") as src:
+                    shutil.copyfileobj(src, out)
+        os.replace(tmp, self.path)  # atomic on POSIX; readers never see halves
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)

@@ -64,6 +64,8 @@ QUERIES = (
     "minhash_error_audit",
     "source_divergence_matrix",
     "source_quality_calibration",
+    # wave 5: learn-K-merges (K pair-count shuffles) + scan-local apply
+    "bpe_encode_corpus",
 )
 
 VOWELS = "aeiou"

@@ -210,3 +210,58 @@ def test_seek_offsets_and_single_pass_io(tmp_path, monkeypatch):
     # re-scan would have iterated ~5.5x the file for 10 pages
     max_line = max(len(line) for line in lines)
     assert counted["bytes"] <= file_size + len(parts) * max_line
+
+
+# --------------------------------------------------------------------------
+# Writer (sink) side: commit protocol, truncate semantics, append guard
+# --------------------------------------------------------------------------
+
+
+def test_writer_roundtrip_and_truncate(spark, tmp_path):
+    from dieter___etl___monarchmoney_spark.sources.paged_source import register
+
+    register(spark)
+    path = str(tmp_path / "sink.jsonl")
+    a = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)], "id long, name string, v double"
+    )
+    a.write.format("paged_json").mode("overwrite").option("path", path).save()
+    schema = "id long, name string, v double"
+    back = (
+        spark.read.format("paged_json").schema(schema).option("path", path).load()
+    )
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", 2.5),
+        (3, "c", 3.5),
+    ]
+    # overwrite truncates: only the second frame's rows survive
+    b = spark.createDataFrame([(9, "z", 9.9)], "id long, name string, v double")
+    b.write.format("paged_json").mode("overwrite").option("path", path).save()
+    back2 = (
+        spark.read.format("paged_json").schema(schema).option("path", path).load()
+    )
+    assert [tuple(r) for r in back2.collect()] == [(9, "z", 9.9)]
+
+
+def test_writer_commit_leaves_no_staging(spark, tmp_path):
+    from dieter___etl___monarchmoney_spark.sources.paged_source import register
+
+    register(spark)
+    path = str(tmp_path / "clean.jsonl")
+    df = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS name")
+    df.write.format("paged_json").mode("overwrite").option("path", path).save()
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "clean.jsonl"]
+    assert leftovers == []
+
+
+def test_writer_rejects_append(spark, tmp_path):
+    import pytest as _pytest
+
+    from dieter___etl___monarchmoney_spark.sources.paged_source import register
+
+    register(spark)
+    path = str(tmp_path / "appendless.jsonl")
+    df = spark.range(3).selectExpr("id")
+    with _pytest.raises(Exception, match="truncate\\+overwrite|PYTHON_DATA_SOURCE"):
+        df.write.format("paged_json").mode("append").option("path", path).save()

@@ -487,3 +487,25 @@ def test_regional_rollup_dims_broadcast(spark):
     # degrades to shuffle while the hinted dims stay broadcast)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_intra_doc_dedup_doc_local_keys(spark):
+    plan = _plan(QUERIES["intra_doc_dedup"](spark, SF_ORACLE))
+    # no cross-document traffic: no joins beyond the doc_id attach, no
+    # cartesian, no python
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_benford_single_scan_aggregate(spark):
+    plan = _plan(QUERIES["benford_digit_audit"](spark, SF_ORACLE))
+    # the orders fact is scanned exactly once; everything else is 9 rows
+    assert plan.count("Scan parquet") <= 2  # orders + 9-row literal frame
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_skew_profile_histogram_reduction(spark):
+    plan = _plan(QUERIES["hot_key_skew_profile"](spark, SF_ORACLE))
+    # per-key histograms partial-aggregate before any window/sort
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
