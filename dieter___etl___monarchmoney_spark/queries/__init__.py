@@ -121,6 +121,7 @@ _NEW_THIS_ROUND: tuple = (
 #:   relational (2): full_outer_reconciliation, retained_users_intersect
 #:   stats_ops (2): ks_two_sample, mann_whitney_u
 #:   corpus_ops (1): paged_sink_roundtrip
+#:   llm_pipeline (2): hard_negative_mining, feature_hashing_vectors
 
 #: remaining slots go to modules whose latest green rows are from r1
 #: (stale) before modules fully re-confirmed green in r2.

@@ -18,7 +18,7 @@ in tests/test_llm_pipeline.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dieter___etl___monarchmoney_spark.functions.text import (
@@ -30,6 +30,7 @@ from dieter___etl___monarchmoney_spark.functions.text import (
     quality_score,
     stopword_hits,
     token_count,
+    tokens,
 )
 from dieter___etl___monarchmoney_spark.operators.dedup import (
     exact_dedup_groups,
@@ -964,4 +965,201 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("nrm", 6).alias("eigenvalue"),
         )
         .orderBy("dim_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Contrastive-training stages: hard-negative mining + hashing-trick
+# featurization
+# --------------------------------------------------------------------------
+
+_HNM_ANCHORS = 8
+_HNM_K = 5
+
+_HNM_SQL = f"""
+WITH anchors AS (
+    SELECT vec_id AS anchor_id, embedding AS av, label AS anchor_label
+    FROM embeddings WHERE vec_id < {_HNM_ANCHORS}
+),
+scored AS (
+    SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+           {_DOT.format(a='e.embedding', b='a.av')}
+           / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+              * sqrt({_DOT.format(a='a.av', b='a.av')})) AS similarity
+    FROM anchors a JOIN embeddings e ON e.label <> a.anchor_label
+)
+SELECT anchor_id, anchor_label,
+       vec_id AS negative_id, label AS negative_label,
+       similarity, CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                 ORDER BY similarity DESC, vec_id) AS rnk
+    FROM scored
+)
+WHERE rnk <= {_HNM_K}
+ORDER BY anchor_id, rnk
+"""
+
+
+@query("hard_negative_mining", _HNM_SQL)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training stage that makes
+    embedding models sharp: for each anchor vector, the top-{_HNM_K}
+    most-similar vectors with a DIFFERENT label (near the anchor in
+    embedding space yet semantically wrong — exactly the negatives
+    worth training against; random negatives are trivially easy).
+
+    Scale shape: the anchor batch broadcasts (same contract as
+    knn_batch_join's query batch); the label-inequality predicate
+    rides the broadcast join, so the corpus is scanned once with no
+    shuffle before the per-anchor top-k, which WindowGroupLimit prunes
+    map-side. At 100 TB the brute scan swaps for the IVF probe
+    (ivf_ann_topk) with the label filter applied to the probed cells —
+    the mining semantics are unchanged. Dot products are
+    deterministic left folds (bit-identical cross-engine)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    anchors = emb.filter(F.col("vec_id") < _HNM_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("anchor_label"),
+    )
+    from dieter___etl___monarchmoney_spark.operators.similarity import cosine
+
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            cosine(F.col("embedding"), F.col("av")).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("similarity").desc(), "negative_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HNM_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "similarity",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("anchor_id", "rnk")
+    )
+
+
+_FH_DIM = 256
+
+_FH_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, tok,
+           CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_FH_DIM} AS bucket
+    FROM toks
+),
+cells AS (
+    SELECT doc_id, bucket, COUNT(*) AS cnt
+    FROM bucketed GROUP BY doc_id, bucket
+),
+per_doc AS (
+    SELECT doc_id,
+           COUNT(*) AS nnz,
+           SUM(cnt) AS n_tokens,
+           md5(string_agg(bucket || ':' || cnt, ' ' ORDER BY bucket)) AS vec_fp
+    FROM cells GROUP BY doc_id
+),
+dtok AS (
+    SELECT doc_id, COUNT(DISTINCT tok) AS n_distinct_tokens
+    FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.nnz, 0) AS BIGINT) AS nnz,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(t.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+       CAST(COALESCE(t.n_distinct_tokens, 0) - COALESCE(p.nnz, 0) AS BIGINT)
+           AS n_collisions,
+       COALESCE(p.vec_fp, md5('')) AS vec_fp
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN dtok t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("feature_hashing_vectors", _FH_SQL)
+def q_feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al.): every token
+    hashes to one of {_FH_DIM} buckets and each document becomes a
+    sparse count vector — the fixed-dimension, vocabulary-free
+    bag-of-words used when a learned vocabulary is too big or too slow
+    to maintain. Per doc: nnz, token count, distinct-token count, the
+    WITHIN-DOC collision count (distinct tokens sharing a bucket — the
+    quality cost of the trick, measured in-query), and the md5
+    fingerprint of the sorted sparse vector, which pins the exact
+    bucket→count layout cross-engine.
+
+    Scale shape: one (doc, bucket) combinable shuffle then a doc-keyed
+    aggregate — the vector never materializes densely, and state per
+    doc is min(doc tokens, {_FH_DIM}) cells. The production swap is
+    xxhash64 for md5, as everywhere on the hashing surface."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokens("text"), lambda t: t != "")).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % _FH_DIM
+    )
+    cells = toks.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = cells.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.sum("cnt").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "cnt"))),
+                    lambda x: F.concat(
+                        x["bucket"].cast("string"), F.lit(":"), x["cnt"].cast("string")
+                    ),
+                ),
+                " ",
+            )
+        ).alias("vec_fp"),
+    )
+    dtok = toks.groupBy("doc_id").agg(
+        F.countDistinct("tok").alias("n_distinct_tokens")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(dtok, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("nnz", F.lit(0)).cast("bigint").alias("nnz"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_distinct_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct_tokens"),
+            (
+                F.coalesce("n_distinct_tokens", F.lit(0))
+                - F.coalesce("nnz", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_collisions"),
+            F.coalesce("vec_fp", F.md5(F.lit(""))).alias("vec_fp"),
+        )
+        .orderBy("doc_id")
     )
