@@ -123,6 +123,32 @@ _NEW_THIS_ROUND: tuple = (
 #:   corpus_ops (1): paged_sink_roundtrip
 #:   llm_pipeline (2): hard_negative_mining, feature_hashing_vectors
 
+#: …and slot them right AFTER the 50-query window this round, so any
+#: extra driver budget reaches them before re-confirming old greens.
+_AFTER_WINDOW: tuple = (
+    "intra_doc_dedup",
+    "range_partition_plan",
+    "source_quality_calibration",
+    "minhash_error_audit",
+    "source_divergence_matrix",
+    "hot_key_skew_profile",
+    "bpe_encode_corpus",
+    "ewma_smoothing",
+    "mad_outliers",
+    "benford_digit_audit",
+    "compaction_bin_packing",
+    "ewma_stream",
+    "pricing_summary_report",
+    "regional_revenue_rollup",
+    "full_outer_reconciliation",
+    "retained_users_intersect",
+    "ks_two_sample",
+    "mann_whitney_u",
+    "paged_sink_roundtrip",
+    "hard_negative_mining",
+    "feature_hashing_vectors",
+)
+
 #: remaining slots go to modules whose latest green rows are from r1
 #: (stale) before modules fully re-confirmed green in r2.
 _MODULE_RANK = {
@@ -158,8 +184,10 @@ def _reorder() -> None:
             return (1, 0, _FLAGSHIP.index(name))
         if name in _NEW_THIS_ROUND:
             return (2, 0, _NEW_THIS_ROUND.index(name))
+        if name in _AFTER_WINDOW:
+            return (3, 0, _AFTER_WINDOW.index(name))
         mod = _registry.QUERIES[name].__module__
-        return (3, _MODULE_RANK.get(mod, 99), reg_index[name])
+        return (4, _MODULE_RANK.get(mod, 99), reg_index[name])
 
     order = sorted(_registry.QUERIES, key=key)
     for d in (_registry.QUERIES, _registry.ORACLE_SQL):
