@@ -122,6 +122,7 @@ _NEW_THIS_ROUND: tuple = (
 #:   stats_ops (2): ks_two_sample, mann_whitney_u
 #:   corpus_ops (1): paged_sink_roundtrip
 #:   llm_pipeline (2): hard_negative_mining, feature_hashing_vectors
+#:   streaming (1): streaming_sink_roundtrip
 
 #: …and slot them right AFTER the 50-query window this round, so any
 #: extra driver budget reaches them before re-confirming old greens.
@@ -147,6 +148,7 @@ _AFTER_WINDOW: tuple = (
     "paged_sink_roundtrip",
     "hard_negative_mining",
     "feature_hashing_vectors",
+    "streaming_sink_roundtrip",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

@@ -441,3 +441,45 @@ def q_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         state_partitions=8,
     )
+
+
+@query(
+    "streaming_sink_roundtrip",
+    "SELECT event_id, user_id, event_type FROM events",
+)
+def q_streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector's STREAMING sink on the parity surface: the events
+    stream writes through ``writeStream.format("paged_json")`` — each
+    micro-batch commits as one idempotent ``epoch-<id>.jsonl`` file
+    (sources/paged_source.PagedJsonStreamWriter; exactly-once via
+    epoch-named rename, the file-sink transactional pattern) — and the
+    committed epochs are read back as a batch frame. The oracle reads
+    the source table directly, so a green row proves the stream sink
+    neither dropped, duplicated, nor mangled a record across the
+    write → commit → read cycle. A unit test additionally pins the
+    restart path: re-running from the same checkpoint adds zero rows."""
+    import glob as _glob
+
+    from dieter___etl___monarchmoney_spark.sources.paged_source import register
+
+    register(spark)
+    out = os.path.join(tempfile.gettempdir(), f"stream_sink_{_digest(sf_dir)}")
+    cp = os.path.join(tempfile.gettempdir(), f"stream_sink_cp_{_digest(sf_dir)}")
+    for d in (out, cp):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    qh = (
+        stream.writeStream.format("paged_json")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination()
+    assert _glob.glob(os.path.join(out, "epoch-*.jsonl"))
+    return spark.read.schema("event_id long, user_id long, event_type string").json(
+        os.path.join(out, "epoch-*.jsonl")
+    )

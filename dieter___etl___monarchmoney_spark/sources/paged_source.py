@@ -24,6 +24,7 @@ import json
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -77,6 +78,11 @@ class PagedJsonDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "PagedJsonWriter":
         return PagedJsonWriter(schema, self.options, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "PagedJsonStreamWriter":
+        return PagedJsonStreamWriter(schema, self.options)
 
 
 class PagedJsonReader(DataSourceReader):
@@ -290,3 +296,59 @@ class PagedJsonWriter(DataSourceWriter):
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class PagedJsonStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: each committed micro-batch becomes one
+    ``epoch-<batchId>.jsonl`` file in the target directory, written
+    staged-then-rename. Exactly-once comes from IDEMPOTENT epoch
+    naming — a restarted query that re-delivers batch N overwrites
+    ``epoch-N.jsonl`` with identical content instead of appending
+    duplicates, which is the standard file-sink transactional pattern
+    (epoch id = the commit token Structured Streaming tracks in the
+    checkpoint). ``abort`` removes the staged parts and the target
+    epoch file never appears."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("paged_json stream sink requires option 'path'")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> PagePartFile:
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, ".staging")
+        os.makedirs(staging, exist_ok=True)
+        part = os.path.join(staging, f"part-{uuid.uuid4().hex[:12]}.jsonl")
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                rec = {name: row[name] for name in self.fields}
+                f.write(json.dumps(rec, default=str) + "\n")
+                n += 1
+        return PagePartFile(part, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        tmp = os.path.join(self.path, f".tmp-epoch-{batchId}")
+        with open(tmp, "wb") as out:
+            for m in sorted(
+                (m for m in messages if m is not None), key=lambda m: m.part_path
+            ):
+                with open(m.part_path, "rb") as src:
+                    out.write(src.read())
+                os.remove(m.part_path)
+        os.replace(tmp, os.path.join(self.path, f"epoch-{batchId}.jsonl"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.part_path)
+                except OSError:
+                    pass

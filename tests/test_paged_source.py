@@ -265,3 +265,44 @@ def test_writer_rejects_append(spark, tmp_path):
     df = spark.range(3).selectExpr("id")
     with _pytest.raises(Exception, match="truncate\\+overwrite|PYTHON_DATA_SOURCE"):
         df.write.format("paged_json").mode("append").option("path", path).save()
+
+
+def test_stream_writer_exactly_once_across_restart(spark, tmp_path):
+    import glob
+
+    from dieter___etl___monarchmoney_spark.sources.paged_source import register
+    from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
+        read_events_stream,
+    )
+
+    register(spark)
+    out, cp = str(tmp_path / "sink"), str(tmp_path / "cp")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    stream = read_events_stream(spark, "/root/testdata/sf0.001").select(
+        "event_id", "user_id", "event_type"
+    )
+
+    def run():
+        q = (
+            stream.writeStream.format("paged_json")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    schema = "event_id long, user_id long, event_type string"
+    first = spark.read.schema(schema).json(out + "/epoch-*.jsonl")
+    n_src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert first.count() == n_src
+    assert first.select("event_id").distinct().count() == n_src
+    epochs_before = sorted(glob.glob(out + "/epoch-*.jsonl"))
+    # restart from the same checkpoint: no new data, no new epochs, no dups
+    run()
+    assert sorted(glob.glob(out + "/epoch-*.jsonl")) == epochs_before
+    again = spark.read.schema(schema).json(out + "/epoch-*.jsonl")
+    assert again.count() == n_src
