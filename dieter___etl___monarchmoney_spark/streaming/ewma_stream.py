@@ -102,13 +102,16 @@ def ewma_stream(
         acc = {d: [s, c] for d, s, c in zip(days, sums, counts)}
         flush = False
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                if row["event_id"] == flush_event_id:
+            # zip over column arrays: iterrows materializes a Series per
+            # row (~10x slower on the 20k-row availableNow batches)
+            for eid, ts, v in zip(
+                pdf["event_id"].to_list(), pdf["ts"].to_list(), pdf["value"].to_list()
+            ):
+                if eid == flush_event_id:
                     flush = True
                     continue
-                day = (pd.Timestamp(row["ts"]).value // 1_000_000_000) // 86_400
+                day = (pd.Timestamp(ts).value // 1_000_000_000) // 86_400
                 slot = acc.setdefault(int(day), [0, 0])
-                v = row["value"]
                 if pd.notna(v):
                     slot[0] += _value_micros(float(v))
                 slot[1] += 1  # COUNT(*) counts null-value rows too
