@@ -127,3 +127,69 @@ def test_ks_and_mann_whitney_invariants(spark):
     # U1 + U2 == n1*n2 exactly (dyadic halves sum to the integer)
     assert m["u1"] + m["u2"] == m["n1"] * m["n2"]
     assert 0.0 <= m["u1"] <= m["n1"] * m["n2"]
+
+
+def test_ewma_stream_state_carries_across_microbatches(spark, tmp_path):
+    """Multi-batch run (maxFilesPerTrigger=1): per-day accumulators and
+    the flush marker must survive in grouped state across micro-batches
+    and still reproduce the batch fold exactly."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dieter___etl___monarchmoney_spark.sources.parquet import (
+        _normalize_event_time,
+        load_table,
+    )
+    from dieter___etl___monarchmoney_spark.streaming.ewma_stream import ewma_stream
+    from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
+        EVENTS_RAW_SCHEMA,
+        run_available_now,
+    )
+
+    events = load_table(spark, "events", SF_SMOKE)
+    src = str(tmp_path / "events_split")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(cols)
+    # three TIME-ORDERED slices written as separate files (a real log
+    # arrives in rough event-time order; splitting arbitrarily would
+    # make later batches fall behind the advanced watermark and be
+    # dropped as late — correct streaming semantics, wrong test),
+    # sentinel file LAST (file source orders batches by mtime)
+    for cond in [
+        F.col("ts") < "2024-01-11",
+        (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21"),
+        F.col("ts") >= "2024-01-21",
+    ]:
+        raw.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    max_ts = raw.agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    sent = spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(days=30), 0, t, 0.0, None)
+         for t in [r[0] for r in raw.select("event_type").distinct().collect()]],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    sent.coalesce(1).write.mode("append").parquet(src)
+
+    stream = _normalize_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_available_now(
+        ewma_stream(stream),
+        f"ewma_multibatch_{os.path.basename(str(tmp_path))}",
+        output_mode="append",
+        state_partitions=4,
+    )
+    stream_rows = {
+        (r["event_type"], r["d"]): (r["daily_mean"], r["ewma"]) for r in out.collect()
+    }
+    batch_rows = {
+        (r["event_type"], r["d"]): (r["daily_mean"], r["ewma"])
+        for r in QUERIES["ewma_smoothing"](spark, SF_SMOKE).collect()
+    }
+    assert stream_rows == batch_rows
