@@ -92,6 +92,15 @@ class PagedJsonReader(DataSourceReader):
         if not self.path:
             raise ValueError("paged_json requires option 'path'")
         self.page_size = int(options.get("pagesize", DEFAULT_PAGE_SIZE))
+        # malformed-record policy: "fail" (default — a corrupt page is a
+        # pipeline stop, the reference's behavior on a bad API payload)
+        # or "drop" (skip the record; the count survives in task logs).
+        # PERMISSIVE-with-corrupt-column is the third classic mode; the
+        # typed-schema contract here has no string column to park the
+        # raw record in, so it is deliberately not offered.
+        self.bad_policy = options.get("badrecordpolicy", "fail").lower()
+        if self.bad_policy not in ("fail", "drop"):
+            raise ValueError("badRecordPolicy must be 'fail' or 'drop'")
         self.pushed: list = []
 
     def _matches(self, rec: dict) -> bool:
@@ -160,7 +169,13 @@ class PagedJsonReader(DataSourceReader):
                     continue
                 if seen >= partition.limit:
                     break
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    if self.bad_policy == "fail":
+                        raise
+                    seen += 1  # a dropped record still occupies its page slot
+                    continue
                 if self._matches(rec):
                     yield tuple(rec.get(name) for name in fields)
                 seen += 1

@@ -306,3 +306,36 @@ def test_stream_writer_exactly_once_across_restart(spark, tmp_path):
     assert sorted(glob.glob(out + "/epoch-*.jsonl")) == epochs_before
     again = spark.read.schema(schema).json(out + "/epoch-*.jsonl")
     assert again.count() == n_src
+
+
+def test_bad_record_policy(spark, tmp_path):
+    from dieter___etl___monarchmoney_spark.sources.paged_source import register
+
+    register(spark)
+    path = str(tmp_path / "corrupt.jsonl")
+    with open(path, "w") as f:
+        f.write('{"id": 1}\n')
+        f.write("{not json at all\n")
+        f.write('{"id": 3}\n')
+    schema = "id long"
+    # default policy: the corrupt record fails the scan
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        (
+            spark.read.format("paged_json")
+            .schema(schema)
+            .option("path", path)
+            .load()
+            .collect()
+        )
+    # drop policy: corrupt record skipped, good records survive
+    got = (
+        spark.read.format("paged_json")
+        .schema(schema)
+        .option("path", path)
+        .option("badRecordPolicy", "drop")
+        .load()
+        .collect()
+    )
+    assert sorted(r["id"] for r in got) == [1, 3]
