@@ -49,37 +49,38 @@ WITH hist AS (
     WHERE event_type IN ('{_SIDE_A}', '{_SIDE_B}')
     GROUP BY value
 ),
-tot AS (
-    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
-    FROM hist
-),
 cum AS (
-    SELECT h.value,
-           SUM(h.c1) OVER (ORDER BY h.value
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    -- totals as whole-frame window sums over the SAME histogram pass:
+    -- a scalar-subquery/cross-join total would recompute the histogram
+    -- lineage and scan the fact twice
+    SELECT value,
+           SUM(c1) OVER (ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS cum1,
-           SUM(h.c2) OVER (ORDER BY h.value
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           SUM(c2) OVER (ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS cum2,
-           t.n1, t.n2
-    FROM hist h CROSS JOIN tot t
+           CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+           CAST(SUM(c2) OVER () AS BIGINT) AS n2
+    FROM hist
 ),
 dists AS (
     SELECT value, n1, n2,
-           abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2) AS d
+           abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2) AS d,
+           MAX(abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2))
+               OVER () AS dmax
     FROM cum
-),
-mx AS (SELECT MAX(d) AS dmax FROM dists)
+)
 SELECT d.n1, d.n2,
-       ROUND(m.dmax, 9) AS ks_d,
+       ROUND(d.dmax, 9) AS ks_d,
        MIN(d.value) AS at_value,
        ROUND({_KS_COEFF} * sqrt(CAST(d.n1 + d.n2 AS DOUBLE)
                                 / (CAST(d.n1 AS DOUBLE) * d.n2)), 9) AS d_crit_05,
-       m.dmax > {_KS_COEFF} * sqrt(CAST(d.n1 + d.n2 AS DOUBLE)
+       d.dmax > {_KS_COEFF} * sqrt(CAST(d.n1 + d.n2 AS DOUBLE)
                                    / (CAST(d.n1 AS DOUBLE) * d.n2)) AS significant
-FROM dists d CROSS JOIN mx m
-WHERE d.d = m.dmax
-GROUP BY d.n1, d.n2, m.dmax
+FROM dists d
+WHERE d.d = d.dmax
+GROUP BY d.n1, d.n2, d.dmax
 """
 
 
@@ -102,34 +103,35 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == _SIDE_A, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("event_type") == _SIDE_B, 1).otherwise(0)).alias("c2"),
     )
-    tot = hist.agg(
-        F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
-    )
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.crossJoin(F.broadcast(tot)).select(
+    wall = Window.partitionBy()
+    # totals as whole-frame window sums over the SAME histogram pass: a
+    # broadcast-total crossJoin would recompute the histogram lineage
+    # and scan the fact twice
+    cum = hist.select(
         "value",
         F.sum("c1").over(w).alias("cum1"),
         F.sum("c2").over(w).alias("cum2"),
-        "n1",
-        "n2",
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        F.sum("c2").over(wall).cast("bigint").alias("n2"),
+    )
+    d_expr = F.abs(
+        F.col("cum1").cast("double") / F.col("n1")
+        - F.col("cum2").cast("double") / F.col("n2")
     )
     dists = cum.select(
         "value",
         "n1",
         "n2",
-        F.abs(
-            F.col("cum1").cast("double") / F.col("n1")
-            - F.col("cum2").cast("double") / F.col("n2")
-        ).alias("d"),
+        d_expr.alias("d"),
+        F.max(d_expr).over(wall).alias("dmax"),
     )
-    mx = dists.agg(F.max("d").alias("dmax"))
     crit = F.lit(_KS_COEFF) * F.sqrt(
         (F.col("n1") + F.col("n2")).cast("double")
         / (F.col("n1").cast("double") * F.col("n2"))
     )
     return (
-        dists.crossJoin(F.broadcast(mx))
-        .filter(F.col("d") == F.col("dmax"))
+        dists.filter(F.col("d") == F.col("dmax"))
         .groupBy("n1", "n2", "dmax")
         .agg(F.min("value").alias("at_value"))
         .select(

@@ -509,3 +509,12 @@ def test_skew_profile_histogram_reduction(spark):
     # per-key histograms partial-aggregate before any window/sort
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ks_single_histogram_pass(spark):
+    plan = _plan(QUERIES["ks_two_sample"](spark, SF_ORACLE))
+    # totals and the D argmax come from whole-frame windows over the
+    # one histogram, never from aggregate crossJoins that recompute the
+    # fact lineage (was 4 scans; pinned at <= 2)
+    assert plan.count("Scan parquet") <= 2
+    assert "CartesianProduct" not in plan
