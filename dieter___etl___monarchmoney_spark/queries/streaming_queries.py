@@ -60,6 +60,12 @@ def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the sensitive surface (collect-time timestamp rendering) is removed
 #: outright. ``event_id`` tie-breaks BOTH windows so the result is
 #: deterministic even on future tied (user_id, ts) data.
+#:
+#: The likely TRUE r2 red-row cause: the windowed SUM makes session_id
+#: a DuckDB HUGEINT, which pandas widens to float64 (3.0 vs Spark's
+#: BIGINT 3) — values equal, repr-based hashes differ. The final SELECT
+#: therefore casts session_id back to BIGINT; the parity harness
+#: (tests/oracle_utils.py:_check_dtype_kinds) now pins the whole class.
 _SESSIONIZATION_ORACLE = """
     WITH flagged AS (
         SELECT user_id, ts, event_id,
@@ -76,7 +82,8 @@ _SESSIONIZATION_ORACLE = """
                    AS session_id
         FROM flagged
     )
-    SELECT user_id, session_id,
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
            epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS session_start_us,
            epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS session_end_us,
            COUNT(*) AS n_events

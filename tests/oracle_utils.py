@@ -41,9 +41,26 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _check_dtype_kinds(got_raw: pd.DataFrame, want_raw: pd.DataFrame) -> None:
+    """Pin the int-vs-float repr class: DuckDB widens HUGEINT (e.g. a
+    windowed SUM over ints) to float64 while Spark returns int64 —
+    values equal, but a repr-based driver hash sees 3.0 vs 3. Caught
+    live as the r2 sessionization red row; CAST ... AS BIGINT in the
+    oracle whenever this fires."""
+    for c in set(got_raw.columns) & set(want_raw.columns):
+        sk, ok = got_raw[c].dtype.kind, want_raw[c].dtype.kind
+        if sk != ok and {sk, ok} <= {"i", "u", "f"} and "f" in (sk, ok):
+            raise AssertionError(
+                f"dtype drift on {c!r}: spark={got_raw[c].dtype} duckdb="
+                f"{want_raw[c].dtype} — repr-hash hazard, CAST the oracle column"
+            )
+
+
 def compare(spark_df, duck_rel) -> None:
-    got = normalize(spark_df.toPandas())
-    want = normalize(duck_rel.df())
+    got_raw, want_raw = spark_df.toPandas(), duck_rel.df()
+    _check_dtype_kinds(got_raw, want_raw)
+    got = normalize(got_raw)
+    want = normalize(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"column mismatch: spark={list(got.columns)} duckdb={list(want.columns)}"
     )
