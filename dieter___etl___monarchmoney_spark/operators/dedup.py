@@ -545,9 +545,8 @@ def simhash32(col: Column | str) -> Column:
     return sig
 
 
-def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Docs grouped by identical SimHash — hamming-0 near-dup buckets
-    (rotate/band the signature for hamming>0 at production scale).
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One 32-bit SimHash signature per document: ``(_id, simhash)``.
 
     Implementation: explode tokens → one vectorized hash-aggregate with
     32 conditional sums (map-side partial agg), then assemble the
@@ -572,10 +571,82 @@ def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term
+    return votes.select(F.col("_id"), sig.alias("simhash"))
+
+
+def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Docs grouped by identical SimHash — hamming-0 near-dup buckets
+    (see ``simhash_hamming_pairs`` for the hamming≤3 banded search)."""
     return (
-        votes.select(F.col("_id"), sig.alias("simhash"))
+        simhash_signatures(df, text_col, id_col)
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("_id").alias("survivor_id"))
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Near-dup pairs within ``max_hamming`` bits of SimHash distance,
+    found WITHOUT an all-pairs comparison — the Manku/Jain/Sarma
+    (WWW'07, "Detecting near-duplicates for web crawling") block
+    rotation: split the 32-bit signature into ``max_hamming+1`` blocks;
+    by pigeonhole, any pair within distance ``max_hamming`` agrees
+    exactly on at least one block, so candidates come from equi-joins
+    on (block_index, block_value) and only candidates pay the exact
+    ``bit_count(xor)`` verification.
+
+    Scale shape: signatures are one hash-aggregate over the token
+    explode; the candidate join is a self-equi-join on the block key —
+    cost Σ bucket², never n². ``bucket_cap`` drops degenerate blocks
+    (e.g. the all-zeros block that every short doc shares) exactly like
+    ``doc_freq_cap`` in the n-gram joins; at 100 TB the 4 block tables
+    partition by (block_index, block_value) and the verification is
+    embarrassingly parallel. Returns ``(id_a, id_b, hamming)``.
+    """
+    n_blocks = max_hamming + 1
+    bits = 32 // n_blocks
+    mask = (1 << bits) - 1
+    sigs = simhash_signatures(df, text_col, id_col)
+    blocks = sigs.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright("simhash", bits * i)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("bv"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("_id", "simhash", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
+    # degenerate-block guard, mirrored in the oracle
+    ok = blocks.groupBy("bi", "bv").count().filter(F.col("count") <= bucket_cap)
+    blocks = blocks.join(ok.select("bi", "bv"), ["bi", "bv"])
+    a = blocks.select(
+        F.col("bi"), F.col("bv"), F.col("_id").alias("id_a"), F.col("simhash").alias("sa")
+    )
+    b = blocks.select(
+        F.col("bi"), F.col("bv"), F.col("_id").alias("id_b"), F.col("simhash").alias("sb")
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.filter(ham <= max_hamming).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
     )
 
 

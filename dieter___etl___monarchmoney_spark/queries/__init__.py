@@ -32,6 +32,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave5_ops,
     olap,
     stats_ops,
+    wave6_ops,
 )
 
 #: Round-3 rotation — every query that has NEVER had a driver-side row
@@ -149,6 +150,12 @@ _AFTER_WINDOW: tuple = (
     "hard_negative_mining",
     "feature_hashing_vectors",
     "streaming_sink_roundtrip",
+    # wave6 (4): banded SimHash pairs, PMI collocations, mixture
+    # weights, PSI drift — registered after the window like the rest.
+    "simhash_hamming_pairs",
+    "pmi_collocations",
+    "temperature_mixture_weights",
+    "psi_value_drift",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1
