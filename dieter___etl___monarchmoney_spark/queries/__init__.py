@@ -156,6 +156,7 @@ _AFTER_WINDOW: tuple = (
     "pmi_collocations",
     "temperature_mixture_weights",
     "psi_value_drift",
+    "sessionize_native_stream",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

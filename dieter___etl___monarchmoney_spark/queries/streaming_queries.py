@@ -209,21 +209,14 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sessionize_stream", _SESSIONIZATION_ORACLE)
-def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The applyInPandasWithState sessionizer (streaming/sessionize.py:63)
-    run availableNow against the SAME oracle as the batch form — the two
-    independent implementations must produce identical session rows.
-
-    The stream only emits CLOSED sessions (the final open session per
-    user lives in state with nothing left to advance the watermark past
-    it), so the source is the real events stream unioned with a
-    flush-marker stream: one sentinel event per user, 30 days past the
-    global max event time. The sentinel's >30-min gap closes every real
-    session in-stream; the sentinel's own session stays open in state
-    and is never emitted (a start-bound filter guards it regardless).
-    At scale this is the standard end-of-log flush-marker pattern; a
-    live deployment simply never flushes and relies on timeouts."""
+def _flush_augmented_events(spark: SparkSession, sf_dir: str, tag: str):
+    """Events stream unioned with one flush-sentinel event per user, 30
+    days past the global max event time. Returns ``(stream,
+    sentinel_us)``: the sentinel's >30-min gap closes every real session
+    in-stream, and the caller drops anything starting at/after
+    ``sentinel_us``. At scale this is the standard end-of-log
+    flush-marker pattern; a live deployment never flushes and relies on
+    timeouts/watermark instead."""
     events = load_table(spark, "events", sf_dir)
     row = events.agg(
         F.max("ts").alias("max_ts"), F.unix_micros(F.max("ts")).alias("max_us")
@@ -232,7 +225,7 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel_us = row["max_us"] + 30 * 86_400 * 1_000_000
 
     sent_dir = os.path.join(
-        tempfile.gettempdir(), f"sessionize_flush_{_digest(sf_dir)}"
+        tempfile.gettempdir(), f"{tag}_flush_{_digest(sf_dir)}"
     )
     shutil.rmtree(sent_dir, ignore_errors=True)
     sentinels = events.select("user_id").distinct().select(
@@ -248,9 +241,6 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dieter___etl___monarchmoney_spark.sources.parquet import (
         _normalize_event_time,
     )
-    from dieter___etl___monarchmoney_spark.streaming.sessionize import (
-        sessionize_stream,
-    )
     from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
         EVENTS_RAW_SCHEMA,
     )
@@ -259,9 +249,27 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     flush = _normalize_event_time(
         spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(sent_dir)
     )
-    out = sessionize_stream(real.unionByName(flush))
+    return real.unionByName(flush), sentinel_us
+
+
+@query("sessionize_stream", _SESSIONIZATION_ORACLE)
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState sessionizer (streaming/sessionize.py:63)
+    run availableNow against the SAME oracle as the batch form — the two
+    independent implementations must produce identical session rows.
+
+    The stream only emits CLOSED sessions (the final open session per
+    user lives in state with nothing left to advance the watermark past
+    it), so the source is flush-augmented (_flush_augmented_events);
+    the sentinel's own session stays open in state and is never emitted
+    (the start-bound filter guards it regardless)."""
+    from dieter___etl___monarchmoney_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    source, sentinel_us = _flush_augmented_events(spark, sf_dir, "sessionize")
     res = run_available_now(
-        out,
+        sessionize_stream(source),
         f"sessionize_stream_{_digest(sf_dir)}",
         output_mode="append",
         state_partitions=8,
@@ -269,6 +277,77 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_bounds_as_micros(res).filter(
         F.col("session_start_us") < F.lit(sentinel_us)
     )
+
+
+#: Oracle for the NATIVE session_window twin. Spark's built-in session
+#: window is right-open — an event landing exactly at window end starts
+#: a NEW session — so the break condition is ``gap >= 30 min`` where the
+#: custom twins use ``gap > 30 min``; with microsecond event times the
+#: boundary is measure-zero but the oracle must not paper over it. No
+#: session ordinal: native windows carry no per-user sequence number.
+_SESSION_WINDOW_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_break
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS session_start_us,
+           epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """
+
+
+@query("sessionize_native_stream", _SESSION_WINDOW_ORACLE)
+def q_sessionize_native_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third sessionization implementation: Spark's BUILT-IN
+    ``session_window`` aggregate (dynamic-gap session windows merged by
+    the engine's state store) over the flush-augmented stream, in
+    append mode so only watermark-finalized sessions emit. Three
+    independent paths — batch window functions, applyInPandasWithState,
+    native session_window — now cross-check the same semantics.
+
+    Scale note: this is the PREFERRED production form — state lives in
+    the JVM state store (no Arrow transfer), merges are engine-managed,
+    and the watermark bounds state exactly as the custom operator's
+    timeout does. The custom twin remains the template for session
+    logic the built-in can't express (e.g. counter-carrying state)."""
+    source, sentinel_us = _flush_augmented_events(
+        spark, sf_dir, "sessionize_native"
+    )
+    agg = (
+        source.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    res = run_available_now(
+        agg,
+        f"sessionize_native_{_digest(sf_dir)}",
+        output_mode="append",
+        state_partitions=8,
+    )
+    return res.filter(F.col("session_start_us") < F.lit(sentinel_us))
 
 
 @query(

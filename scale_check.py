@@ -66,6 +66,11 @@ QUERIES = (
     "source_quality_calibration",
     # wave 5: learn-K-merges (K pair-count shuffles) + scan-local apply
     "bpe_encode_corpus",
+    # wave 6: banded SimHash pair search (block-keyed self-join,
+    # Σbucket² with a degenerate-bucket cap) + bigram/unigram PMI
+    # (two count shuffles + vocabulary-keyed joins)
+    "simhash_hamming_pairs",
+    "pmi_collocations",
 )
 
 VOWELS = "aeiou"
