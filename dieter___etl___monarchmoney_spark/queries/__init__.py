@@ -157,6 +157,8 @@ _AFTER_WINDOW: tuple = (
     "temperature_mixture_weights",
     "psi_value_drift",
     "sessionize_native_stream",
+    "shipping_priority_topk",
+    "large_volume_customers",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

@@ -1,11 +1,13 @@
 """Classic OLAP anchor queries over the full TPC-H-ish star: the
-pricing-summary scan-aggregate (Q1 shape) and the snowflake
+pricing-summary scan-aggregate (Q1 shape), the snowflake
 regional-revenue rollup (Q5 shape, lineitem→orders→customer→nation→
-region). The rest of the repo expresses the reference's surface plus
-the training-pipeline extensions; these two pin the canonical
-warehouse shapes every Spark deployment is benchmarked on, with the
-repo's exact-decimal determinism discipline applied to TPC-H's own
-money expressions.
+region), the shipping-priority selective-join top-k (Q3 shape), and
+the large-volume-customers aggregate-filter-then-join (Q18 shape).
+The rest of the repo expresses the reference's surface plus the
+training-pipeline extensions; these four pin the canonical warehouse
+shapes every Spark deployment is benchmarked on, with the repo's
+exact-decimal determinism discipline applied to TPC-H's own money
+expressions.
 
 Reference framing: the reference engine serves per-user API entities;
 FIXTURES.md maps them onto this star (lineitem ⋈ orders is the
@@ -148,4 +150,134 @@ def q_regional_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
         .orderBy("r_name", "n_name")
+    )
+
+
+_Q3_DATE = "1998-06-30"
+
+_Q3_SQL = f"""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o  ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '{_Q3_DATE}'
+  AND CAST(l.l_shipdate AS DATE) > DATE '{_Q3_DATE}'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("shipping_priority_topk", _Q3_SQL)
+def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue shipping priority — the
+    canonical selective-join-then-top-k (segment filter on the customer
+    dim, date filters on BOTH fact sides, revenue per order, top 10).
+    The driver star has no o_shippriority column, so o_orderpriority
+    stands in; semantics are otherwise Q3's.
+
+    Scale shape: both date predicates push to the parquet scans and the
+    segment filter prunes customer BEFORE it broadcasts; the only big
+    shuffle is lineitem ⋈ orders on the order key, the group-by reuses
+    that clustering, and the final ORDER BY ... LIMIT 10 is a
+    TakeOrderedAndProject (per-partition top-10 → driver merge, no
+    global sort). The revenue tie-break on l_orderkey makes the top-k a
+    total order in both engines."""
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate").cast("date") < F.lit(_Q3_DATE).cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_shipdate").cast("date") > F.lit(_Q3_DATE).cast("date"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue_row = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue_row.cast("decimal(18,6)")).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q18_MIN_QTY = 150
+
+_Q18_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > {_Q18_MIN_QTY}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o   ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o_orderdate, o.o_orderkey
+LIMIT 100
+"""
+
+
+@query("large_volume_customers", _Q18_SQL)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume customers — orders whose total
+    line quantity exceeds a threshold, joined back to customer, top 100
+    by order value. The classic aggregate-filter-then-join (Q18's
+    IN-subquery is expressed directly as the aggregated frame joined
+    back, which is exactly what engines rewrite the subquery into).
+
+    Scale shape: the heavy aggregate (per-order quantity over the whole
+    fact) is map-side-combinable and its HAVING prunes to the rare
+    qualifying orders BEFORE any join; the join back to orders keys on
+    the already-clustered order key and customer stays
+    broadcast-eligible. Quantity sums use the exact-decimal pattern so
+    the threshold cut cannot flake on float summation order."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty_dec")
+        )
+        .filter(F.col("qty_dec") > _Q18_MIN_QTY)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
     )

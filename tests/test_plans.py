@@ -489,6 +489,24 @@ def test_regional_rollup_dims_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_shipping_priority_pushdown_and_topk(spark):
+    plan = _plan(QUERIES["shipping_priority_topk"](spark, SF_ORACLE))
+    # both date predicates reach their parquet scans; the top-10 is a
+    # TakeOrderedAndProject, never a global sort of the aggregate
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "GreaterThan(l_shipdate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_volume_customers_prunes_before_join(spark):
+    plan = _plan(QUERIES["large_volume_customers"](spark, SF_ORACLE))
+    # the per-order quantity aggregate partial-combines, its HAVING cut
+    # runs before the joins, and the top-100 is a TakeOrderedAndProject
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_intra_doc_dedup_doc_local_keys(spark):
     plan = _plan(QUERIES["intra_doc_dedup"](spark, SF_ORACLE))
     # no cross-document traffic: no joins beyond the doc_id attach, no
