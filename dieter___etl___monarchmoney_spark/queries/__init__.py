@@ -110,20 +110,13 @@ _NEW_THIS_ROUND: tuple = (
 
 #: ROUND-4 ROTATION CANDIDATES (added late in round 3, registered
 #: after the ~50-query driver window was already full — locally
-#: oracle-green, no driver row yet). Next round: move these into
-#: _PRIORITY, demote this round's _NEW_THIS_ROUND to module rank:
-#:   wave4_ops (6): intra_doc_dedup, range_partition_plan,
-#:     source_quality_calibration, minhash_error_audit,
-#:     source_divergence_matrix, hot_key_skew_profile
-#:   wave5_ops (5): bpe_encode_corpus, ewma_smoothing, mad_outliers,
-#:     benford_digit_audit, compaction_bin_packing
-#:   streaming (1): ewma_stream
-#:   olap (2): pricing_summary_report, regional_revenue_rollup
-#:   relational (2): full_outer_reconciliation, retained_users_intersect
-#:   stats_ops (2): ks_two_sample, mann_whitney_u
-#:   corpus_ops (1): paged_sink_roundtrip
-#:   llm_pipeline (2): hard_negative_mining, feature_hashing_vectors
-#:   streaming (1): streaming_sink_roundtrip
+#: oracle-green, no driver row yet). Next round: move EVERYTHING in
+#: _AFTER_WINDOW below into _PRIORITY (all 29 fit inside the window
+#: with ~20 slots left for flagship re-confirms), demote this round's
+#: _NEW_THIS_ROUND to module rank. The list spans wave4_ops (6),
+#: wave5_ops (5), wave6_ops (4), stats_ops (2), olap (4 — incl. the
+#: Q3/Q18 anchors), relational (2), the connector sink roundtrips (2),
+#: contrastive stages (2), ewma_stream, and sessionize_native_stream.
 
 #: …and slot them right AFTER the 50-query window this round, so any
 #: extra driver budget reaches them before re-confirming old greens.
