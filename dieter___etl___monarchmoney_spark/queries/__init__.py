@@ -152,6 +152,7 @@ _AFTER_WINDOW: tuple = (
     "sessionize_native_stream",
     "shipping_priority_topk",
     "large_volume_customers",
+    "sessionize_tws_stream",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

@@ -113,3 +113,81 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sessionize_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessionization on Spark 4's ``transformWithState``
+    arbitrary-stateful-processing API (the StatefulProcessor
+    replacement for ``applyInPandasWithState``): identical semantics to
+    ``sessionize_stream`` — per-user open-session state, a gap beyond
+    ``gap_minutes`` closes and emits — expressed against the new
+    handle/ValueState surface. Closed sessions are emitted by arriving
+    rows (the registered callers feed a flush-sentinel source, so no
+    timer is needed to drain the tail; a live deployment would
+    ``registerTimer`` at end+gap exactly like the old API's
+    ``setTimeoutTimestamp``).
+
+    Scale note: TWS state lives in the RocksDB-capable state store
+    keyed per user with schema evolution and independent TTL per state
+    variable — the forward path for custom operators; keeping the old
+    twin alongside pins that the migration preserves semantics
+    row-for-row."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    cols = [f.name for f in SESSION_SCHEMA.fields]
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "session", "start long, end long, n long, sid long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            parts = [pdf for pdf in rows]
+            pdf = pd.concat(parts).sort_values("ts")
+            if self._state.exists():
+                start_us, end_us, n, sid = self._state.get()
+            else:
+                start_us = end_us = None
+                n, sid = 0, 1  # first session is id 1 (batch-twin numbering)
+            out = []
+            for ts in pdf["ts"]:
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if end_us is not None and ts_us - end_us > gap_us:
+                    out.append(
+                        [
+                            user_id,
+                            sid,
+                            pd.Timestamp(start_us, unit="us"),
+                            pd.Timestamp(end_us, unit="us"),
+                            n,
+                        ]
+                    )
+                    sid += 1
+                    start_us, n = ts_us, 0
+                if start_us is None:
+                    start_us = ts_us
+                end_us = ts_us
+                n += 1
+            self._state.update((start_us, end_us, n, sid))
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
