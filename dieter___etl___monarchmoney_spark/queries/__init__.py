@@ -153,6 +153,8 @@ _AFTER_WINDOW: tuple = (
     "shipping_priority_topk",
     "large_volume_customers",
     "sessionize_tws_stream",
+    "forecast_revenue_change",
+    "returned_items_ranking",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

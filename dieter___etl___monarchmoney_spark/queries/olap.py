@@ -1,13 +1,14 @@
 """Classic OLAP anchor queries over the full TPC-H-ish star: the
 pricing-summary scan-aggregate (Q1 shape), the snowflake
 regional-revenue rollup (Q5 shape, lineitem→orders→customer→nation→
-region), the shipping-priority selective-join top-k (Q3 shape), and
-the large-volume-customers aggregate-filter-then-join (Q18 shape).
-The rest of the repo expresses the reference's surface plus the
-training-pipeline extensions; these four pin the canonical warehouse
-shapes every Spark deployment is benchmarked on, with the repo's
-exact-decimal determinism discipline applied to TPC-H's own money
-expressions.
+region), the shipping-priority selective-join top-k (Q3 shape), the
+forecast-revenue-change scalar (Q6 shape), the returned-items
+customer ranking (Q10 shape), and the large-volume-customers
+aggregate-filter-then-join (Q18 shape). The rest of the repo
+expresses the reference's surface plus the training-pipeline
+extensions; these six pin the canonical warehouse shapes every Spark
+deployment is benchmarked on, with the repo's exact-decimal
+determinism discipline applied to TPC-H's own money expressions.
 
 Reference framing: the reference engine serves per-user API entities;
 FIXTURES.md maps them onto this star (lineitem ⋈ orders is the
@@ -280,4 +281,113 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue_delta,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("forecast_revenue_change", _Q6_SQL)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the forecast-revenue-change scalar — three
+    pushable predicates, one global aggregate, zero joins. The
+    canonical "is the scan path fast" probe: every predicate reaches
+    the parquet reader, the scan reads 4 columns, and the answer is a
+    single row produced entirely by map-side partials.
+
+    Scale shape: at 100 TB this is I/O-bound by construction — the
+    aggregate exchanges one partial row per task. Revenue uses the
+    fixed-shape double product quantized to DECIMAL(18,6) before the
+    order-independent SUM."""
+    li = load_table(spark, "lineitem", sf_dir)
+    sd = F.col("l_shipdate").cast("date")
+    return (
+        li.filter(
+            (sd >= F.lit("1996-01-01").cast("date"))
+            & (sd < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("returned_items_ranking", _Q10_SQL)
+def q_returned_items_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: which customers returned the most revenue in a
+    year — returnflag filter on the fact, date window on orders, rollup
+    per customer, top 20. The canonical "selective fact ⋈ fact then
+    rank entities" report.
+
+    Scale shape: both filters push to their scans BEFORE the
+    lineitem ⋈ orders shuffle; the customer attach happens AFTER the
+    per-custkey pre-aggregation would collapse cardinality at real
+    scale (here the optimizer's join order is equivalent at this SF),
+    nation broadcasts, and the top-20 is a TakeOrderedAndProject with a
+    custkey tie-break giving a total order."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    od = F.col("o_orderdate").cast("date")
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(
+            (od >= F.lit("1997-01-01").cast("date"))
+            & (od < F.lit("1998-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    revenue_row = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(revenue_row.cast("decimal(18,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
     )

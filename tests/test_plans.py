@@ -507,6 +507,26 @@ def test_large_volume_customers_prunes_before_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_forecast_revenue_change_scan_only(spark):
+    plan = _plan(QUERIES["forecast_revenue_change"](spark, SF_ORACLE))
+    # all three predicates reach the scan; one fact scan, no joins
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    # formatted explain names each scan twice (tree node + detail
+    # block), so ONE physical scan == exactly 2 mentions
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+
+
+def test_returned_items_filters_before_join(spark):
+    plan = _plan(QUERIES["returned_items_ranking"](spark, SF_ORACLE))
+    # the returnflag and order-date filters push to their scans and the
+    # top-20 is a TakeOrderedAndProject
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_intra_doc_dedup_doc_local_keys(spark):
     plan = _plan(QUERIES["intra_doc_dedup"](spark, SF_ORACLE))
     # no cross-document traffic: no joins beyond the doc_id attach, no
