@@ -155,6 +155,7 @@ _AFTER_WINDOW: tuple = (
     "sessionize_tws_stream",
     "forecast_revenue_change",
     "returned_items_ranking",
+    "calendar_gap_fill",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

@@ -925,3 +925,82 @@ def q_series_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_days").cast("bigint").alias("n_days"),
         (num / den).alias("pearson_r"),
     ).orderBy("type_a", "type_b")
+
+
+_GAP_THRESHOLD = 195
+
+_GAP_FILL_SQL = f"""
+WITH bounds AS (
+    SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+),
+spine AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date
+    FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+    SELECT CAST(ts AS DATE) AS d, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS tv
+    FROM events WHERE value > {_GAP_THRESHOLD}
+    GROUP BY CAST(ts AS DATE), event_type
+)
+SELECT s.date, t.event_type,
+       COALESCE(dl.n, 0) AS n_events,
+       COALESCE(dl.tv, 0.0) AS total_value,
+       (dl.n IS NULL) AS is_gap
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN daily dl ON dl.d = s.date AND dl.event_type = t.event_type
+"""
+
+
+@query("calendar_gap_fill", _GAP_FILL_SQL)
+def q_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: build the full date × event-type
+    grid from the table's own bounds and left-join the (filtered) daily
+    rollup onto it, so silent holes become explicit zero rows with an
+    ``is_gap`` flag — the missing-partition detector every scheduled
+    pipeline needs before trend math (a 7-day moving average over a
+    series with silent holes is simply wrong). The value filter makes
+    sparsity real in the test data (~40 of 150 cells empty at sf0.01).
+
+    Scale shape: the spine is days × types — thousands of rows built
+    from ONE min/max aggregate — and the fact collapses to the same
+    grain via a map-side-combinable rollup BEFORE the left join, so the
+    join touches grid-sized inputs regardless of fact size and the
+    spine side broadcasts. The fact itself is scanned once."""
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("date")
+    )
+    types = ev.select("event_type").distinct()
+    daily = (
+        ev.filter(F.col("value") > _GAP_THRESHOLD)
+        .groupBy(
+            F.col("ts").cast("date").alias("d"), F.col("event_type").alias("et")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("tv"),
+        )
+    )
+    grid = spine.crossJoin(types)  # days x types — both sides tiny
+    return (
+        grid.join(
+            daily,
+            (F.col("date") == F.col("d")) & (F.col("event_type") == F.col("et")),
+            "left",
+        )
+        .select(
+            "date",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )

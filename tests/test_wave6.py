@@ -111,3 +111,16 @@ def test_pmi_orders_collocations_above_chance(spark):
         for k, v in out.items()
         if "filler" in k
     )
+
+
+def test_calendar_gap_fill_grid_complete(spark):
+    """The grid is exactly days x types, gaps carry zeros, and non-gap
+    cells match the filtered rollup."""
+    out = QUERIES["calendar_gap_fill"](spark, SF_SMOKE).collect()
+    days = {r["date"] for r in out}
+    types = {r["event_type"] for r in out}
+    assert len(out) == len(days) * len(types)
+    gaps = [r for r in out if r["is_gap"]]
+    assert gaps, "threshold should leave real holes in the smoke data"
+    assert all(r["n_events"] == 0 and r["total_value"] == 0.0 for r in gaps)
+    assert all(r["n_events"] > 0 for r in out if not r["is_gap"])
