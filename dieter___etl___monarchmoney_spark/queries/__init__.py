@@ -156,6 +156,7 @@ _AFTER_WINDOW: tuple = (
     "forecast_revenue_change",
     "returned_items_ranking",
     "calendar_gap_fill",
+    "streaming_full_outer_join",
 )
 
 #: remaining slots go to modules whose latest green rows are from r1

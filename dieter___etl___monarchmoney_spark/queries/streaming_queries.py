@@ -476,6 +476,78 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_full_outer_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           COALESCE(p.user_id, v.user_id) AS user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS p_ts_us,
+           v.event_id AS view_id,
+           epoch_us(CAST(v.ts AS TIMESTAMP)) AS v_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    """,
+)
+def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the streaming
+    join matrix (inner / leftOuter / fullOuter): BOTH sides' unmatched
+    rows are held in state until the watermark proves no qualifying
+    partner can still arrive, then emit null-padded exactly once. On a
+    batch-complete source the emitted set equals the batch FULL OUTER
+    interval join (the oracle). Flush sentinels (one far-future
+    purchase + view at user −1) advance both watermarks so tail rows
+    emit; sentinel rows are dropped on BOTH id columns."""
+    events = load_table(spark, "events", sf_dir)
+    max_ts = events.agg(F.max("ts").alias("m")).first()["m"]
+    sentinel_ts = max_ts + dt.timedelta(days=30)
+
+    from dieter___etl___monarchmoney_spark.sources.parquet import (
+        _normalize_event_time,
+    )
+    from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
+        EVENTS_RAW_SCHEMA,
+        interval_join_stream,
+    )
+
+    sent_dir = os.path.join(
+        tempfile.gettempdir(), f"full_outer_flush_{_digest(sf_dir)}"
+    )
+    shutil.rmtree(sent_dir, ignore_errors=True)
+    spark.createDataFrame(
+        [
+            (-1, sentinel_ts, -1, "purchase", 0.0, None),
+            (-2, sentinel_ts, -1, "view", 0.0, None),
+        ],
+        EVENTS_RAW_SCHEMA,
+    ).write.parquet(sent_dir)
+
+    flush = _normalize_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(sent_dir)
+    )
+    ev = read_events_stream(spark, sf_dir).unionByName(flush)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    stream = interval_join_stream(purchases, views, minutes=10, how="fullOuter")
+    res = run_available_now(
+        stream,
+        f"full_outer_join_{_digest(sf_dir)}",
+        output_mode="append",
+        state_partitions=8,
+    )
+    return res.filter(
+        (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        & (F.col("view_id").isNull() | (F.col("view_id") >= 0))
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        "view_id",
+        F.unix_micros("v_ts").alias("v_ts_us"),
+    )
+
+
+@query(
     "streaming_sliding_rollup",
     """
     WITH starts AS (

@@ -167,8 +167,14 @@ def interval_join_stream(
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {minutes} MINUTES"))
         & (F.col("v_ts") <= F.col("p_ts"))
     )
+    # coalesce the key: identical to p_user for inner/leftOuter (never
+    # null there); for fullOuter an unmatched view carries only v_user
     return p.join(v, cond, how).select(
-        "purchase_id", F.col("p_user").alias("user_id"), "p_ts", "view_id", "v_ts"
+        "purchase_id",
+        F.coalesce(F.col("p_user"), F.col("v_user")).alias("user_id"),
+        "p_ts",
+        "view_id",
+        "v_ts",
     )
 
 
