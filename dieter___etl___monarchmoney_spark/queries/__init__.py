@@ -111,12 +111,16 @@ _NEW_THIS_ROUND: tuple = (
 #: ROUND-4 ROTATION CANDIDATES (added late in round 3, registered
 #: after the ~50-query driver window was already full — locally
 #: oracle-green, no driver row yet). Next round: move EVERYTHING in
-#: _AFTER_WINDOW below into _PRIORITY (all 29 fit inside the window
-#: with ~20 slots left for flagship re-confirms), demote this round's
+#: _AFTER_WINDOW below into _PRIORITY (all 34 fit inside the window
+#: with ~16 slots left for flagship re-confirms), demote this round's
 #: _NEW_THIS_ROUND to module rank. The list spans wave4_ops (6),
-#: wave5_ops (5), wave6_ops (4), stats_ops (2), olap (4 — incl. the
-#: Q3/Q18 anchors), relational (2), the connector sink roundtrips (2),
-#: contrastive stages (2), ewma_stream, and sessionize_native_stream.
+#: wave5_ops (5), wave6_ops (4), stats_ops (2), olap (6 — the
+#: Q1/Q3/Q5/Q6/Q10/Q18 anchors minus the two already prioritized),
+#: relational (2), the connector sink roundtrips (2), contrastive
+#: stages (2), ewma_stream, the sessionize_native/tws twins, the
+#: calendar gap fill, and the streaming full-outer join.
+#: (sessionize_tws_stream only registers where google.protobuf is
+#: importable — harmless in the rotation list if absent.)
 
 #: …and slot them right AFTER the 50-query window this round, so any
 #: extra driver budget reaches them before re-confirming old greens.
