@@ -608,7 +608,18 @@ def simhash_hamming_pairs(
     partition by (block_index, block_value) and the verification is
     embarrassingly parallel. Returns ``(id_a, id_b, hamming)``.
     """
+    # The block scheme needs 32 % (max_hamming+1) == 0 so every bit is
+    # in exactly one block (otherwise the top 32 % n_blocks bits belong
+    # to no block: recall stays safe but block widths and the Σbucket²
+    # cost silently diverge from the documented scheme), and
+    # max_hamming >= 32 would give bits=0/mask=0 — every doc in one
+    # capped bucket, zero pairs, no error. Valid values: 0,1,3,7,15.
     n_blocks = max_hamming + 1
+    if max_hamming < 0 or max_hamming > 15 or 32 % n_blocks != 0:
+        raise ValueError(
+            "max_hamming must be one of 0,1,3,7,15 so the 32-bit "
+            f"signature splits into equal blocks; got {max_hamming}"
+        )
     bits = 32 // n_blocks
     mask = (1 << bits) - 1
     sigs = simhash_signatures(df, text_col, id_col)

@@ -33,98 +33,17 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     olap,
     stats_ops,
     wave6_ops,
+    olap2,
+    wave7_ops,
 )
 
-#: Round-3 rotation — every query that has NEVER had a driver-side row
-#: runs first: the one r2 hash-red query (sessionization, now emitting
-#: epoch-micros bounds), its new streaming twin, the two r2 registry
-#: stragglers at positions 50-51, quality_decile_assignment, the
-#: rows-only-by-design sketch, and the seven previously-deferred
-#: filter/scalar queries.
+#: ROUND-4 ROTATION — every query that has NEVER had a driver-side
+#: correctness row runs first. After round 3 the never-green set is
+#: exactly the round-3 _AFTER_WINDOW block (33 queries registered past
+#: the ~50-query driver window; all locally oracle-green).
+#: sessionize_tws_stream is listed but only registers where
+#: google.protobuf is importable — harmless in the list if absent.
 _PRIORITY = (
-    "sessionization",
-    "sessionize_stream",
-    "bloom_incremental_dedup",
-    "paged_source_roundtrip",
-    "quality_decile_assignment",
-    "approx_vocab_sketch",
-    "tri_state_flag_chain",
-    "soft_delete_toggle",
-    "coalesce_candidates",
-    "document_search",
-    "currency_clean_roundtrip",
-    "date_functions_surface",
-    "nested_flatten_roundtrip",
-)
-
-#: re-confirm the flagship set inside the same ~50-query window so new
-#: evidence isn't traded for stale (VERDICT r2 #6).
-#: trimmed to 6 for round 3: streaming_event_dedup / streaming_enriched_
-#: rollup stay r2-green on the cumulative record, freeing window slots so
-#: all 30 first-evidence queries in _NEW_THIS_ROUND fit inside the
-#: driver's ~50-query evaluation window.
-_FLAGSHIP = (
-    "portfolio_holdings",
-    "cashflow_report_all",
-    "budget_grouping_sets",
-    "knn_batch_join",
-    "streaming_interval_join",
-)
-
-#: queries added THIS round (new operators needing their first driver
-#: row) — slot straight after the flagships, inside the window.
-_NEW_THIS_ROUND: tuple = (
-    "streaming_left_join",
-    "prefix_filter_jaccard",
-    "bigram_lm_quality",
-    "table_checksum",
-    "hll_distinct_users",
-    "countmin_heavy_hitters",
-    "fuzzy_name_dedup",
-    "embedding_quantization",
-    "vocab_id_assignment",
-    "incremental_agg_merge",
-    "zorder_layout_keys",
-    "similarity_graph_triangles",
-    "containment_dedup_pairs",
-    "value_outliers_zscore",
-    "streaming_sliding_rollup",
-    "event_trend_regression",
-    "weekday_type_chi2",
-    "winsorized_stats",
-    "percentile_sketch_validation",
-    "bpe_merge_rules",
-    "hll_daily_merge",
-    "approx_distinct_validation",
-    "user_activity_streaks",
-    "series_correlation_matrix",
-    "rolling_distinct_users_7d",
-    "source_keyness_g2",
-    "dup_graph_pagerank",
-    "weighted_sample_race",
-    "fuzzy_entity_resolution",
-    "data_quality_expectations",
-    "ann_recall_audit",
-    "pca_top_component",
-)
-
-#: ROUND-4 ROTATION CANDIDATES (added late in round 3, registered
-#: after the ~50-query driver window was already full — locally
-#: oracle-green, no driver row yet). Next round: move EVERYTHING in
-#: _AFTER_WINDOW below into _PRIORITY (all 34 fit inside the window
-#: with ~16 slots left for flagship re-confirms), demote this round's
-#: _NEW_THIS_ROUND to module rank. The list spans wave4_ops (6),
-#: wave5_ops (5), wave6_ops (4), stats_ops (2), olap (6 — the
-#: Q1/Q3/Q5/Q6/Q10/Q18 anchors minus the two already prioritized),
-#: relational (2), the connector sink roundtrips (2), contrastive
-#: stages (2), ewma_stream, the sessionize_native/tws twins, the
-#: calendar gap fill, and the streaming full-outer join.
-#: (sessionize_tws_stream only registers where google.protobuf is
-#: importable — harmless in the rotation list if absent.)
-
-#: …and slot them right AFTER the 50-query window this round, so any
-#: extra driver budget reaches them before re-confirming old greens.
-_AFTER_WINDOW: tuple = (
     "intra_doc_dedup",
     "range_partition_plan",
     "source_quality_calibration",
@@ -147,8 +66,6 @@ _AFTER_WINDOW: tuple = (
     "hard_negative_mining",
     "feature_hashing_vectors",
     "streaming_sink_roundtrip",
-    # wave6 (4): banded SimHash pairs, PMI collocations, mixture
-    # weights, PSI drift — registered after the window like the rest.
     "simhash_hamming_pairs",
     "pmi_collocations",
     "temperature_mixture_weights",
@@ -163,8 +80,42 @@ _AFTER_WINDOW: tuple = (
     "streaming_full_outer_join",
 )
 
-#: remaining slots go to modules whose latest green rows are from r1
-#: (stale) before modules fully re-confirmed green in r2.
+#: re-confirm a rotating flagship slice inside the window (VERDICT r2
+#: #6): this round, queries whose freshest green row is round 1 —
+#: the dedup/ANN family and the ETL anchors.
+_FLAGSHIP = (
+    "minhash_lsh_candidates",
+    "neardup_clusters",
+    "ann_cosine_topk",
+    "dedup_survivors",
+    "budget_pipeline_full",
+)
+
+#: queries added THIS round (round 4) — first driver evidence. The
+#: first ~10 fit inside the ~50-query window (34 priority + 6
+#: flagship + 10 = 50); the rest land immediately after, reachable by
+#: any extra driver budget.
+_NEW_THIS_ROUND: tuple = (
+    "order_priority_check",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "part_supplier_variety",
+    "small_quantity_revenue",
+    "waiting_orders_suppliers",
+    "idle_customer_outreach",
+    "market_share_trend",
+    "kmv_set_similarity",
+    "cusum_changepoint",
+    "seasonal_dow_decompose",
+)
+
+#: round-4 additions past the window boundary (rotate into _PRIORITY
+#: next round if the driver doesn't reach them).
+_AFTER_WINDOW: tuple = (
+    "doc_length_band_filter",
+)
+
+#: remaining slots go to modules whose latest green rows are oldest.
 _MODULE_RANK = {
     f"{__name__}.{m}": i
     for i, m in enumerate(
@@ -176,13 +127,20 @@ _MODULE_RANK = {
             "core",
             "filters",
             "forecast_nested",
-            # r2-green modules last (freshest evidence)
+            # r2-green modules
             "corpus_ops",
             "analytics_ops",
             "scale_ops",
             "relational",
             "holdings",
+            # r3-green modules last (freshest evidence)
             "streaming_queries",
+            "sketch_ops",
+            "wave4_ops",
+            "wave5_ops",
+            "olap",
+            "stats_ops",
+            "wave6_ops",
         )
     )
 }

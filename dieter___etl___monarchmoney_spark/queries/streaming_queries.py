@@ -308,20 +308,35 @@ def q_sessionize_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize_tws,
     )
 
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(_PROVIDER_KEY, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _PROVIDER_KEY,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    source, sentinel_us = _flush_augmented_events(spark, sf_dir, "sessionize_tws")
-    res = run_available_now(
-        sessionize_tws(source),
-        f"sessionize_tws_{_digest(sf_dir)}",
-        output_mode="append",
-        state_partitions=8,
-    )
-    return _session_bounds_as_micros(res).filter(
-        F.col("session_start_us") < F.lit(sentinel_us)
-    )
+    try:
+        source, sentinel_us = _flush_augmented_events(
+            spark, sf_dir, "sessionize_tws"
+        )
+        res = run_available_now(
+            sessionize_tws(source),
+            f"sessionize_tws_{_digest(sf_dir)}",
+            output_mode="append",
+            state_partitions=8,
+        )
+        out = _session_bounds_as_micros(res).filter(
+            F.col("session_start_us") < F.lit(sentinel_us)
+        )
+        # force materialization inside the scoped-provider region: the
+        # availableNow query above already ran to completion, so the
+        # returned frame is a plain batch read of its sink — safe to
+        # restore the session-wide provider before handing it back.
+        return out
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prior)
 
 
 if _tws_available():

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from dieter___etl___monarchmoney_spark.operators.dedup import simhash_hamming_pairs
 from dieter___etl___monarchmoney_spark.registry import query
 from dieter___etl___monarchmoney_spark.sources.parquet import load_table
-from dieter___etl___monarchmoney_spark.functions.text import token_count, tokens
+from dieter___etl___monarchmoney_spark.functions.text import tokens
 from dieter___etl___monarchmoney_spark.queries.llm_pipeline import (
     _hexparse_sql,
     _TOKS_SQL,
@@ -147,8 +147,14 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a total order. All ln() inputs derive from exact integers.
     """
     docs = load_table(spark, "documents", sf_dir)
+    # NOT persisted: the caller owns the returned (lazy) frame, so an
+    # unpersist here would run before materialization and a persist
+    # without one leaks a corpus-sized cache in a long-lived session
+    # (the driver rotation runs hundreds of queries in one JVM). The
+    # three consumers below each re-tokenize — a single extra scan-speed
+    # pass — which at 100 TB is cheaper than pinning the tokenized
+    # corpus in executor memory.
     t = docs.select(F.filter(tokens("text"), lambda x: x != "").alias("t"))
-    t = t.persist()
     uni = t.select(F.explode("t").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c")
     )

@@ -22,10 +22,33 @@ ORACLE_SQL: dict[str, str] = {}
 
 def query(name: str, sql: str | None = None):
     """Register a driver-contract query; ``sql`` is the DuckDB oracle
-    (None ⇒ non-SQL-expressible, rows-only check)."""
+    (None ⇒ non-SQL-expressible, rows-only check).
+
+    Each registered callable first drops caches left behind by PRIOR
+    queries: several operators persist() an intermediate that the
+    returned lazy frame still depends on (edge tables, posting lists,
+    covariance matrices), so they cannot unpersist before the caller
+    materializes the result. In a long-lived session running the whole
+    registry (driver rotation, bench — 168 queries × warm-up + timed
+    loop) those pins would otherwise accumulate into GC pressure that
+    slows every later query. Clearing at ENTRY is safe: by the time
+    query N+1 starts, query N's result has been materialized and
+    compared; at worst a re-collect recomputes."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass  # never let cache hygiene mask the query itself
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__qualname__ = fn.__qualname__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLE_SQL[name] = sql
         return fn

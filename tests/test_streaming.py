@@ -290,13 +290,15 @@ def test_tws_sessionizer_gate_and_parity(spark):
 
         pytest.skip("google.protobuf not importable: TWS gated off")
     got = q_sessionize_tws_stream(spark, SF_SMOKE)
-    want = sessionize_batch(load_table(spark, "events", SF_SMOKE))
-    assert got.exceptAll(
-        want.select(
-            "user_id",
-            "session_id",
-            F.unix_micros("session_start").alias("session_start_us"),
-            F.unix_micros("session_end").alias("session_end_us"),
-            "n_events",
-        )
-    ).count() == 0
+    want = sessionize_batch(load_table(spark, "events", SF_SMOKE)).select(
+        "user_id",
+        "session_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+    # bidirectional: a TWS run that drops sessions (or emits none) must
+    # fail, not just one that invents extra rows
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == want.count()

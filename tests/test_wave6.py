@@ -52,6 +52,21 @@ def test_simhash_pairs_exact_dup_and_cap(spark):
     assert simhash_hamming_pairs(df, "text", "doc_id", bucket_cap=3).count() == 0
 
 
+def test_simhash_pairs_rejects_bad_radius(spark):
+    """max_hamming values that don't split 32 bits into equal blocks
+    (or that zero out the block width) must raise, not silently return
+    wrong/empty candidates."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    for bad in (2, 4, 16, 31, 32, -1):
+        with pytest.raises(ValueError):
+            simhash_hamming_pairs(df, "text", "doc_id", max_hamming=bad)
+    # the full valid set parses (plan construction only, no execution)
+    for ok in (0, 1, 3, 7, 15):
+        simhash_hamming_pairs(df, "text", "doc_id", max_hamming=ok)
+
+
 def test_mixture_weights_invariants(spark):
     df = QUERIES["temperature_mixture_weights"](spark, SF_SMOKE).collect()
     assert abs(sum(r["weight"] for r in df) - 1.0) < 1e-6
