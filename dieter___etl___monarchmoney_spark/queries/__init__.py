@@ -35,6 +35,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave6_ops,
     olap2,
     wave7_ops,
+    wave8_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -107,12 +108,14 @@ _NEW_THIS_ROUND: tuple = (
     "kmv_set_similarity",
     "cusum_changepoint",
     "seasonal_dow_decompose",
+    "bucketed_join_audit",
 )
 
 #: round-4 additions past the window boundary (rotate into _PRIORITY
 #: next round if the driver doesn't reach them).
 _AFTER_WINDOW: tuple = (
     "doc_length_band_filter",
+    "streaming_upsert_foreachbatch",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

@@ -705,3 +705,108 @@ def q_streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("event_id long, user_id long, event_type string").json(
         os.path.join(out, "epoch-*.jsonl")
     )
+
+
+_UPSERT_SQL = """
+    SELECT user_id, event_type, event_id AS last_event_id,
+           CAST(ts AS TIMESTAMP) AS last_ts, value AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+"""
+
+
+@query("streaming_upsert_foreachbatch", _UPSERT_SQL)
+def q_streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``foreachBatch`` MERGE-upsert — the production pattern for
+    "stream a changelog into a keyed table" when the sink has no native
+    upsert (plain parquet here; on Delta/Iceberg the body of the batch
+    function becomes a single MERGE INTO and nothing else changes).
+
+    The events table is re-chunked into 4 files and streamed with
+    maxFilesPerTrigger=1, so the upsert genuinely runs across MULTIPLE
+    micro-batches: each batch reduces itself to its latest row per
+    (user_id, event_type) — max(struct(ts_ns, event_id, …)), the same
+    partial-aggregable compaction as cdc_latest_state — then merges
+    with the current state and atomically swaps the state directory
+    (write-next-then-rename; readers never observe a half-written
+    state). The final state must equal the BATCH latest-per-key oracle
+    — proving the incremental path converges to the batch answer no
+    matter how the input was chunked.
+
+    Scale shape: per-batch work is one map-side-combinable aggregate
+    over the batch plus a keyed merge against state; state is rewritten
+    per batch ONLY because parquet has no row-level ops (the documented
+    api.py save() limitation) — the merge itself shuffles on the state
+    key, and a partitioned/bucketed state dir (or Delta MERGE) bounds
+    the rewrite to touched buckets at 100 TB."""
+    root = os.path.join(tempfile.gettempdir(), f"upsert_fb_{_digest(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    cur = os.path.join(root, "state_cur")
+    nxt = os.path.join(root, "state_next")
+    cp = os.path.join(root, "cp")
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "ts_ns", "value"
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    key = ["user_id", "event_type"]
+
+    def _latest(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(*key)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("ts_ns"), F.col("event_id"), F.col("ts"), F.col("value")
+                    )
+                ).alias("m")
+            )
+            .select(
+                *key,
+                F.col("m.ts_ns").alias("ts_ns"),
+                F.col("m.event_id").alias("event_id"),
+                F.col("m.ts").alias("ts"),
+                F.col("m.value").alias("value"),
+            )
+        )
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        latest = _latest(batch)
+        sess = batch.sparkSession
+        if os.path.isdir(cur):
+            merged = _latest(sess.read.parquet(cur).unionByName(latest))
+        else:
+            merged = latest
+        # write fully, then swap: the rename is the commit point, so a
+        # crash mid-write leaves the prior state intact (poor-man's MVCC)
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(cur, ignore_errors=True)
+        os.rename(nxt, cur)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    qh = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination()
+    return spark.read.parquet(cur).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )

@@ -556,3 +556,47 @@ def test_ks_single_histogram_pass(spark):
     # fact lineage (was 4 scans; pinned at <= 2)
     assert plan.count("Scan parquet") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    """The bucketed layout is only worth its write cost if the join it
+    serves really plans shuffle-free: bucketed+sorted tables on the
+    same key/count must SortMergeJoin with ZERO Exchange and ZERO Sort
+    on either input."""
+    from dieter___etl___monarchmoney_spark.queries.wave8_ops import (
+        bucketed_join,
+        bucketed_tables,
+    )
+
+    li_tbl, ord_tbl = bucketed_tables(spark, SF_ORACLE)
+    # At sf0.01 the planner rightly broadcasts the small side and skips
+    # bucketing entirely; the layout exists for the at-scale regime
+    # where NEITHER side broadcasts — force that regime to audit it.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bucketed_join(spark, li_tbl, ord_tbl))
+        # the shuffle is GONE — the whole point of the layout
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        # default Spark 3+ keeps a bucket-LOCAL sort (scan sort order is
+        # only reported under the legacy flag, SPARK-28632); with the
+        # flag the one-file-per-bucket sortBy order is reused outright
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        try:
+            plan2 = _plan(bucketed_join(spark, li_tbl, ord_tbl))
+            assert "Exchange" not in plan2 and "Sort (" not in plan2
+        finally:
+            spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        # the full registered query shuffles only ABOVE the join: the
+        # 5-group rollup + the presentation ORDER BY (range exchange) —
+        # nothing on either join input
+        full = _plan(QUERIES["bucketed_join_audit"](spark, SF_ORACLE))
+        assert full.count("Exchange (") == 2
+        assert "hashpartitioning(o_orderpriority" in full
+        assert "rangepartitioning(o_orderpriority" in full
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -302,3 +302,27 @@ def test_tws_sessionizer_gate_and_parity(spark):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert got.count() == want.count()
+
+
+def test_foreachbatch_upsert_multi_batch(spark):
+    """The foreachBatch upsert must really exercise the incremental
+    path: the source is chunked to 4 files with maxFilesPerTrigger=1,
+    so the checkpoint must record MULTIPLE committed batches (a
+    single-batch run would make the merge-with-state branch dead code),
+    and the final state must have exactly one row per key."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from dieter___etl___monarchmoney_spark.registry import load
+
+    QUERIES, _ = load()
+    out = QUERIES["streaming_upsert_foreachbatch"](spark, SF_SMOKE)
+    keys = out.select("user_id", "event_type")
+    assert keys.count() == keys.distinct().count()
+    tag = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:8]
+    commits = glob.glob(
+        os.path.join(tempfile.gettempdir(), f"upsert_fb_{tag}", "cp", "commits", "*")
+    )
+    assert len([c for c in commits if not c.endswith(".tmp")]) >= 2
