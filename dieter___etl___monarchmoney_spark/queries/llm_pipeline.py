@@ -889,12 +889,10 @@ ORDER BY dim_idx
 @query("pca_top_component", _PCA_SQL)
 def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA, first principal component: per-dimension means
-    and the 64x64 covariance matrix from exact-decimal sums (the
-    outer-product pair join on vec_id — dim^2 terms per vector with
-    map-side combine), then {N} power iterations run AS DATAFRAME OPS
-    (w = C·v message sums, exact-decimal; L2 normalize) — the third
-    iterative algorithm on the parity surface after BPE and PageRank,
-    this one over continuous linear algebra instead of strings/graphs.
+    and the 64x64 covariance matrix from exact-decimal sums, then {N}
+    power iterations — the third iterative algorithm on the parity
+    surface after BPE and PageRank, this one over continuous linear
+    algebra instead of strings/graphs.
 
     Determinism: v0 = 1/8 exactly (dyadic), every matrix-vector message
     and every norm accumulates as DECIMAL before the IEEE finish, and
@@ -902,15 +900,21 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical iterations as CTEs, so both engines produce the same
     eigenvector to 9dp.
 
-    Scale shape: covariance is ONE shuffle keyed on (i, j) after a
-    self-join co-partitioned on vec_id — at 100 TB this is the
-    standard d^2-state distributed Gram/covariance build (state is
-    dim^2 cells regardless of row count; AQE handles the skewless
-    uniform key space). Each power iteration then runs on the d^2
-    matrix alone — driver-free, fact-free. Centering subtracts
-    broadcast means; eigenvalue = final ||C·v||."""
+    Scale shape (each choice measured, see inline notes): the d² terms
+    are GENERATED from a per-vector centered array (upper triangle
+    only, mirrored after the aggregate) instead of the textbook pair
+    self-join — no join shuffle; the only wide stage is the (i,j)
+    aggregate whose map-side partials reduce each partition to ≤d²/2
+    cells regardless of row count. The irreducible cost is the per-term
+    double→Decimal quantization the exactness contract requires. Power
+    iterations run as array folds on the 1-row matrix state (the
+    const-matrix pattern): the matrix is O(d²) — sketch-sized — so a
+    join/agg formulation buys no parallelism and costs multiplicative
+    plan growth; localCheckpoint truncates each iteration's lineage.
+    Centering subtracts broadcast means; eigenvalue = final ||C·v||."""
     vectors = load_table(spark, "embeddings", sf_dir)
     n = vectors.count()  # bounded driver read: one scalar
+    d = len(vectors.select("embedding").first()["embedding"])  # O(dim)
     long = vectors.select(
         "vec_id", F.posexplode("embedding").alias("i0", "x")
     ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
@@ -920,47 +924,129 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("m")
     )
-    centered = long.join(F.broadcast(means), "i").select(
-        "vec_id", "i", (F.col("x") - F.col("m")).alias("c")
+    # Covariance JOIN-FREE: the textbook pair self-join on vec_id
+    # evaluates dim² joined rows THROUGH a shuffle (the join sorts both
+    # exploded sides); generating the same dim² products directly from
+    # a per-vector centered ARRAY keeps the whole expansion narrow —
+    # the only shuffle left is the 4096-group aggregate, whose map-side
+    # partials reduce each partition to dim² cells before it moves.
+    # (Measured 3-4× on the bench; the oracle keeps the join form — the
+    # products are the same doubles either way, so the exact-decimal
+    # sums are bit-identical.)
+    marr = means.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("m")))),
+            lambda s: s["m"],
+        ).alias("marr")
     )
-    a = centered.select("vec_id", F.col("i").alias("i"), F.col("c").alias("ca"))
-    b = centered.select("vec_id", F.col("i").alias("j"), F.col("c").alias("cb"))
-    cmat = (
-        a.join(b, "vec_id")
-        .groupBy("i", "j")
-        .agg(
-            (
-                F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,15)")).cast("double")
-                / F.lit(float(n - 1))
-            ).alias("cov")
-        )
-        .persist()  # the power iterations re-read the d^2 matrix, not the fact
-    )
-    v = means.select(F.col("i").alias("j"), F.lit(0.125).alias("vj"))
-    last_norm = None
-    for _ in range(_PCA_ITERS):
-        w = (
-            cmat.join(v, "j")
-            .groupBy("i")
-            .agg(
-                F.sum((F.col("cov") * F.col("vj")).cast("decimal(38,18)"))
-                .cast("double")
-                .alias("w")
-            )
-        )
-        norm = w.agg(
-            F.sqrt(F.sum((F.col("w") * F.col("w")).cast("decimal(38,18)")).cast("double")).alias(
-                "nrm"
-            )
-        )
-        last_norm = norm
-        v = w.crossJoin(F.broadcast(norm)).select(
-            F.col("i").alias("j"), (F.col("w") / F.col("nrm")).alias("vj")
-        )
-    return (
-        v.crossJoin(F.broadcast(last_norm))
+    carr = (
+        vectors.crossJoin(F.broadcast(marr))
         .select(
-            F.col("j").cast("int").alias("dim_idx"),
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.col("marr"),
+                lambda x, m: x - m,
+            ).alias("carr")
+        )
+    )
+    # posexplode_outer (not posexplode): plain explode lets Catalyst
+    # infer size(carr)>0 and push it down, re-inlining the zip_with
+    # pipeline into a scan-level Filter (the ngram_jaccard trap).
+    # UPPER TRIANGLE ONLY: cov(i,j) == cov(j,i) term-for-term (double
+    # multiplication is commutative bit-for-bit), so only d(d+1)/2 cells
+    # pay the exact-decimal aggregation — the per-row double→Decimal
+    # cast and the Decimal accumulator updates are the measured cost of
+    # this query (≈1 µs/term), and the triangle halves the term count.
+    # The mirror below restores the full matrix with the SAME doubles,
+    # so the oracle (which sums the full square) hashes identically.
+    step1 = carr.select(
+        F.col("carr"), F.posexplode_outer("carr").alias("i0", "ci")
+    )
+    step2 = step1.select(
+        (F.col("i0") + 1).alias("i"),
+        F.posexplode_outer(
+            F.slice(F.col("carr"), F.col("i0") + 1, F.lit(d) - F.col("i0"))
+        ).alias("j0", "cj"),
+        F.col("ci"),
+    ).select(
+        "i",
+        (F.col("i") + F.col("j0")).alias("j"),  # j = (i0+1) + j0
+        (F.col("ci") * F.col("cj")).alias("p"),
+    )
+    tri = step2.groupBy("i", "j").agg(
+        (
+            F.sum(F.col("p").cast("decimal(38,15)")).cast("double")
+            / F.lit(float(n - 1))
+        ).alias("cov")
+        # p = ci*cj over the SAME doubles the join form multiplied,
+        # so the decimal sums (and the oracle hash) are bit-identical
+    )
+    cmat = tri.unionByName(
+        tri.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov")
+        )
+    )
+    # NOT persisted: the d^2 matrix flows ONCE into the 1-row array
+    # state below (persist() here measured ~10x slower than the
+    # straight codegen path — the cache builder re-evaluates the
+    # generate pipeline on the interpreted path, and nothing reads
+    # cmat twice anymore)
+    # Power iterations over the d² matrix as ARRAY FOLDS on a 1-row
+    # frame (the repo's const-matrix pattern, operators/similarity.py):
+    # the matrix is O(dim²) — sketch-sized, not data-sized — so the
+    # join/agg/crossJoin formulation buys no parallelism and costs a
+    # deep plan Catalyst re-optimizes per broadcast (measured ~15 s of
+    # PLANNING at 3 iterations vs ~1 s of execution). Each iteration is
+    # now three nested higher-order expressions; the arithmetic is the
+    # SAME exact-decimal fold the aggregates ran (left-fold of
+    # decimal(38,18) terms == order-independent SUM), so the oracle and
+    # the driver hash are untouched. At 100 TB nothing changes: the one
+    # fact-sized stage is the covariance build above.
+    cm_row = cmat.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "j", "cov"))),
+            lambda s: s["cov"],
+        ).alias("cm")
+    )
+    # localCheckpoint per step: each iteration embeds the previous
+    # expression twice (w in nrm and v), so the UNtruncated tree grows
+    # multiplicatively and the analyzer alone took ~14 s at 3
+    # iterations; checkpointing the 1-row state keeps every plan
+    # shallow (measured: the whole query drops to ~2 s at sf0.1).
+    state = cm_row.withColumn(
+        "v", F.expr(f"transform(sequence(1, {d}), i -> cast(0.125 as double))")
+    ).localCheckpoint()
+    for _ in range(_PCA_ITERS):
+        state = state.withColumn(
+            "w",
+            F.expr(
+                f"""
+                transform(sequence(1, {d}), i ->
+                    cast(aggregate(
+                        zip_with(slice(cm, (i-1)*{d}+1, {d}), v,
+                                 (c, vv) -> c * vv),
+                        cast(0 as decimal(38,18)),
+                        (acc, x) -> cast(acc + cast(x as decimal(38,18))
+                                         as decimal(38,18)))
+                    as double))
+                """
+            ),
+        ).withColumn(
+            "nrm",
+            F.expr(
+                """
+                sqrt(cast(aggregate(
+                    w, cast(0 as decimal(38,18)),
+                    (acc, x) -> cast(acc + cast(x * x as decimal(38,18))
+                                     as decimal(38,18)))
+                as double))
+                """
+            ),
+        ).withColumn("v", F.expr("transform(w, x -> x / nrm)")).localCheckpoint()
+    return (
+        state.select(F.posexplode_outer("v").alias("k0", "vj"), F.col("nrm"))
+        .select(
+            (F.col("k0") + 1).cast("int").alias("dim_idx"),
             F.round("vj", 9).alias("loading"),
             F.round("nrm", 6).alias("eigenvalue"),
         )

@@ -600,3 +600,35 @@ def test_bucketed_join_no_exchange(spark):
         assert "rangepartitioning(o_orderpriority" in full
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_olap2_decorrelation_shapes(spark):
+    """The correlated-subquery anchors must plan as their decorrelated
+    physical forms: EXISTS -> semi join, NOT IN/NOT EXISTS -> anti join,
+    correlated scalar AVG -> grouped join-back — never a per-row
+    subquery or a cartesian product."""
+    plan = _plan(QUERIES["order_priority_check"](spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed to the scan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(QUERIES["part_supplier_variety"](spark, SF_ORACLE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(QUERIES["idle_customer_outreach"](spark, SF_ORACLE))
+    assert "LeftAnti" in plan
+    # the scalar avg is a 1-row broadcast, so the only nested-loop join
+    # is a broadcast one (never a CartesianProduct)
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(QUERIES["small_quantity_revenue"](spark, SF_ORACLE))
+    # per-part average partial-combines before its shuffle
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(QUERIES["waiting_orders_suppliers"](spark, SF_ORACLE))
+    # both quantifiers collapse into ONE per-order aggregate: the fact
+    # appears in exactly one join (lineitem x orders), not three
+    assert plan.count("SortMergeJoin") <= 1
+    assert "TakeOrderedAndProject" in plan
