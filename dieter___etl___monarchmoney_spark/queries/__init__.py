@@ -36,6 +36,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     olap2,
     wave7_ops,
     wave8_ops,
+    wave9_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -116,6 +117,9 @@ _NEW_THIS_ROUND: tuple = (
 _AFTER_WINDOW: tuple = (
     "doc_length_band_filter",
     "streaming_upsert_foreachbatch",
+    "scd2_temporal_join",
+    "conversion_lag_quantiles",
+    "order_lines_hof_profile",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

@@ -71,6 +71,9 @@ QUERIES = (
     # (two count shuffles + vocabulary-keyed joins)
     "simhash_hamming_pairs",
     "pmi_collocations",
+    # wave 7 (round 4): per-source length-band curation — the rank
+    # window partitions by source, so replication must scale linearly
+    "doc_length_band_filter",
 )
 
 VOWELS = "aeiou"
