@@ -37,6 +37,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave7_ops,
     wave8_ops,
     wave9_ops,
+    wave10_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -120,6 +121,9 @@ _AFTER_WINDOW: tuple = (
     "scd2_temporal_join",
     "conversion_lag_quantiles",
     "order_lines_hof_profile",
+    "variant_props_rollup",
+    "recursive_referral_depth",
+    "lateral_best_line_per_order",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.
