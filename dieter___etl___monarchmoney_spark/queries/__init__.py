@@ -124,6 +124,7 @@ _AFTER_WINDOW: tuple = (
     "variant_props_rollup",
     "recursive_referral_depth",
     "lateral_best_line_per_order",
+    "observed_scan_metrics",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

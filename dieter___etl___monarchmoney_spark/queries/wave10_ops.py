@@ -188,3 +188,70 @@ def q_lateral_best_line_per_order(spark: SparkSession, sf_dir: str) -> DataFrame
         "FROM lineitem", f"FROM lineitem_{tag}"
     )
     return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# Observation: in-flight data-quality metrics on the scan you already run
+# --------------------------------------------------------------------------
+
+_OBSERVE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(COUNT(CASE WHEN value < 0 THEN 1 END) AS BIGINT) AS n_negative,
+       CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT)
+           AS n_null_user,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value
+FROM events
+"""
+
+
+@query("observed_scan_metrics", _OBSERVE_SQL)
+def q_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality metrics via ``DataFrame.observe`` — Spark's
+    in-flight observation channel: the counters ride the SAME job that
+    scans the data (accumulator-backed, zero extra passes in a real
+    pipeline), instead of the reference's separate validation queries
+    (reconciliation_audit's protocol run as a second scan). Here the
+    observed frame is driven by a count() and the collected metrics
+    come back as a 1-row frame so the oracle can check the VALUES the
+    channel reports — observation is only worth having if its numbers
+    equal the ground-truth aggregate.
+
+    Scale shape: observe() adds per-partition accumulator updates to
+    an existing action — O(1) extra state per task, no shuffle, no
+    second scan in production (the demo's count() stands in for the
+    pipeline's real action). The sum uses the exact-decimal pattern so
+    the observed total is order-independent like every other money
+    aggregate in the repo."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, "events", sf_dir)
+    obs = Observation(f"scan_audit_{_tag(sf_dir)}")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "total_value"
+        ),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_null_user"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    observed.count()  # the action the metrics ride on
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                float(m["total_value"]),
+                m["n_negative"],
+                m["n_null_user"],
+                float(m["min_value"]),
+                float(m["max_value"]),
+            )
+        ],
+        "n_rows long, total_value double, n_negative long, n_null_user long, "
+        "min_value double, max_value double",
+    )

@@ -188,11 +188,18 @@ def test_rotation_lists_name_real_queries():
         _PRIORITY,
     )
 
+    # sessionize_tws_stream registers only where google.protobuf is
+    # importable (documented gate) — every other rotation name must be
+    # a real registered query
+    gated = {"sessionize_tws_stream"}
     for name in (*_PRIORITY, *_FLAGSHIP, *_NEW_THIS_ROUND):
-        assert name in QUERIES, f"rotation names unknown query {name!r}"
+        assert name in QUERIES or name in gated, (
+            f"rotation names unknown query {name!r}"
+        )
     # the never-driver-checked queries must occupy the first positions
     order = list(QUERIES)
-    assert order[: len(_PRIORITY)] == list(_PRIORITY)
+    expected = [n for n in _PRIORITY if n in QUERIES]
+    assert order[: len(expected)] == expected
 
 
 def test_percentile_sketch_within_tolerance(spark):
