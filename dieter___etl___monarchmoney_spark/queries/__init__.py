@@ -38,6 +38,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave8_ops,
     wave9_ops,
     wave10_ops,
+    wave11_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -125,6 +126,16 @@ _AFTER_WINDOW: tuple = (
     "recursive_referral_depth",
     "lateral_best_line_per_order",
     "observed_scan_metrics",
+    # wave 11: the TPC-H completion set + the ASOF join
+    "nation_trade_flows",
+    "product_type_profit",
+    "important_part_stock",
+    "ship_delay_mode_counts",
+    "customer_order_distribution",
+    "min_cost_supplier",
+    "disjunctive_promo_revenue",
+    "dominant_supplier_parts",
+    "asof_last_signup",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.
