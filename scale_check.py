@@ -76,6 +76,19 @@ QUERIES = (
     "doc_length_band_filter",
 )
 
+#: event-temporal operators measured on the REPLICATED EVENTS axis:
+#: each replica shifts user_id/event_id into a fresh range, so the
+#: per-user timeline STRUCTURE (sessions, streaks, as-of state chains)
+#: replicates without ever merging timelines — linear user growth,
+#: constant per-user history, exactly the 100 TB shape.
+EVENT_QUERIES = (
+    "asof_last_signup",
+    "sessionization",
+    "user_activity_streaks",
+    "conversion_lag_quantiles",
+    "rolling_distinct_users_7d",
+)
+
 VOWELS = "aeiou"
 
 
@@ -119,6 +132,26 @@ def build_scaled_docs(spark, sf_dir: str, scale: int, out_dir: str) -> None:
     for r in reps[1:]:
         cu = cu.unionByName(r)
     cu.write.mode("overwrite").parquet(f"{out_dir}/part.parquet")
+    # replicate events into fresh user_id/event_id ranges: timelines
+    # never merge across replicas, so session/streak/as-of state per
+    # user is invariant while the user population scales linearly
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    evs = []
+    for k in range(scale):
+        evs.append(
+            ev.select(
+                (F.col("event_id") + F.lit(k * 1_000_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(k * 1_000_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    eu = evs[0]
+    for e in evs[1:]:
+        eu = eu.unionByName(e)
+    eu.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
 def main() -> None:
@@ -132,13 +165,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = registry.load()
 
-    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    all_queries = QUERIES + EVENT_QUERIES
+    results: dict[str, dict[int, float]] = {q: {} for q in all_queries}
     root = Path(tempfile.mkdtemp(prefix="scale_check_"))
     try:
         for scale in scales:
             out = str(root / f"x{scale}")
             build_scaled_docs(spark, args.sf, scale, out)
-            for name in QUERIES:
+            for name in all_queries:
                 t0 = time.time()
                 n = queries[name](spark, out).count()
                 dt = round(time.time() - t0, 2)
@@ -150,7 +184,7 @@ def main() -> None:
                 "ratio": round(results[q][hi] / max(results[q][lo], 0.01), 2),
                 "ideal": float(hi // lo),
             }
-            for q in QUERIES
+            for q in all_queries
         }
         print(json.dumps({"growth_ratios": summary}), flush=True)
     finally:

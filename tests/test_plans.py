@@ -632,3 +632,52 @@ def test_olap2_decorrelation_shapes(spark):
     # appears in exactly one join (lineitem x orders), not three
     assert plan.count("SortMergeJoin") <= 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_plan_has_zero_joins(spark):
+    """The headline claim of asof_last_signup: the as-of enrichment is
+    a union + window pass, never a join — the plan must contain NO
+    join operator of any kind."""
+    plan = _plan(QUERIES["asof_last_signup"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert "Union" in plan
+    assert "Window" in plan
+
+
+def test_disjunctive_derivations_reach_both_scans(spark):
+    """Q19 shape: the derived part-side disjunction and the lineitem
+    quantity hull must both appear as scan-level data filters, and the
+    join must be broadcast."""
+    plan = _plan(QUERIES["disjunctive_promo_revenue"](spark, SF_ORACLE))
+    assert "Brand#12" in plan and "Brand#23" in plan
+    # quantity hull pushed to the lineitem scan
+    assert "l_quantity" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_important_part_stock_reuses_fact_shuffle(spark):
+    """Q11 shape: the global total must RE-REDUCE the per-part
+    aggregate, not rescan the fact — after AQE finalizes, the second
+    branch reads the first branch's shuffle via ReusedExchange."""
+    df = QUERIES["important_part_stock"](spark, SF_ORACLE)
+    df.collect()  # AQE finalizes exchange reuse at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_nation_trade_flows_broadcasts_all_dims(spark):
+    """Q7 shape: nation-filtered supplier and customer slices join as
+    broadcasts; the only candidate for a shuffle join is the
+    lineitem x orders equi-join."""
+    plan = _plan(QUERIES["nation_trade_flows"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_min_cost_supplier_no_cartesian(spark):
+    """Q2 shape: the decorrelated min join-back must stay an equi-join
+    on (partkey, cost) — no nested-loop fallback."""
+    plan = _plan(QUERIES["min_cost_supplier"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
