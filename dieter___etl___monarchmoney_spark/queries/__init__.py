@@ -39,6 +39,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave9_ops,
     wave10_ops,
     wave11_ops,
+    wave12_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -136,6 +137,11 @@ _AFTER_WINDOW: tuple = (
     "disjunctive_promo_revenue",
     "dominant_supplier_parts",
     "asof_last_signup",
+    # wave 12: graph link prediction, series ACF, funnel, rank surface
+    "linkpred_adamic_adar",
+    "hourly_value_acf",
+    "funnel_conversion_steps",
+    "customer_balance_rank_surface",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.
