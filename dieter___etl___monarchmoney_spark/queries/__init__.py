@@ -40,6 +40,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave10_ops,
     wave11_ops,
     wave12_ops,
+    wave13_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -142,6 +143,10 @@ _AFTER_WINDOW: tuple = (
     "hourly_value_acf",
     "funnel_conversion_steps",
     "customer_balance_rank_surface",
+    # wave 13: the sanctioned Python/Arrow lanes, each measured once
+    "returnflag_quantity_iqr",
+    "arrow_udf_text_normalize",
+    "embedding_range_audit",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

@@ -1,0 +1,117 @@
+"""Wave-13 contract tests: each sanctioned Python/Arrow lane must
+compute EXACTLY what its JVM-built-in twin computes — the docstrings
+claim the UDFs exist to demonstrate the lane, not because Python is
+required, and these tests are that claim, executable."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark import registry
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+QUERIES, ORACLE_SQL = registry.load()
+
+
+def test_iqr_udaf_equals_window_twin(spark):
+    got = {
+        r.l_returnflag: r
+        for r in QUERIES["returnflag_quantity_iqr"](spark, SF_ORACLE).collect()
+    }
+    li = load_table(spark, "lineitem", SF_ORACLE)
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    twin = (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lines"),
+            F.max(
+                F.when(
+                    F.col("i") == F.floor(0.25 * (F.col("n") - 1)), F.col("l_quantity")
+                )
+            ).alias("q1"),
+            F.max(
+                F.when(
+                    F.col("i") == F.floor(0.75 * (F.col("n") - 1)), F.col("l_quantity")
+                )
+            ).alias("q3"),
+        )
+        .collect()
+    )
+    assert len(twin) == len(got)
+    for t in twin:
+        g = got[t.l_returnflag]
+        assert (g.n_lines, g.q1, g.q3) == (t.n_lines, t.q1, t.q3)
+        assert g.iqr == t.q3 - t.q1
+
+
+def test_arrow_udf_equals_builtin_twin(spark):
+    got = QUERIES["arrow_udf_text_normalize"](spark, SF_SMOKE)
+    docs = load_table(spark, "documents", SF_SMOKE)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]+", " "),
+            r" +",
+            " ",
+        )
+    )
+    twin = docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+    assert got.exceptAll(twin).count() == 0
+    assert twin.exceptAll(got).count() == 0
+
+
+def test_map_in_arrow_equals_hof_twin(spark):
+    got = QUERIES["embedding_range_audit"](spark, SF_ORACLE)
+    from dieter___etl___monarchmoney_spark.queries.wave13_ops import _CLIP
+
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    d = F.transform("embedding", lambda x: x.cast("double"))
+    twin = emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.size(F.filter(d, lambda x: x.isNaN() | (F.abs(x) == float("inf")))).alias(
+            "n_nonfinite"
+        ),
+        F.size(F.filter(d, lambda x: F.abs(x) >= _CLIP)).alias("n_clipped"),
+        F.array_min(d).alias("vmin"),
+        F.array_max(d).alias("vmax"),
+    )
+    assert got.exceptAll(twin).count() == 0
+    assert twin.exceptAll(got).count() == 0
+
+
+def test_range_audit_flags_injected_pathologies(spark, tmp_path):
+    """Vectors with NaN / inf / clipped values must be counted
+    exactly; a healthy vector reports zeros."""
+    import math
+
+    rows = [
+        (1, [0.1, -0.2, 0.3]),                    # healthy
+        (2, [float("nan"), 0.5, float("inf")]),   # 2 nonfinite, 2 clipped
+        (3, [0.46, -0.47, 0.0]),                  # 2 clipped (|x| >= 0.45)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = df.withColumn("label", F.lit(0))
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r.vec_id: r
+        for r in QUERIES["embedding_range_audit"](spark, str(tmp_path)).collect()
+    }
+    assert (got[1].n_nonfinite, got[1].n_clipped) == (0, 0)
+    assert got[2].n_nonfinite == 2
+    assert got[2].n_clipped == 2  # 0.5 and inf both have |x| >= 0.45
+    assert got[3].n_clipped == 2
+    assert got[1].vmin == -0.10000000149011612 or math.isclose(
+        got[1].vmin, -0.2, rel_tol=1e-6
+    )
