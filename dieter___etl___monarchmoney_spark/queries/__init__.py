@@ -41,6 +41,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave11_ops,
     wave12_ops,
     wave13_ops,
+    wave14_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -147,6 +148,9 @@ _AFTER_WINDOW: tuple = (
     "returnflag_quantity_iqr",
     "arrow_udf_text_normalize",
     "embedding_range_audit",
+    # wave 14: dynamic partition pruning + deterministic-sample HT
+    "dpp_top_days_rollup",
+    "sampled_revenue_estimate",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

@@ -681,3 +681,14 @@ def test_min_cost_supplier_no_cartesian(spark):
     plan = _plan(QUERIES["min_cost_supplier"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dpp_prunes_partitioned_fact(spark):
+    """dpp_top_days_rollup's whole point: the executed plan must carry
+    a dynamicpruning expression in the partitioned scan's
+    PartitionFilters — join-driven partition elimination, not a full
+    scan plus post-filter."""
+    df = QUERIES["dpp_top_days_rollup"](spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()

@@ -115,3 +115,14 @@ def test_range_audit_flags_injected_pathologies(spark, tmp_path):
     assert got[1].vmin == -0.10000000149011612 or math.isclose(
         got[1].vmin, -0.2, rel_tol=1e-6
     )
+
+
+def test_sampled_estimate_contract(spark):
+    """The deterministic sample must be ~1/10 of the lines and the HT
+    estimate within a loose CLT band; exactness of both sums is
+    already hash-pinned by the oracle row."""
+    r = QUERIES["sampled_revenue_estimate"](spark, SF_ORACLE).collect()[0]
+    frac = r.n_sampled / r.n_total
+    assert abs(frac - 0.1) < 0.02
+    assert r.rel_err < 0.1
+    assert r.est_revenue > 0 and r.exact_revenue > 0
