@@ -303,3 +303,63 @@ def test_interval_join_batch_semantics(spark, events, minutes):
         and psec - minutes * 60 <= vsec <= psec
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),            # user_id
+            st.integers(0, 5000),         # minutes offset
+            st.sampled_from(["signup", "purchase", "view"]),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),  # no (user, ts) ties: match data
+    )
+)
+def test_asof_union_scan_matches_bisect_replay(spark, tmp_path_factory, rows):
+    """The union+window as-of rewrite must agree with a brute-force
+    per-user replay (latest signup at-or-before each purchase) on
+    arbitrary timelines — including users with no signups, purchases
+    before any signup, and interleaved orderings."""
+    import bisect
+
+    from dieter___etl___monarchmoney_spark.registry import load
+
+    QUERIES, _ = load()
+    base = dt.datetime(2024, 3, 1)
+    data = [
+        (i, base + dt.timedelta(minutes=m), u, et, float(i), "{}")
+        for i, (u, m, et) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = str(tmp_path_factory.mktemp("asof_prop"))
+    df.write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    signups: dict = {}
+    for i, (u, m, et) in enumerate(rows):
+        if et == "signup":
+            signups.setdefault(u, []).append((m, float(i)))
+    for v in signups.values():
+        v.sort()
+
+    got = QUERIES["asof_last_signup"](spark, out).collect()
+    purchases = [(i, u, m) for i, (u, m, et) in enumerate(rows) if et == "purchase"]
+    assert len(got) == len(purchases)
+    by_id = {int(r.event_id): r for r in got}
+    for i, u, m in purchases:
+        cands = signups.get(u, [])
+        j = bisect.bisect_right(cands, (m, float("inf")))
+        r = by_id[i]
+        if j == 0:
+            assert r.signup_us is None and r.signup_value is None
+        else:
+            want_m, want_v = cands[j - 1]
+            want_us = int((base + dt.timedelta(minutes=want_m)).timestamp() * 1e6)
+            assert r.signup_us == want_us
+            assert r.signup_value == want_v
