@@ -42,6 +42,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave12_ops,
     wave13_ops,
     wave14_ops,
+    wave15_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -151,6 +152,9 @@ _AFTER_WINDOW: tuple = (
     # wave 14: dynamic partition pruning + deterministic-sample HT
     "dpp_top_days_rollup",
     "sampled_revenue_estimate",
+    # wave 15: funnel observability + schema drift
+    "pipeline_stage_funnel",
+    "schema_evolution_merge_read",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

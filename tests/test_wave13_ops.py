@@ -126,3 +126,29 @@ def test_sampled_estimate_contract(spark):
     assert abs(frac - 0.1) < 0.02
     assert r.rel_err < 0.1
     assert r.est_revenue > 0 and r.exact_revenue > 0
+
+
+def test_pipeline_funnel_is_monotone(spark):
+    rows = QUERIES["pipeline_stage_funnel"](spark, SF_ORACLE).collect()
+    assert [r.stage for r in rows] == [
+        "raw", "min_length", "quality", "exact_dedup", "near_dedup",
+    ]
+    docs = load_table(spark, "documents", SF_ORACLE).count()
+    assert rows[0].n_docs == docs
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs <= a.n_docs
+        assert b.n_tokens <= a.n_tokens
+    assert rows[-1].n_docs > 0, "everything filtered — funnel is vacuous"
+
+
+def test_schema_evolution_backfills_nulls(spark):
+    rows = QUERIES["schema_evolution_merge_read"](spark, SF_ORACLE).collect()
+    ev = load_table(spark, "events", SF_ORACLE)
+    n_even = ev.filter(F.col("event_id") % 2 == 0).count()
+    n_total = ev.count()
+    null_bucket = [r for r in rows if r.channel is None]
+    assert len(null_bucket) == 1 and null_bucket[0].n_events == n_even
+    assert sum(r.n_events for r in rows) == n_total
+    assert {r.channel for r in rows if r.channel} == {
+        "click", "signup", "error", "view", "purchase",
+    }
