@@ -807,18 +807,30 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_ann_topk,
     )
 
-    vectors = load_table(spark, "embeddings", sf_dir)
-    qv = _query_vec(spark, sf_dir)
-    exact = {r[0] for r in cosine_topk(vectors, qv, k=10).select("vec_id").collect()}
-    probes = [("ivf_nprobe2", ivf_ann_topk(vectors, qv, k=10))] + [
-        (f"lsh_multiprobe{mp}", lsh_ann_topk(vectors, qv, k=10, bits=6, multiprobe=mp))
-        for mp in (1, 2, 3, 6)
-    ]
-    rows = []
-    for method, df in probes:
-        got = {r[0] for r in df.select("vec_id").collect()}
-        hits = len(got & exact)
-        rows.append((method, 10, hits, hits / 10.0))
+    # SIX top-k passes share one vector table: pin it for the audit's
+    # lifetime. Safe to unpersist before returning — every pass
+    # collect()s inside this function and the returned frame is a
+    # driver-built literal, so nothing lazy still depends on the cache.
+    vectors = load_table(spark, "embeddings", sf_dir).persist()
+    try:
+        qv = _query_vec(spark, sf_dir)
+        exact = {
+            r[0] for r in cosine_topk(vectors, qv, k=10).select("vec_id").collect()
+        }
+        probes = [("ivf_nprobe2", ivf_ann_topk(vectors, qv, k=10))] + [
+            (
+                f"lsh_multiprobe{mp}",
+                lsh_ann_topk(vectors, qv, k=10, bits=6, multiprobe=mp),
+            )
+            for mp in (1, 2, 3, 6)
+        ]
+        rows = []
+        for method, df in probes:
+            got = {r[0] for r in df.select("vec_id").collect()}
+            hits = len(got & exact)
+            rows.append((method, 10, hits, hits / 10.0))
+    finally:
+        vectors.unpersist()
     return spark.createDataFrame(
         sorted(rows), "method string, k int, n_hits int, recall double"
     )

@@ -74,6 +74,11 @@ QUERIES = (
     # wave 7 (round 4): per-source length-band curation — the rank
     # window partitions by source, so replication must scale linearly
     "doc_length_band_filter",
+    # waves 13/15 (round 4): the Arrow scalar-UDF lane (per-row map —
+    # must be exactly linear) and the stage funnel (the curation chain
+    # plus conditional sums — must cost the same as the chain)
+    "arrow_udf_text_normalize",
+    "pipeline_stage_funnel",
 )
 
 #: event-temporal operators measured on the REPLICATED EVENTS axis:
