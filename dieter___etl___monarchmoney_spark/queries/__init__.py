@@ -43,6 +43,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave13_ops,
     wave14_ops,
     wave15_ops,
+    wave16_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -155,6 +156,9 @@ _AFTER_WINDOW: tuple = (
     # wave 15: funnel observability + schema drift
     "pipeline_stage_funnel",
     "schema_evolution_merge_read",
+    # wave 16: grouped-map lane + centroid pooling
+    "event_transition_matrix",
+    "label_centroid_similarity",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

@@ -152,3 +152,37 @@ def test_schema_evolution_backfills_nulls(spark):
     assert {r.channel for r in rows if r.channel} == {
         "click", "signup", "error", "view", "purchase",
     }
+
+
+def test_transition_matrix_equals_lag_twin(spark):
+    """Grouped-map lane vs the LAG-window JVM twin — the wave-13 twin
+    discipline applied to wave 16's sequential walk."""
+    got = QUERIES["event_transition_matrix"](spark, SF_ORACLE)
+    ev = load_table(spark, "events", SF_ORACLE)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    twin = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    assert got.exceptAll(twin).count() == 0
+    assert twin.exceptAll(got).count() == 0
+    # transition mass accounting: sum over the matrix = rows - users
+    total = sum(r.n_transitions for r in got.collect())
+    n_users = ev.select("user_id").distinct().count()
+    assert total == ev.count() - n_users
+
+
+def test_label_centroid_similarity_shape(spark):
+    rows = QUERIES["label_centroid_similarity"](spark, SF_ORACLE).collect()
+    labels = {r.label_a for r in rows} | {r.label_b for r in rows}
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2, "one row per unordered pair"
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        assert r.label_a < r.label_b
