@@ -159,6 +159,7 @@ _AFTER_WINDOW: tuple = (
     # wave 16: grouped-map lane + centroid pooling
     "event_transition_matrix",
     "label_centroid_similarity",
+    "bitmap_distinct_users",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

@@ -181,3 +181,51 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 9
         ).alias("cosine"),
     ).orderBy("label_a", "label_b")
+
+
+# --------------------------------------------------------------------------
+# Bitmap-exact distinct counting (the mergeable EXACT alternative to HLL)
+# --------------------------------------------------------------------------
+
+_BITMAP_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("bitmap_distinct_users", _BITMAP_SQL)
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via Spark's bitmap
+    aggregate family (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count): each user id
+    maps to (bucket, bit); per (event_type, bucket) partial bitmaps
+    OR-combine map-side, and the final count sums popcounts. The
+    mergeable-EXACT alternative between COUNT(DISTINCT) (exact,
+    re-shuffles raw ids) and HLL (mergeable, approximate — the
+    hll_daily_merge family): bitmaps pre-aggregate like a sketch but
+    count like the truth, at dense-id memory cost.
+
+    Scale shape: the two-level aggregate ships one ≤4 KiB bitmap per
+    (type, bucket) instead of one row per (type, user) — the shuffle
+    shrinks by the per-bucket duplication factor; at 100 TB this is
+    the standard exact-distinct rollup for dense integer keys (sparse
+    or string keys: dictionary-encode first or fall back to HLL). The
+    oracle is plain COUNT(DISTINCT) — exactness IS the contract."""
+    ev = load_table(spark, "events", sf_dir)
+    partial = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).cast("bigint").alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
