@@ -453,6 +453,13 @@ def test_whole_registry_plan_hygiene(spark):
         "multimodal_feature_extract",
         "multimodal_frame_sample",
         "multimodal_resize",
+        # wave 13/16: the sanctioned Python/Arrow lanes, each pinned to
+        # a JVM twin by tests/test_wave13_ops.py — grouped-agg pandas
+        # UDAF, Arrow scalar UDF, mapInArrow, grouped-map applyInPandas
+        "returnflag_quantity_iqr",
+        "arrow_udf_text_normalize",
+        "embedding_range_audit",
+        "event_transition_matrix",
     }
     offenders = []
     for name, fn in QUERIES.items():
@@ -460,7 +467,13 @@ def test_whole_registry_plan_hygiene(spark):
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython"))
         if (
-            ("ArrowEvalPython" in plan or "MapInPandas" in plan)
+            (
+                "ArrowEvalPython" in plan
+                or "MapInPandas" in plan
+                or "MapInArrow" in plan
+                or "FlatMapGroupsInPandas" in plan
+                or "AggregateInPandas" in plan
+            )
             and name not in arrow_allowed
         ):
             offenders.append((name, "unexpected-arrow"))
