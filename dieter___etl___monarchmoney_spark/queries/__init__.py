@@ -100,10 +100,11 @@ _FLAGSHIP = (
     "budget_pipeline_full",
 )
 
-#: queries added THIS round (round 4) — first driver evidence. The
-#: first ~10 fit inside the ~50-query window (34 priority + 6
-#: flagship + 10 = 50); the rest land immediately after, reachable by
-#: any extra driver budget.
+#: queries added THIS round (round 4) — first driver evidence.
+#: Window budget: 33 registering _PRIORITY names (+1 protobuf-gated)
+#: + 5 _FLAGSHIP + these 12 = 50-51, so the LAST one or two entries
+#: here sit at the window boundary and may need re-rotation next
+#: round if the driver's budget lands at exactly 50.
 _NEW_THIS_ROUND: tuple = (
     "order_priority_check",
     "promo_revenue_share",

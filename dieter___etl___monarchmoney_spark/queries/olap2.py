@@ -435,7 +435,7 @@ WHERE c_nationkey IN {_Q22_NATIONS!r}
                     AND CAST(o_orderdate AS DATE) >= DATE '{_Q22_CUTOFF}')
 GROUP BY c_nationkey
 ORDER BY c_nationkey
-""".replace("(0, 2, 4, 6, 8)", "(0, 2, 4, 6, 8)")
+"""
 
 
 @query("idle_customer_outreach", _Q22_SQL)

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import datetime as dt
-import hashlib
 import os
 import shutil
 import tempfile
@@ -13,7 +12,7 @@ from pyspark.sql import functions as F
 
 
 from dieter___etl___monarchmoney_spark.registry import query
-from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table, sf_tag
 from dieter___etl___monarchmoney_spark.streaming.sessionize import sessionize_batch
 from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
     daily_rollup_stream,
@@ -24,11 +23,7 @@ from dieter___etl___monarchmoney_spark.streaming.stream_reader import (
 
 
 def _digest(sf_dir: str) -> str:
-    """Stable 8-hex tag for sink/query names and temp paths. ``hash(str)``
-    is per-process randomized and its modulo can collide two sf_dirs onto
-    one name, letting a later run clobber a table an earlier lazily-read
-    DataFrame still points at — md5 of the path cannot."""
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return sf_tag(sf_dir)  # shared helper: sources/parquet.py
 
 
 @query(
@@ -732,9 +727,11 @@ def q_streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFra
     micro-batches: each batch reduces itself to its latest row per
     (user_id, event_type) — max(struct(ts_ns, event_id, …)), the same
     partial-aggregable compaction as cdc_latest_state — then merges
-    with the current state and atomically swaps the state directory
-    (write-next-then-rename; readers never observe a half-written
-    state). The final state must equal the BATCH latest-per-key oracle
+    with the current state and commits a NEW state version by
+    atomically repointing a CURRENT pointer file (os.replace — the
+    single commit point; the prior version outlives the commit, so a
+    crash at any instant leaves a complete committed state). The
+    final state must equal the BATCH latest-per-key oracle
     — proving the incremental path converges to the batch answer no
     matter how the input was chunked.
 
@@ -747,9 +744,22 @@ def q_streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFra
     root = os.path.join(tempfile.gettempdir(), f"upsert_fb_{_digest(sf_dir)}")
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
-    cur = os.path.join(root, "state_cur")
-    nxt = os.path.join(root, "state_next")
     cp = os.path.join(root, "cp")
+    cur_ptr = os.path.join(root, "CURRENT")
+
+    def _state_dir() -> str | None:
+        """Resolve the committed state version via the pointer file —
+        the ONLY commit point (os.replace of a one-line file is atomic
+        on POSIX), so a crash at any instant leaves either the prior
+        pointer or the new one, never a missing/half state. (The
+        previous delete-then-rename swap had a window where NO state
+        dir existed while the checkpoint already recorded the batch —
+        a crash there silently dropped committed keys.)"""
+        if not os.path.exists(cur_ptr):
+            return None
+        with open(cur_ptr) as fh:
+            d = os.path.join(root, fh.read().strip())
+        return d if os.path.isdir(d) else None
 
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type", "ts", "ts_ns", "value"
@@ -780,15 +790,29 @@ def q_streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFra
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         latest = _latest(batch)
         sess = batch.sparkSession
-        if os.path.isdir(cur):
-            merged = _latest(sess.read.parquet(cur).unionByName(latest))
+        sd = _state_dir()
+        if sd is not None:
+            merged = _latest(sess.read.parquet(sd).unionByName(latest))
         else:
             merged = latest
-        # write fully, then swap: the rename is the commit point, so a
-        # crash mid-write leaves the prior state intact (poor-man's MVCC)
-        merged.write.mode("overwrite").parquet(nxt)
-        shutil.rmtree(cur, ignore_errors=True)
-        os.rename(nxt, cur)
+        # MVCC commit: write the new version fully, then atomically
+        # repoint CURRENT (os.replace). The prior version stays on disk
+        # until AFTER the commit — readers and crash-recovery always
+        # see a complete committed state. Epoch ids are stable across
+        # checkpoint replays, so a replayed batch overwrites its own
+        # version dir idempotently.
+        new_dir = os.path.join(root, f"state_v{epoch_id}")
+        shutil.rmtree(new_dir, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(new_dir)
+        tmp = cur_ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(os.path.basename(new_dir))
+        os.replace(tmp, cur_ptr)
+        # prune superseded versions — best effort: failure leaves
+        # garbage directories, never corruption
+        for d in os.listdir(root):
+            if d.startswith("state_v") and d != os.path.basename(new_dir):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -803,7 +827,9 @@ def q_streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFra
         .start()
     )
     qh.awaitTermination()
-    return spark.read.parquet(cur).select(
+    final = _state_dir()
+    assert final is not None, "stream committed no batches"
+    return spark.read.parquet(final).select(
         "user_id",
         "event_type",
         F.col("event_id").alias("last_event_id"),

@@ -13,17 +13,16 @@ without a window over the whole fact.
 
 from __future__ import annotations
 
-import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dieter___etl___monarchmoney_spark.registry import query
-from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table, sf_tag
 
 
 def _tag(sf_dir: str) -> str:
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return sf_tag(sf_dir)  # shared helper: sources/parquet.py
 
 
 # --------------------------------------------------------------------------

@@ -135,9 +135,11 @@ ORDER BY doc_id
 """
 
 
-def _normalize(s: str) -> str:
+def _normalize(s: str | None) -> str | None:
     import re
 
+    if s is None:  # NULL passthrough: the JVM twin's lower(NULL) is NULL
+        return None
     s = re.sub(r"[^a-z0-9 ]+", " ", s.lower())
     return re.sub(r" +", " ", s).strip()
 
@@ -212,13 +214,18 @@ def _range_audit_batches(it):
         n = len(vec_id)
         n_dims = (offs[1:] - offs[:-1]).astype(np.int32)
         nonfinite = ~np.isfinite(flat)
-        clipped = np.abs(flat) >= _CLIP
+        # NaN ordering contract: Spark SQL and DuckDB both treat NaN as
+        # GREATER than every number — so abs(NaN) >= clip is TRUE, min
+        # skips NaN, max returns NaN. numpy's default comparisons say
+        # False/propagate instead; mirror the engines explicitly
+        # (verified against both: see tests' injected-pathology case).
+        clipped = (np.abs(flat) >= _CLIP) | np.isnan(flat)
         # per-row segment reductions over the flattened values
         seg = np.repeat(np.arange(n), n_dims)
         n_nonfinite = np.bincount(seg, weights=nonfinite, minlength=n).astype(np.int32)
         n_clipped = np.bincount(seg, weights=clipped, minlength=n).astype(np.int32)
-        vmin = np.minimum.reduceat(flat, offs[:-1])
-        vmax = np.maximum.reduceat(flat, offs[:-1])
+        vmin = np.fmin.reduceat(flat, offs[:-1])      # NaN-skipping min
+        vmax = np.maximum.reduceat(flat, offs[:-1])   # NaN-propagating max
         yield pa.RecordBatch.from_arrays(
             [
                 vec_id,

@@ -27,15 +27,13 @@ from pyspark.sql import functions as F
 
 from dieter___etl___monarchmoney_spark.queries.llm_pipeline import _hexparse_sql
 from dieter___etl___monarchmoney_spark.registry import query
-from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table, sf_tag
 
 _DEC = "decimal(18,6)"
 
 
 def _digest(sf_dir: str) -> str:
-    import hashlib
-
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return sf_tag(sf_dir, 10)  # shared helper: sources/parquet.py
 
 
 # --------------------------------------------------------------------------
@@ -120,16 +118,17 @@ def q_dpp_top_days_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = fact.groupBy("event_date").agg(F.count(F.lit(1)).alias("n"))
     # 3rd-highest daily count: bounded driver read (one scalar from a
     # date-cardinality aggregate), baked in as a literal so the dim
-    # subtree is Aggregate+Filter — the shape DPP's heuristic accepts
-    th = [
-        r.n
-        for r in counts.orderBy(F.col("n").desc())
-        .limit(_DPP_TOP_DAYS)
-        .collect()
-    ][-1]
-    busy = counts.filter(F.col("n") >= F.lit(th)).select(
-        F.col("event_date").alias("d")
-    )
+    # subtree is Aggregate+Filter — the shape DPP's heuristic accepts.
+    # Mirror the oracle's OFFSET semantics exactly: fewer than
+    # _DPP_TOP_DAYS distinct days means the threshold row does not
+    # exist and the busy set is EMPTY (not "all days").
+    tops = [r.n for r in counts.orderBy(F.col("n").desc()).limit(_DPP_TOP_DAYS).collect()]
+    if len(tops) < _DPP_TOP_DAYS:
+        busy = counts.filter(F.lit(False)).select(F.col("event_date").alias("d"))
+    else:
+        busy = counts.filter(F.col("n") >= F.lit(tops[-1])).select(
+            F.col("event_date").alias("d")
+        )
     return (
         fact.join(F.broadcast(busy), F.col("d") == F.col("event_date"))
         .groupBy("event_date")

@@ -35,7 +35,7 @@ from dieter___etl___monarchmoney_spark.queries.llm_pipeline import (
     _TOKS_SQL,
 )
 from dieter___etl___monarchmoney_spark.registry import query
-from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table, sf_tag
 
 
 # --------------------------------------------------------------------------
@@ -197,9 +197,7 @@ ORDER BY channel NULLS FIRST
 
 
 def _digest(sf_dir: str) -> str:
-    import hashlib
-
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return sf_tag(sf_dir, 10)  # shared helper: sources/parquet.py
 
 
 @query("schema_evolution_merge_read", _EVO_SQL)

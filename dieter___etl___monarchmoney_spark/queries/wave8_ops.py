@@ -16,13 +16,12 @@ deployment cannot skip.
 
 from __future__ import annotations
 
-import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dieter___etl___monarchmoney_spark.registry import query
-from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table, sf_tag
 
 _N_BUCKETS = 8
 
@@ -55,7 +54,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     both sides, sortBy the key inside each bucket — exactly what Spark
     requires to plan SortMergeJoin with NO Exchange and NO per-task
     Sort on either side."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = sf_tag(sf_dir)
     li_tbl, ord_tbl = f"li_by_order_{tag}", f"orders_by_order_{tag}"
     # The warehouse DIRECTORY outlives the in-memory catalog (a fresh
     # session forgets the table but the files remain), and saveAsTable

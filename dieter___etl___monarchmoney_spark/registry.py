@@ -12,6 +12,7 @@ Conventions (driver contract, /root/repo/__spark_entry__.py docstring):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,7 @@ def query(name: str, sql: str | None = None):
     compared; at worst a re-collect recomputes."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        @functools.wraps(fn)  # _reorder() keys on the copied __module__
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
                 spark.catalog.clearCache()
@@ -43,11 +45,6 @@ def query(name: str, sql: str | None = None):
                 pass  # never let cache hygiene mask the query itself
             return fn(spark, sf_dir)
 
-        wrapped.__name__ = fn.__name__
-        wrapped.__qualname__ = fn.__qualname__
-        wrapped.__doc__ = fn.__doc__
-        wrapped.__module__ = fn.__module__
-        wrapped.__wrapped__ = fn
         QUERIES[name] = wrapped
         if sql is not None:
             ORACLE_SQL[name] = sql

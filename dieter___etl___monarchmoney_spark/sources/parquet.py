@@ -93,3 +93,15 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view so ``spark.sql`` works on it."""
     for name in TABLES:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def sf_tag(sf_dir: str, length: int = 8) -> str:
+    """Stable fixture/sink tag for a scale-factor directory: md5 prefix
+    of the path. ``hash(str)`` is per-process randomized and its modulo
+    can collide two sf_dirs onto one name, letting a later run clobber
+    a table an earlier lazily-read DataFrame still points at — md5 of
+    the path cannot. Single definition shared by every module that
+    names temp fixtures/sinks per sf_dir."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:length]

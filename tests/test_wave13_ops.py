@@ -98,7 +98,7 @@ def test_range_audit_flags_injected_pathologies(spark, tmp_path):
 
     rows = [
         (1, [0.1, -0.2, 0.3]),                    # healthy
-        (2, [float("nan"), 0.5, float("inf")]),   # 2 nonfinite, 2 clipped
+        (2, [float("nan"), 0.5, float("inf")]),   # 2 nonfinite, 3 clipped
         (3, [0.46, -0.47, 0.0]),                  # 2 clipped (|x| >= 0.45)
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
@@ -110,7 +110,14 @@ def test_range_audit_flags_injected_pathologies(spark, tmp_path):
     }
     assert (got[1].n_nonfinite, got[1].n_clipped) == (0, 0)
     assert got[2].n_nonfinite == 2
-    assert got[2].n_clipped == 2  # 0.5 and inf both have |x| >= 0.45
+    # engine NaN contract: NaN compares GREATER than everything in both
+    # Spark and DuckDB, so it counts as clipped alongside 0.5 and inf;
+    # min skips NaN, max propagates it
+    assert got[2].n_clipped == 3
+    assert got[2].vmin == 0.5
+    import math as _m
+
+    assert _m.isnan(got[2].vmax)
     assert got[3].n_clipped == 2
     assert got[1].vmin == -0.10000000149011612 or math.isclose(
         got[1].vmin, -0.2, rel_tol=1e-6
@@ -186,3 +193,19 @@ def test_label_centroid_similarity_shape(spark):
     for r in rows:
         assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
         assert r.label_a < r.label_b
+
+
+def test_arrow_udf_null_text_passthrough(spark, tmp_path):
+    """A NULL text row must surface as a NULL-normalized row (the JVM
+    twin's lower(NULL) is NULL), not crash the Python worker."""
+    df = spark.createDataFrame(
+        [(1, "Some TEXT!", "en", "s", 10), (2, None, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r
+        for r in QUERIES["arrow_udf_text_normalize"](spark, str(tmp_path)).collect()
+    }
+    assert got[2].norm_md5 is None and got[2].norm_len is None
+    assert got[1].norm_len == len("some text")
