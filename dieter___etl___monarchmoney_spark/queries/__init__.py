@@ -44,6 +44,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave14_ops,
     wave15_ops,
     wave16_ops,
+    wave17_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -161,6 +162,9 @@ _AFTER_WINDOW: tuple = (
     "event_transition_matrix",
     "label_centroid_similarity",
     "bitmap_distinct_users",
+    # wave 17: parameterized SQL + native XML codec
+    "parameterized_sql_filter",
+    "xml_roundtrip_extract",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.
