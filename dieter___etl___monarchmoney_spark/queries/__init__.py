@@ -45,6 +45,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave15_ops,
     wave16_ops,
     wave17_ops,
+    wave18_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -165,6 +166,8 @@ _AFTER_WINDOW: tuple = (
     # wave 17: parameterized SQL + native XML codec
     "parameterized_sql_filter",
     "xml_roundtrip_extract",
+    # wave 18: in-engine logistic-regression training
+    "logreg_train_weights",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

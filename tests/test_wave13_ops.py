@@ -209,3 +209,15 @@ def test_arrow_udf_null_text_passthrough(spark, tmp_path):
     }
     assert got[2].norm_md5 is None and got[2].norm_len is None
     assert got[1].norm_len == len("some text")
+
+
+def test_logreg_actually_learns(spark):
+    """Three gradient steps must beat the majority-class baseline on
+    the training set (labels are ~balanced, so baseline ~0.5), and the
+    weight vector must be dense and non-degenerate."""
+    rows = QUERIES["logreg_train_weights"](spark, SF_ORACLE).collect()
+    assert len(rows) == 64
+    accs = {r.train_acc for r in rows}
+    assert len(accs) == 1, "train_acc must be constant across rows"
+    assert accs.pop() > 0.55
+    assert sum(1 for r in rows if r.weight != 0.0) > 32
