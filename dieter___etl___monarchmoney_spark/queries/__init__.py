@@ -46,6 +46,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave16_ops,
     wave17_ops,
     wave18_ops,
+    wave19_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -168,6 +169,10 @@ _AFTER_WINDOW: tuple = (
     "xml_roundtrip_extract",
     # wave 18: in-engine logistic-regression training
     "logreg_train_weights",
+    # wave 19: evaluation compositions
+    "seasonal_naive_backtest",
+    "session_dwell_metrics",
+    "component_size_distribution",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

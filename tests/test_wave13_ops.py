@@ -221,3 +221,32 @@ def test_logreg_actually_learns(spark):
     assert len(accs) == 1, "train_acc must be constant across rows"
     assert accs.pop() > 0.55
     assert sum(1 for r in rows if r.weight != 0.0) > 32
+
+
+def test_backtest_wape_and_support(spark):
+    rows = QUERIES["seasonal_naive_backtest"](spark, SF_ORACLE).collect()
+    assert {r.event_type for r in rows} == {
+        "click", "signup", "error", "view", "purchase",
+    }
+    for r in rows:
+        assert 0 <= r.n_days <= 23  # 30 observed days minus the 7-day lag
+        assert r.wape >= 0
+        assert abs(r.wape - r.total_abs_err / r.total_abs_actual) < 1e-12
+
+
+def test_dwell_metrics_consistent_with_sessionization(spark):
+    m = QUERIES["session_dwell_metrics"](spark, SF_ORACLE).collect()[0]
+    n_sessions = QUERIES["sessionization"](spark, SF_ORACLE).count()
+    assert m.n_sessions == n_sessions
+    assert 0.0 <= m.bounce_rate <= 1.0
+    assert 0 <= m.p50_dwell_us <= m.p90_dwell_us
+
+
+def test_component_distribution_accounts_for_corpus(spark):
+    rows = QUERIES["component_size_distribution"](spark, SF_ORACLE).collect()
+    n_docs = load_table(spark, "documents", SF_ORACLE).count()
+    assert sum(r.cluster_size * r.n_clusters for r in rows) == n_docs
+    shares = {r.giant_share for r in rows}
+    assert len(shares) == 1
+    giant = max(r.cluster_size for r in rows)
+    assert abs(shares.pop() - giant / n_docs) < 1e-12
