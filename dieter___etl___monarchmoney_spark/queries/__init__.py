@@ -47,6 +47,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave17_ops,
     wave18_ops,
     wave19_ops,
+    wave20_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -173,6 +174,8 @@ _AFTER_WINDOW: tuple = (
     "seasonal_naive_backtest",
     "session_dwell_metrics",
     "component_size_distribution",
+    # wave 20: the deterministic distributed bootstrap
+    "bootstrap_mean_ci",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

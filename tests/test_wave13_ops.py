@@ -250,3 +250,14 @@ def test_component_distribution_accounts_for_corpus(spark):
     assert len(shares) == 1
     giant = max(r.cluster_size for r in rows)
     assert abs(shares.pop() - giant / n_docs) < 1e-12
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    """The 95% bootstrap CI must bracket the exact mean (it always
+    does for a mean statistic at this n), be properly ordered, and be
+    TIGHT relative to the mean (CLT width ~ sigma/sqrt(n))."""
+    r = QUERIES["bootstrap_mean_ci"](spark, SF_ORACLE).collect()[0]
+    assert r.n_resamples == 50
+    assert r.ci_lo < r.exact_mean < r.ci_hi
+    width = r.ci_hi - r.ci_lo
+    assert 0 < width < 0.1 * r.exact_mean
