@@ -48,6 +48,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave18_ops,
     wave19_ops,
     wave20_ops,
+    wave21_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -176,6 +177,9 @@ _AFTER_WINDOW: tuple = (
     "component_size_distribution",
     # wave 20: the deterministic distributed bootstrap
     "bootstrap_mean_ci",
+    # wave 21: lakehouse read path + op-aware CDC
+    "merge_on_read_view",
+    "cdc_changelog_apply",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

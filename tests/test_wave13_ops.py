@@ -261,3 +261,47 @@ def test_bootstrap_ci_brackets_the_mean(spark):
     assert r.ci_lo < r.exact_mean < r.ci_hi
     width = r.ci_hi - r.ci_lo
     assert 0 < width < 0.1 * r.exact_mean
+
+
+def test_merge_on_read_accounting(spark):
+    """Resolved row count must equal |base ∪ upserted keys| − deleted
+    survivors, derived independently from the residue classes."""
+    ev = load_table(spark, "events", SF_ORACLE).select("event_id")
+    n = {r.event_id for r in ev.collect()}
+    resolved_keys = {e for e in n if e % 3 in (0, 1, 2)}  # base 0/1 + insert 2
+    kept = {e for e in resolved_keys if e % 10 != 4}
+    rows = QUERIES["merge_on_read_view"](spark, SF_ORACLE).collect()
+    assert sum(r.n_rows for r in rows) == len(kept)
+
+
+def test_cdc_delete_removes_keys(spark):
+    """Any key whose newest op is a delete must be absent; any key
+    whose newest op is an update must carry the tripled value."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", SF_ORACLE)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    newest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+        .collect()
+    )
+    state = {
+        (r.user_id, r.event_type): r
+        for r in QUERIES["cdc_changelog_apply"](spark, SF_ORACLE).collect()
+    }
+    n_deleted = 0
+    for r in newest:
+        key = (r.user_id, r.event_type)
+        mod = r.event_id % 10
+        if mod == 9:
+            assert key not in state, "deleted key survived"
+            n_deleted += 1
+        elif 6 <= mod <= 8:
+            assert state[key].last_value == r.value * 3
+        else:
+            assert state[key].last_value == r.value
+    assert n_deleted > 0, "no delete-terminated keys — test is vacuous"
