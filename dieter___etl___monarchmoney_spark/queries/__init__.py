@@ -49,6 +49,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave19_ops,
     wave20_ops,
     wave21_ops,
+    wave22_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -180,6 +181,8 @@ _AFTER_WINDOW: tuple = (
     # wave 21: lakehouse read path + op-aware CDC
     "merge_on_read_view",
     "cdc_changelog_apply",
+    # wave 22: exact penny allocation
+    "penny_exact_allocation",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

@@ -305,3 +305,26 @@ def test_cdc_delete_removes_keys(spark):
         else:
             assert state[key].last_value == r.value
     assert n_deleted > 0, "no delete-terminated keys — test is vacuous"
+
+
+def test_penny_allocation_sums_exactly(spark):
+    """THE invariant: per-order allocated cents sum exactly to the
+    order's total cents, and every allocation differs from the
+    unrounded pro-rata share by less than one cent."""
+    alloc = QUERIES["penny_exact_allocation"](spark, SF_ORACLE)
+    orders = load_table(spark, "orders", SF_ORACLE).select(
+        F.col("o_orderkey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    sums = alloc.groupBy("l_orderkey").agg(
+        F.sum("allocated_cents").alias("s")
+    )
+    mismatches = (
+        sums.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("s") != F.col("total_cents"))
+        .count()
+    )
+    assert mismatches == 0
+    assert alloc.filter(F.col("allocated_cents") < 0).count() == 0
