@@ -50,6 +50,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave20_ops,
     wave21_ops,
     wave22_ops,
+    wave23_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -183,6 +184,9 @@ _AFTER_WINDOW: tuple = (
     "cdc_changelog_apply",
     # wave 22: exact penny allocation
     "penny_exact_allocation",
+    # wave 23: leakage-safe features + label-noise audit
+    "pit_training_features",
+    "knn_label_noise_audit",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

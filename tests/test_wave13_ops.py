@@ -328,3 +328,47 @@ def test_penny_allocation_sums_exactly(spark):
     )
     assert mismatches == 0
     assert alloc.filter(F.col("allocated_cents") < 0).count() == 0
+
+
+def test_pit_frame_excludes_current_row(spark, tmp_path):
+    """The leakage guard: a user's FIRST purchase must see all-zero
+    features even though the purchase row itself has a value — an
+    inclusive frame would count it."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, "purchase", 99.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 11), 1, "error", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 12), 1, "purchase", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.example_id: r
+        for r in QUERIES["pit_training_features"](spark, str(tmp_path)).collect()
+    }
+    first = got[1]
+    assert (first.prior_n_events, first.prior_total_value, first.prior_n_errors) == (
+        0, 0.0, 0,
+    ), "inclusive frame leaked the example row into its own features"
+    second = got[3]
+    assert second.prior_n_events == 2  # purchase@10 + error@11
+    assert second.prior_n_errors == 1
+    assert abs(second.prior_total_value - 100.0) < 1e-9
+
+
+def test_label_noise_audit_flags_are_genuine(spark):
+    """Flagged vectors must disagree with a strict neighbor majority;
+    the flag rate should be a minority of the audited sample (labels
+    carry real signal — logreg reaches 0.63 on them)."""
+    flagged = QUERIES["knn_label_noise_audit"](spark, SF_ORACLE).collect()
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    n_audited = emb.filter(F.col("vec_id") % 10 == 0).count()
+    for r in flagged:
+        assert r.own_label != r.neighbor_label
+        assert r.n_votes >= 3
+    assert len(flagged) < n_audited
