@@ -51,6 +51,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave21_ops,
     wave22_ops,
     wave23_ops,
+    wave24_ops,
 )
 
 #: ROUND-4 ROTATION — every query that has NEVER had a driver-side
@@ -187,6 +188,8 @@ _AFTER_WINDOW: tuple = (
     # wave 23: leakage-safe features + label-noise audit
     "pit_training_features",
     "knn_label_noise_audit",
+    # wave 24: duplicated-span extraction
+    "max_duplicated_span",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

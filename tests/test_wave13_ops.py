@@ -372,3 +372,26 @@ def test_label_noise_audit_flags_are_genuine(spark):
         assert r.own_label != r.neighbor_label
         assert r.n_votes >= 3
     assert len(flagged) < n_audited
+
+
+def test_duplicated_span_on_crafted_overlap(spark, tmp_path):
+    """Two docs sharing an 8-token verbatim passage must both report a
+    6-shingle run (8 tokens = 6 consecutive 3-grams); a doc sharing
+    nothing reports 0."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"unique one {shared} tail words here", "en", "s", 0),
+        (2, f"other head {shared} different ending text", "en", "s", 0),
+        (3, "completely disjoint vocabulary sentence tokens", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r
+        for r in QUERIES["max_duplicated_span"](spark, str(tmp_path)).collect()
+    }
+    assert got[1].max_dup_shingles == 6 and got[1].span_tokens == 8
+    assert got[2].max_dup_shingles == 6 and got[2].span_tokens == 8
+    assert got[3].max_dup_shingles == 0 and got[3].span_tokens == 0
