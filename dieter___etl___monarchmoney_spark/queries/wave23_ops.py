@@ -114,7 +114,7 @@ _NOISE_MIN_VOTES = 3
 _NOISE_SQL = f"""
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS qv, label AS own_label
-    FROM embeddings WHERE vec_id % 10 = 0
+    FROM embeddings WHERE vec_id % 25 = 0
 ),
 scored AS (
     SELECT q.query_id, q.own_label, e.vec_id, e.label,
@@ -154,7 +154,7 @@ ORDER BY vec_id
 
 @query("knn_label_noise_audit", _NOISE_SQL)
 def q_knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-noise audit: for a deterministic 1-in-10 sample of
+    """Label-noise audit: for a deterministic 1-in-25 sample of
     vectors, the k={K} nearest neighbors (exact cosine) vote on the
     label; a vector whose modal neighbor label disagrees with its own
     AND reaches {V}+ votes is flagged as a suspected mislabel — the
@@ -170,7 +170,7 @@ def q_knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     affords. Ties in similarity break on vec_id; modal ties break on
     the smaller label — total orders on both engines."""
     vectors = load_table(spark, "embeddings", sf_dir)
-    queries = vectors.filter(F.col("vec_id") % 10 == 0).select(
+    queries = vectors.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("own_label"),

@@ -367,7 +367,7 @@ def test_label_noise_audit_flags_are_genuine(spark):
     carry real signal — logreg reaches 0.63 on them)."""
     flagged = QUERIES["knn_label_noise_audit"](spark, SF_ORACLE).collect()
     emb = load_table(spark, "embeddings", SF_ORACLE)
-    n_audited = emb.filter(F.col("vec_id") % 10 == 0).count()
+    n_audited = emb.filter(F.col("vec_id") % 25 == 0).count()
     for r in flagged:
         assert r.own_label != r.neighbor_label
         assert r.n_votes >= 3
