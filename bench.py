@@ -43,7 +43,23 @@ def main() -> None:
     # (AQE picks different physical strategies per data size, so warming
     # at a smaller SF compiles the wrong plans); the timed loop then
     # measures steady-state execution, not JIT compilation.
+    #
+    # EXCEPT the multi-second audit/iterative queries: their runtime is
+    # dominated by real execution (codegen compile is <5% of it), so a
+    # warm-up pass doubles their wall-clock contribution for no timing
+    # fidelity — and total bench wall time has a driver-side budget.
+    warmup_skip = {
+        "pca_top_component",
+        "reconciliation_audit",
+        "fuzzy_entity_resolution",
+        "event_transition_matrix",
+        "ann_recall_audit",
+        "knn_label_noise_audit",
+        "component_size_distribution",
+    }
     for name in sorted(queries):
+        if name in warmup_skip:
+            continue
         try:
             queries[name](spark, sf_dir).count()
         except Exception:

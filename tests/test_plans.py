@@ -113,8 +113,17 @@ def test_ngram_jaccard_tokenizes_once(spark):
     infer a size()>0 filter whose pushdown re-inlined the tokenize+
     shingle pipeline into a scan-level Filter (split() appeared 11x in
     the optimized plan; the query ran ~6x slower at sf0.1). explode_outer
-    must keep the expensive expression in exactly one Project."""
-    df = QUERIES["ngram_jaccard_pairs"](spark, SF_ORACLE)
+    must keep the expensive expression in exactly one Project.
+
+    Targets the OPERATOR directly: the registered query now reads the
+    shared materialized edge table (a parquet scan with no tokenizer in
+    its plan at all), but the operator is what the first consumer of
+    that materialization executes."""
+    from dieter___etl___monarchmoney_spark.operators.dedup import ngram_jaccard_pairs
+    from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "documents", SF_ORACLE)
+    df = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5, doc_freq_cap=64)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("split(") == 1
 

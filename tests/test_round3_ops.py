@@ -183,19 +183,13 @@ def test_rotation_lists_name_real_queries():
     """A typo in the registry rotation tuples would silently fall back
     to default ordering and waste the driver's evaluation window."""
     from dieter___etl___monarchmoney_spark.queries import (
+        _AFTER_WINDOW,
         _FLAGSHIP,
-        _NEW_THIS_ROUND,
         _PRIORITY,
     )
 
-    # sessionize_tws_stream registers only where google.protobuf is
-    # importable (documented gate) — every other rotation name must be
-    # a real registered query
-    gated = {"sessionize_tws_stream"}
-    for name in (*_PRIORITY, *_FLAGSHIP, *_NEW_THIS_ROUND):
-        assert name in QUERIES or name in gated, (
-            f"rotation names unknown query {name!r}"
-        )
+    for name in (*_PRIORITY, *_FLAGSHIP, *_AFTER_WINDOW):
+        assert name in QUERIES, f"rotation names unknown query {name!r}"
     # the never-driver-checked queries must occupy the first positions
     order = list(QUERIES)
     expected = [n for n in _PRIORITY if n in QUERIES]
@@ -442,3 +436,63 @@ def test_pca_component_is_unit_and_eigenvalue_bounded(spark, duck):
         )"""
     ).fetchone()
     assert 0 < ev <= trace + 1e-9
+
+
+def test_triangle_degree_orientation_exact(spark):
+    """Degree-oriented enumeration must equal brute force on a graph
+    with a hub: K4 on {1,2,3,4}, a star center 10 joined to {1,2,3,4,5}
+    (hub triangles with every K4 edge), and an isolated edge (5,6)."""
+    import itertools
+
+    from dieter___etl___monarchmoney_spark.queries.corpus_ops import (
+        oriented_triangle_counts,
+    )
+
+    und = sorted(
+        {tuple(sorted(e)) for e in itertools.combinations([1, 2, 3, 4], 2)}
+        | {tuple(sorted((10, v))) for v in [1, 2, 3, 4, 5]}
+        | {(5, 6)}
+    )
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                expected[v] = expected.get(v, 0) + 1
+    edges = spark.createDataFrame(und, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.n_triangles
+        for r in oriented_triangle_counts(edges).collect()
+    }
+    assert got == expected
+
+
+def test_distributed_prefix_sum_matches_window(spark):
+    """Two-phase range prefix sum == single-partition window cumsum,
+    including empty ranges (num_ranges > distinct keys)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dieter___etl___monarchmoney_spark.operators.prefix import (
+        distributed_prefix_sum,
+    )
+
+    data = [(i, (7 * i) % 13) for i in range(200)]
+    df = spark.createDataFrame(data, "k long, v long")
+    got = {
+        r.k: r.c
+        for r in distributed_prefix_sum(df, ["k"], "v", "c", num_ranges=16).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.c for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    assert got == want
+    # degenerate: more ranges than rows
+    tiny = spark.createDataFrame([(1, 5), (2, 7)], "k long, v long")
+    got2 = {
+        r.k: r.c
+        for r in distributed_prefix_sum(tiny, ["k"], "v", "c", num_ranges=8).collect()
+    }
+    assert got2 == {1: 5, 2: 12}
