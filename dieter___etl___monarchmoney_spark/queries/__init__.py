@@ -54,6 +54,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave24_ops,
     wave25_ops,
     wave26_ops,
+    wave27_ops,
 )
 
 #: ROUND-5 ROTATION — every query that has NEVER had a driver-side
@@ -156,6 +157,13 @@ _AFTER_WINDOW: tuple = (
     "token_entropy_by_source",
     "dataset_card_stats",
     "kfold_leakage_audit",
+    # wave 27: integrity audits, co-purchase graph, rank surfaces
+    "fk_integrity_audit",
+    "copurchase_frequent_pairs",
+    "copurchase_kcore",
+    "window_rank_surface",
+    "spearman_daily_correlation",
+    "partition_checksum_diff",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

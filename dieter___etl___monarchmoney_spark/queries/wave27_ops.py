@@ -1,0 +1,472 @@
+"""Wave 27 (round 5): warehouse-integrity and graph-analytics
+completions — a referential-integrity audit against a corrupted
+replica, market-basket co-purchase pairs with the k-core of the
+resulting graph, a window-rank function surface, rank (Spearman)
+correlation between event streams, and per-partition checksum diffing
+(the incremental-validation primitive for a 100 TB table).
+
+Reference analog: the reference validates volumes after every load
+(MonarchMoneyMain-v3.py's record-count reconciliation) — the FK audit
+and checksum diff are that discipline generalized to relations and
+partitions. The co-purchase/k-core pair extends the dup-graph family
+from documents to the retail fact.
+
+Determinism: every aggregate that feeds a hash is integer-exact
+(BIGINT rank sums, 60→32-bit bounded hash checksums) or
+decimal-quantized before SUM; every ORDER BY carries a unique
+tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dieter___etl___monarchmoney_spark.registry import query
+from dieter___etl___monarchmoney_spark.sources.parquet import load_table
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit (orphaned foreign keys vs a corrupted replica)
+# --------------------------------------------------------------------------
+
+#: (relation label, child table, fk col, parent table, pk col). The
+#: parent side is read through the "corrupted replica" predicate
+#: ``pk % 13 <> 0`` — simulating a replica that lost 1-in-13 parent
+#: rows — so the audit produces non-zero orphan counts to certify
+#: (the pristine synthetic tables have none).
+_FK_RELATIONS = (
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+_FK_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{rel}' AS relation,
+       CAST(COUNT({fk}) AS BIGINT) AS fk_rows,
+       CAST(SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_fk_rows,
+       CAST(SUM(CASE WHEN {fk} IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM {parent} p
+                WHERE p.{pk} % 13 <> 0 AND p.{pk} = c.{fk})
+            THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows
+FROM {child} c"""
+    for rel, child, fk, parent, pk in _FK_RELATIONS
+)
+
+
+@query("fk_integrity_audit", _FK_SQL + "\nORDER BY relation")
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's six FK
+    relations, checked against a simulated corrupted replica of each
+    parent (every 13th key dropped): per relation, non-null FK rows,
+    null FKs, and orphans — the volume-validation discipline of the
+    reference's post-load reconciliation (MonarchMoneyMain-v3.py)
+    generalized from row counts to key integrity.
+
+    Scale shape: each relation is one left join of the child's FK
+    column against the parent's DISTINCT key set (nation broadcasts;
+    the fact-sized parents shuffle on the key and AQE downgrades to
+    broadcast where stats allow) feeding a single-row partial-agg
+    count — no NOT-EXISTS per-row subquery on the Spark side, that is
+    oracle-only phrasing of the same semijoin."""
+    out = None
+    for rel, child, fk, parent, pk in _FK_RELATIONS:
+        c = load_table(spark, child, sf_dir).select(F.col(fk).alias("k"))
+        p = (
+            load_table(spark, parent, sf_dir)
+            .filter(F.col(pk) % 13 != 0)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        row = (
+            c.join(p, "k", "left")
+            .agg(
+                F.lit(rel).alias("relation"),
+                F.count("k").alias("fk_rows"),
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("null_fk_rows"),
+                F.sum(
+                    F.when(F.col("k").isNotNull() & F.col("__hit").isNull(), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("orphan_rows"),
+            )
+            .select("relation", "fk_rows", "null_fk_rows", "orphan_rows")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("relation")
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-purchase pairs + the k-core of the co-purchase graph
+# --------------------------------------------------------------------------
+
+_COPURCHASE_EDGES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM op a
+    JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+)"""
+
+
+@query(
+    "copurchase_frequent_pairs",
+    _COPURCHASE_EDGES_SQL
+    + "\nSELECT part_a, part_b, n_orders FROM edges ORDER BY part_a, part_b",
+)
+def q_copurchase_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchase part pairs — the first A-priori pass of
+    market-basket analysis: parts appearing together in at least 2
+    distinct orders.
+
+    Scale shape: the pair generation self-joins on the ORDER key, so
+    the blow-up is bounded by max-basket-size² per order (TPC-H caps
+    lines per order at 7) — Σsize² stays linear in orders, never the
+    all-pairs |parts|² a part-keyed join would pay. DISTINCT
+    (order, part) first so repeated lines of one part can't inflate
+    support; the support filter rides the pair aggregate's HAVING
+    (map-side partial counts)."""
+    op = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy("part_a", "part_b")
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_copurchase_frequent_pairs(spark, sf_dir).select("part_a", "part_b")
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_round_sql(i: int) -> str:
+    """One unrolled peel: degrees of e{i-1}, keep nodes with deg >= k,
+    keep edges with both endpoints kept."""
+    return f"""
+d{i} AS (
+    SELECT node, COUNT(*) AS c FROM (
+        SELECT part_a AS node FROM e{i - 1}
+        UNION ALL SELECT part_b FROM e{i - 1}
+    ) GROUP BY node
+),
+k{i} AS (SELECT node FROM d{i} WHERE c >= {_KCORE_K}),
+e{i} AS (
+    SELECT part_a, part_b FROM e{i - 1}
+    WHERE part_a IN (SELECT node FROM k{i})
+      AND part_b IN (SELECT node FROM k{i})
+)"""
+
+
+_KCORE_SQL = (
+    _COPURCHASE_EDGES_SQL
+    + ",\ne0 AS (SELECT part_a, part_b FROM edges),"
+    + ",".join(_kcore_round_sql(i) for i in range(1, _KCORE_ROUNDS + 1))
+    + f"""
+SELECT node AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (
+    SELECT part_a AS node FROM e{_KCORE_ROUNDS}
+    UNION ALL SELECT part_b FROM e{_KCORE_ROUNDS}
+)
+GROUP BY node ORDER BY part_id"""
+)
+
+
+@query("copurchase_kcore", _KCORE_SQL)
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core decomposition of the co-purchase graph by iterative
+    peeling, {r} rounds unrolled: each round drops nodes with degree
+    < {k} and the edges touching them; survivors' degrees after the
+    final round are the output. The peel count is PART OF THE QUERY'S
+    SEMANTICS (both engines run exactly {r} rounds), so parity holds
+    whether or not the graph has converged — on these SFs {r} rounds
+    reaches the fixpoint.
+
+    Scale shape: the classic distributed k-core loop — per round one
+    degree aggregate (map-side combine) and one double semijoin of the
+    edge list against the surviving node set; edge state only ever
+    shrinks. Spark-side the per-round frame is localCheckpoint-ed so
+    the lineage (and recompute cost) stays O(1) per round instead of
+    3^rounds — the same truncation discipline as neardup_clusters'
+    label propagation. The oracle is the identical peel unrolled as
+    chained CTEs.""".format(k=_KCORE_K, r=_KCORE_ROUNDS)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("part_a").alias("node"))
+            .unionAll(edges.select(F.col("part_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "part_a"), "part_a")
+            .join(keep.withColumnRenamed("node", "part_b"), "part_b")
+            .select("part_a", "part_b")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.select(F.col("part_a").alias("part_id"))
+        .unionAll(edges.select(F.col("part_b").alias("part_id")))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("part_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window-rank function surface
+# --------------------------------------------------------------------------
+
+_RANK_SURFACE_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(ntile(4) OVER w AS BIGINT) AS wealth_quartile,
+       ROUND(percent_rank() OVER w, 9) AS pct_rank,
+       ROUND(cume_dist() OVER w, 9) AS cume,
+       lag(c_acctbal) OVER w AS richer_neighbor_bal,
+       first_value(c_custkey) OVER wf AS nation_richest,
+       nth_value(c_acctbal, 2) OVER wf AS nation_second_bal
+FROM customer
+WINDOW
+  w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+  wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY c_custkey
+"""
+
+
+@query("window_rank_surface", _RANK_SURFACE_SQL)
+def q_window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window function surface in one panel — ntile,
+    percent_rank, cume_dist, lag, first_value, nth_value — over
+    per-nation customer-balance windows (the reference sorts accounts
+    by balance within type the same way; this is that surface at full
+    SQL breadth).
+
+    Every window partitions by nation — no global window anywhere —
+    and orders by the unique (balance DESC, custkey) pair so ranks are
+    tie-proof in both engines. The frame-sensitive functions
+    (first/nth_value) pin an explicit ROWS frame because engines agree
+    on the default only when spelled out."""
+    cust = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("wealth_quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.lag("c_acctbal").over(w).alias("richer_neighbor_bal"),
+        F.first("c_custkey").over(wf).alias("nation_richest"),
+        F.nth_value("c_acctbal", 2).over(wf).alias("nation_second_bal"),
+    ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation between event-type daily series
+# --------------------------------------------------------------------------
+
+_SPEARMAN_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(38,18))) AS dval
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, day,
+           CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY dval, day) AS BIGINT) AS r
+    FROM daily
+),
+paired AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.r AS ra, b.r AS rb
+    FROM ranked a
+    JOIN ranked b ON a.day = b.day AND a.event_type < b.event_type
+)
+SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(
+         (COUNT(*) * SUM(ra * rb) - SUM(ra) * SUM(rb))
+         / sqrt(CAST((COUNT(*) * SUM(ra * ra) - SUM(ra) * SUM(ra))
+                     * (COUNT(*) * SUM(rb * rb) - SUM(rb) * SUM(rb))
+                AS DOUBLE)),
+         9) AS spearman_rho
+FROM paired
+GROUP BY type_a, type_b
+ORDER BY type_a, type_b
+"""
+
+
+@query("spearman_daily_correlation", _SPEARMAN_SQL)
+def q_spearman_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between every pair of event types'
+    daily-volume series — the robust do-these-streams-move-together
+    panel (series_correlation_matrix's Pearson twin, immune to the
+    heavy right tail of `value`).
+
+    Determinism contract: daily values aggregate in DECIMAL(38,18)
+    (order-proof sums), ranks come from row_number over the unique
+    (value, day) order (integer, tie-proof), and the correlation is
+    assembled from exact BIGINT rank sums via the closed form — never
+    a floating corr() aggregate whose accumulation order differs
+    between engines. The day-keyed pair join is |types|² × days rows —
+    trivially bounded because event-type cardinality is a dimension,
+    not data-sized."""
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(38,18)")).alias("dval"))
+    ranked = daily.select(
+        "event_type",
+        "day",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("dval", "day"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.r").alias("ra"),
+        F.col("b.r").alias("rb"),
+    )
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("ra") * F.col("rb")) - F.sum("ra") * F.sum("rb")
+    den = F.sqrt(
+        (
+            (n * F.sum(F.col("ra") * F.col("ra")) - F.sum("ra") * F.sum("ra"))
+            * (n * F.sum(F.col("rb") * F.col("rb")) - F.sum("rb") * F.sum("rb"))
+        ).cast("double")
+    )
+    return (
+        paired.groupBy("type_a", "type_b")
+        .agg(
+            n.cast("bigint").alias("n_days"),
+            F.round(num / den, 9).alias("spearman_rho"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-partition checksum diff (incremental validation of a replica)
+# --------------------------------------------------------------------------
+
+
+def _row_hash(col: Column) -> Column:
+    """32-bit bounded md5 prefix as BIGINT — small enough that a
+    per-partition SUM stays exactly inside BIGINT at any realistic
+    partition size (2^32 × 10^9 rows < 2^63)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+_HEX8 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(substr(md5(CAST(event_id AS VARCHAR)), 1, 8), ''), "
+    "ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT))), "
+    "(acc, d) -> acc * 16 + d)"
+)
+
+_CHECKSUM_DIFF_SQL = f"""
+WITH full_t AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({_HEX8}) AS BIGINT) AS cksum
+    FROM events GROUP BY 1
+),
+replica AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({_HEX8}) AS BIGINT) AS cksum
+    FROM events WHERE event_id % 997 <> 0 GROUP BY 1
+)
+SELECT f.day, f.n AS rows_full, COALESCE(r.n, 0) AS rows_replica,
+       f.n - COALESCE(r.n, 0) AS missing_rows,
+       f.cksum - COALESCE(r.cksum, 0) AS checksum_delta
+FROM full_t f LEFT JOIN replica r ON f.day = r.day
+WHERE f.cksum IS DISTINCT FROM r.cksum
+ORDER BY f.day
+"""
+
+
+@query("partition_checksum_diff", _CHECKSUM_DIFF_SQL)
+def q_partition_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day-partition checksum diff between the events table and a
+    simulated replica missing 1-in-997 rows: emits only the partitions
+    whose content hash disagrees, with row and checksum deltas. This
+    is THE primitive for validating a 100 TB replicated table — two
+    partition-grained aggregate scans and a partition-count-sized
+    join, instead of a row-level full-table compare; only flagged
+    partitions then need row-level repair.
+
+    The checksum is a SUM of 32-bit-bounded md5 prefixes per row:
+    order-insensitive (so partition layout can't change it), exactly
+    BIGINT-safe at any partition size, and identical hex-fold
+    semantics in both engines."""
+    events = load_table(spark, "events", sf_dir)
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(_row_hash(F.col("event_id"))).cast("bigint").alias("cksum"),
+        )
+
+    full_t = snap(events)
+    replica = snap(events.filter(F.col("event_id") % 997 != 0))
+    r = replica.select(
+        F.col("day"),
+        F.col("n").alias("rn"),
+        F.col("cksum").alias("rcksum"),
+    )
+    return (
+        full_t.join(r, "day", "left")
+        .filter(~F.col("cksum").eqNullSafe(F.col("rcksum")))
+        .select(
+            "day",
+            F.col("n").alias("rows_full"),
+            F.coalesce(F.col("rn"), F.lit(0)).cast("bigint").alias("rows_replica"),
+            (F.col("n") - F.coalesce(F.col("rn"), F.lit(0)))
+            .cast("bigint")
+            .alias("missing_rows"),
+            (F.col("cksum") - F.coalesce(F.col("rcksum"), F.lit(0)))
+            .cast("bigint")
+            .alias("checksum_delta"),
+        )
+        .orderBy("day")
+    )

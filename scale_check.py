@@ -79,6 +79,12 @@ QUERIES = (
     # plus conditional sums — must cost the same as the chain)
     "arrow_udf_text_normalize",
     "pipeline_stage_funnel",
+    # waves 26-27 (round 5): the skyline sweep (per-lang windows must
+    # keep it linear), the per-source entropy aggregate, and the
+    # two-phase prefix-sum packing plan (range shuffle + P-row offsets)
+    "pareto_quality_frontier",
+    "token_entropy_by_source",
+    "sequence_packing_plan",
 )
 
 #: event-temporal operators measured on the REPLICATED EVENTS axis:
@@ -92,6 +98,12 @@ EVENT_QUERIES = (
     "user_activity_streaks",
     "conversion_lag_quantiles",
     "rolling_distinct_users_7d",
+    # wave 27 (round 5): partition-grained checksum validation must be
+    # a pure two-scan aggregate (linear), and the rank-correlation
+    # panel's cost is the daily aggregate (linear) + a days×types²
+    # pair join that data growth must NOT inflate
+    "partition_checksum_diff",
+    "spearman_daily_correlation",
 )
 
 VOWELS = "aeiou"
