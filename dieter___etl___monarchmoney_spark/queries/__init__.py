@@ -55,6 +55,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave25_ops,
     wave26_ops,
     wave27_ops,
+    wave28_ops,
 )
 
 #: ROUND-5 ROTATION — every query that has NEVER had a driver-side
@@ -164,6 +165,11 @@ _AFTER_WINDOW: tuple = (
     "window_rank_surface",
     "spearman_daily_correlation",
     "partition_checksum_diff",
+    # wave 28: PQ-ADC ANN, trigram search, OOV rate, weighted median
+    "pq_adc_topk",
+    "trigram_substring_search",
+    "oov_rate_by_source",
+    "weighted_median_by_segment",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.
