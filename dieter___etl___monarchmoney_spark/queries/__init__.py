@@ -56,6 +56,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave26_ops,
     wave27_ops,
     wave28_ops,
+    wave29_ops,
 )
 
 #: ROUND-5 ROTATION — every query that has NEVER had a driver-side
@@ -170,6 +171,12 @@ _AFTER_WINDOW: tuple = (
     "trigram_substring_search",
     "oov_rate_by_source",
     "weighted_median_by_segment",
+    # wave 29: classify / forecast / report / attribute
+    "naive_bayes_lang_confusion",
+    "holt_linear_forecast",
+    "topn_with_others_rollup",
+    "hierarchy_share_report",
+    "linear_touch_attribution",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.

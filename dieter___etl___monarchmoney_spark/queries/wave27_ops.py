@@ -300,7 +300,7 @@ def q_window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPEARMAN_SQL = """
 WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS day,
-           SUM(CAST(value AS DECIMAL(38,18))) AS dval
+           SUM(CAST(value AS DECIMAL(18,6))) AS dval
     FROM events GROUP BY 1, 2
 ),
 ranked AS (
@@ -335,7 +335,8 @@ def q_spearman_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel (series_correlation_matrix's Pearson twin, immune to the
     heavy right tail of `value`).
 
-    Determinism contract: daily values aggregate in DECIMAL(38,18)
+    Determinism contract: daily values aggregate in DECIMAL(18,6)
+    (value is 2dp money-like; 18,6 casts identically in both engines)
     (order-proof sums), ranks come from row_number over the unique
     (value, day) order (integer, tie-proof), and the correlation is
     assembled from exact BIGINT rank sums via the closed form — never
@@ -346,7 +347,7 @@ def q_spearman_daily_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")
-    ).agg(F.sum(F.col("value").cast("decimal(38,18)")).alias("dval"))
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("dval"))
     ranked = daily.select(
         "event_type",
         "day",
