@@ -57,6 +57,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave27_ops,
     wave28_ops,
     wave29_ops,
+    wave30_ops,
 )
 
 #: ROUND-5 ROTATION — every query that has NEVER had a driver-side
@@ -177,6 +178,12 @@ _AFTER_WINDOW: tuple = (
     "topn_with_others_rollup",
     "hierarchy_share_report",
     "linear_touch_attribution",
+    # wave 30: robust/distributional statistics
+    "theil_sen_trend",
+    "revenue_gini_by_nation",
+    "event_path_trigrams",
+    "interarrival_burstiness",
+    "kaplan_meier_churn",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.
