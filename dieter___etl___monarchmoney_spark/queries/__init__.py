@@ -58,6 +58,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave28_ops,
     wave29_ops,
     wave30_ops,
+    wave31_ops,
 )
 
 #: ROUND-5 ROTATION — every query that has NEVER had a driver-side
@@ -184,6 +185,11 @@ _AFTER_WINDOW: tuple = (
     "event_path_trigrams",
     "interarrival_burstiness",
     "kaplan_meier_churn",
+    # wave 31: bitemporal, retention, UDTF lane, grouping-id
+    "bitemporal_as_of_as_at",
+    "retention_policy_prune",
+    "udtf_chunk_explode",
+    "grouping_id_rollup_report",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.
