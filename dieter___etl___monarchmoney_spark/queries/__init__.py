@@ -59,6 +59,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave29_ops,
     wave30_ops,
     wave31_ops,
+    wave32_ops,
 )
 
 #: ROUND-5 ROTATION — every query that has NEVER had a driver-side
@@ -190,6 +191,11 @@ _AFTER_WINDOW: tuple = (
     "retention_policy_prune",
     "udtf_chunk_explode",
     "grouping_id_rollup_report",
+    # wave 32: exact quantiles, tf-idf join, nearest asof, tree stump
+    "percentile_bridge_exact",
+    "tfidf_cosine_pairs",
+    "asof_nearest_tolerance",
+    "decision_stump_split",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.
