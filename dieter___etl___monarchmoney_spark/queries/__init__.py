@@ -60,6 +60,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave30_ops,
     wave31_ops,
     wave32_ops,
+    wave33_ops,
 )
 
 #: ROUND-5 ROTATION — every query that has NEVER had a driver-side
@@ -196,6 +197,10 @@ _AFTER_WINDOW: tuple = (
     "tfidf_cosine_pairs",
     "asof_nearest_tolerance",
     "decision_stump_split",
+    # wave 33: search-stack + curation compositions
+    "reciprocal_rank_fusion",
+    "set_cover_greedy_selection",
+    "join_fanout_profile",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.
