@@ -196,8 +196,10 @@ ORDER BY doc_id, chunk_id
 def q_udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document → fixed-{n}-token chunk rows through a PYTHON UDTF in
     a LATERAL join — the fourth sanctioned Python lane (the
-    table-function API the Arrow lanes don't cover), registered once
-    per session and invoked per input row. Output is (doc_id,
+    table-function API the scalar/grouped Arrow lanes don't cover),
+    Arrow-batched (ArrowEvalPythonUDTF — the plan-hygiene test pins
+    that no row-pickling BatchEvalPython node appears), registered
+    once per session and invoked per input row. Output is (doc_id,
     chunk_id, n_tokens, md5 fingerprint), so the hash certifies the
     UDTF's row fan-out AND its chunk contents against the pure-SQL
     twin.
@@ -217,7 +219,10 @@ def q_udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # defined lazily: a module-level UDTF with a DDL-string return type
     # parses against the active session at import time (engine-gotchas)
-    @udtf(returnType="chunk_id: bigint, n_tokens: bigint, chunk_fp: string")
+    @udtf(
+        returnType="chunk_id: bigint, n_tokens: bigint, chunk_fp: string",
+        useArrow=True,
+    )
     class ChunkUDTF:
         def eval(self, text: str):
             toks = [t for t in text.lower().strip().split() if t]
@@ -229,6 +234,10 @@ def q_udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     hashlib.md5(" ".join(chunk).encode()).hexdigest(),
                 )
 
+    # useArrow=True on the decorator (resolved at DECORATION time, so a
+    # session conf set later in this function would not take): the plan
+    # node is ArrowEvalPythonUDTF, not the row-pickling BatchEval form —
+    # pinned by test_whole_registry_plan_hygiene
     spark.udtf.register("wave31_chunker", ChunkUDTF)
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     docs.createOrReplaceTempView("wave31_chunk_docs")

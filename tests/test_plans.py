@@ -469,6 +469,10 @@ def test_whole_registry_plan_hygiene(spark):
         "arrow_udf_text_normalize",
         "embedding_range_audit",
         "event_transition_matrix",
+        # wave 31: the fourth sanctioned lane — the Python UDTF runs
+        # Arrow-batched (ArrowEvalPythonUDTF; the query function sets
+        # spark.sql.execution.pythonUDTF.arrow.enabled)
+        "udtf_chunk_explode",
     }
     offenders = []
     for name, fn in QUERIES.items():
