@@ -28,7 +28,12 @@ from dieter___etl___monarchmoney_spark.sources.parquet import load_table
 #: already present, so both engines see identical transaction times.
 _ARRIVAL_SQL = "ts + to_hours(event_id % 49)"
 _AS_OF_VALID = "2024-01-15 00:00:00"  # valid-time cutoff V
-_AS_AT_TX = "2024-01-20 00:00:00"  # transaction-time cutoff T
+#: transaction-time cutoff T sits only 12h past V while arrival delays
+#: run up to 48h — so a slice of facts valid before V had NOT yet
+#: arrived at T and must be invisible. (With T ≥ V + max-delay the
+#: transaction axis would never bite; the unit test pins that the
+#: bitemporal winner differs from the valid-only winner somewhere.)
+_AS_AT_TX = "2024-01-15 12:00:00"
 
 _BITEMPORAL_SQL = f"""
 WITH versioned AS (
