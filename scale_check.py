@@ -85,6 +85,13 @@ QUERIES = (
     "pareto_quality_frontier",
     "token_entropy_by_source",
     "sequence_packing_plan",
+    # waves 28-33 (round 5): the bigram inverted-index similarity join
+    # (Σposting², df-capped), vocabulary-coverage stats (top-K broadcast),
+    # the aggregate-only classifier, and the trigram-index search
+    "tfidf_cosine_pairs",
+    "oov_rate_by_source",
+    "naive_bayes_lang_confusion",
+    "trigram_substring_search",
 )
 
 #: event-temporal operators measured on the REPLICATED EVENTS axis:
