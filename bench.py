@@ -56,6 +56,9 @@ def main() -> None:
         "ann_recall_audit",
         "knn_label_noise_audit",
         "component_size_distribution",
+        # round 5: 5-round sequential greedy — dominated by real
+        # multi-action execution, not codegen compile
+        "set_cover_greedy_selection",
     }
     for name in sorted(queries):
         if name in warmup_skip:

@@ -193,16 +193,22 @@ def q_set_cover_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty).
 
     Greedy selection is inherently sequential ACROSS rounds but fully
-    parallel WITHIN one: each round is one anti-join against the
-    covered-shingle set plus one gain aggregate; the driver
-    materializes only the 1-row winner per round (K-bounded), and the
-    covered set carries forward as a localCheckpointed frame so
-    lineage stays O(1) per round. The oracle unrolls the same {r}
-    rounds as chained CTEs.""".format(r=_COVER_ROUNDS)
+    parallel WITHIN one: each round is one broadcast anti-join of the
+    CACHED posting table against the covered-shingle set (tiny — the
+    union of ≤{r} picked documents' shingles) plus one gain aggregate;
+    the driver materializes only the 1-row winner per round
+    (K-bounded). The base table persists once and every round derives
+    from it directly, so lineage is flat and nothing rewrites the
+    postings between rounds. The oracle unrolls the same {r} rounds
+    as chained CTEs.""".format(r=_COVER_ROUNDS)
     docs = load_table(spark, "documents", sf_dir)
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
     )
+    # materialized ONCE; every round rescans this cached frame with a
+    # broadcast anti-join against the (tiny) covered-shingle set — a
+    # per-round localCheckpoint chain re-wrote the full posting table
+    # to disk 5 times and tripled the query's wall time
     sh = (
         docs.select(
             "doc_id",
@@ -222,11 +228,22 @@ def q_set_cover_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
-    remaining = sh
     picked: list[tuple[int, int, int]] = []
+    picked_ids: list[int] = []
     for rnd in range(1, _COVER_ROUNDS + 1):
+        if picked_ids:
+            covered = (
+                sh.filter(F.col("doc_id").isin(picked_ids))
+                .select("shingle")
+                .distinct()
+            )
+            remaining = sh.filter(~F.col("doc_id").isin(picked_ids)).join(
+                F.broadcast(covered), "shingle", "left_anti"
+            )
+        else:
+            remaining = sh
         top = (
             remaining.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
@@ -238,12 +255,7 @@ def q_set_cover_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         doc_id, gain = top[0]["doc_id"], top[0]["gain"]
         picked.append((rnd, doc_id, gain))
-        covered = sh.filter(F.col("doc_id") == doc_id).select("shingle")
-        remaining = (
-            remaining.join(covered, "shingle", "left_anti")
-            .filter(F.col("doc_id") != doc_id)
-            .localCheckpoint(eager=False)
-        )
+        picked_ids.append(doc_id)
     return spark.createDataFrame(
         picked, "round bigint, doc_id bigint, gain bigint"
     ).orderBy("round")
