@@ -61,6 +61,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave31_ops,
     wave32_ops,
     wave33_ops,
+    wave34_ops,
 )
 
 #: ROUND-5 ROTATION — every query that has NEVER had a driver-side
@@ -201,6 +202,11 @@ _AFTER_WINDOW: tuple = (
     "reciprocal_rank_fusion",
     "set_cover_greedy_selection",
     "join_fanout_profile",
+    # wave 34: closing completions
+    "kendall_tau_daily",
+    "error_burst_islands",
+    "duplicate_invoice_pairs",
+    "cumulative_distinct_users",
 )
 
 #: remaining slots go to modules whose latest green rows are oldest.
