@@ -26,8 +26,18 @@ snapshot deltas); this operator is that semantic at cluster scale.
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 _PID = "__prefix_pid"
 _LOCAL = "__prefix_local"
@@ -63,20 +73,47 @@ def distributed_prefix_sum(
     local = (
         ranged.withColumn(_PID, F.spark_partition_id())
         .withColumn(_LOCAL, F.sum(value).over(local_w))
-        # pinned so the partition totals the driver reads and the rows
+        # Pinned so the partition totals the driver reads and the rows
         # the offsets are joined back to come from the SAME evaluation
+        # (RangePartitioner samples its bounds; an unpinned re-eval
+        # could re-draw them). The pin is deliberately NOT released
+        # here: the returned DataFrame still reads from it, and Spark
+        # evicts LRU cache blocks under memory pressure anyway. Callers
+        # that loop over many prefix sums can spark.catalog.clearCache()
+        # between iterations.
         .persist()
     )
+    # Partition total = SUM(value), NOT max of the running prefix —
+    # with negative values (running balances, deltas) the local prefix
+    # is non-monotone and its max overstates the partition total.
+    totals_df = local.groupBy(_PID).agg(F.sum(value).alias("t"))
+    t_type = totals_df.schema["t"].dataType
     totals = {
-        r[_PID]: r["t"]
-        for r in local.groupBy(_PID).agg(F.max(_LOCAL).alias("t")).collect()
+        r[_PID]: r["t"] for r in totals_df.collect()
     }  # K-bounded: num_ranges rows
-    offsets, running = [], 0
+    if isinstance(t_type, DecimalType):
+        zero = decimal.Decimal(0)
+    elif isinstance(t_type, (DoubleType, FloatType)):
+        zero = 0.0
+    else:
+        zero = 0
+    offsets, running = [], zero
     for pid in range(num_ranges):
         offsets.append((pid, running))
-        running += totals.get(pid, 0) or 0
+        t = totals.get(pid)
+        if t is not None:
+            running = running + t
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, f"{_PID} int, __prefix_off bigint")
+    # Offset column carries the aggregate's own type (bigint for
+    # integral inputs, double/decimal otherwise) so the map-side add
+    # below neither truncates nor raises on non-integral value columns.
+    off_schema = StructType(
+        [
+            StructField(_PID, IntegerType(), False),
+            StructField("__prefix_off", t_type, True),
+        ]
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)
     return (
         local.join(F.broadcast(off_df), _PID)
         .withColumn(out_col, F.col(_LOCAL) + F.col("__prefix_off"))

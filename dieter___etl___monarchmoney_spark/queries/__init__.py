@@ -64,94 +64,19 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave34_ops,
 )
 
-#: ROUND-5 ROTATION — every query that has NEVER had a driver-side
-#: correctness row runs first. After round 4 (all 50 checked rows
-#: green) the never-green set is exactly the round-4 _AFTER_WINDOW
-#: block: 45 queries registered past the ~50-query driver window, all
-#: locally oracle-green via tests/test_oracle_parity.py. 45 + 5
-#: flagship re-confirms = one full window; anything NEW this round
-#: goes to _AFTER_WINDOW for the round-6 rotation.
+#: ROUND-6 ROTATION — every query that has NEVER had a driver-side
+#: correctness row runs first. After round 5 (all 50 checked rows
+#: green, second consecutive zero-red round) the never-green set is
+#: exactly the round-5 _AFTER_WINDOW block: the 45 wave-25–34 queries
+#: registered past the ~50-query driver window, all locally
+#: oracle-green via tests/test_oracle_parity.py. 45 + 5 flagship
+#: re-confirms = one full window. Registry growth is FROZEN this
+#: round (≤5 new queries, VERDICT r5 #2) so the window converts the
+#: entire registry to driver-proven.
 #: sessionize_tws_stream is NOT listed: google.protobuf is absent in
-#: this environment (no network, installs forbidden), so it never
-#: registers — gate documented in README.
+#: this environment (no network, installs forbidden; re-checked at
+#: round-6 start), so it never registers — gate documented in README.
 _PRIORITY = (
-    "doc_length_band_filter",
-    "streaming_upsert_foreachbatch",
-    "scd2_temporal_join",
-    "conversion_lag_quantiles",
-    "order_lines_hof_profile",
-    "variant_props_rollup",
-    "recursive_referral_depth",
-    "lateral_best_line_per_order",
-    "observed_scan_metrics",
-    # wave 11: the TPC-H completion set + the ASOF join
-    "nation_trade_flows",
-    "product_type_profit",
-    "important_part_stock",
-    "ship_delay_mode_counts",
-    "customer_order_distribution",
-    "min_cost_supplier",
-    "disjunctive_promo_revenue",
-    "dominant_supplier_parts",
-    "asof_last_signup",
-    # wave 12: graph link prediction, series ACF, funnel, rank surface
-    "linkpred_adamic_adar",
-    "hourly_value_acf",
-    "funnel_conversion_steps",
-    "customer_balance_rank_surface",
-    # wave 13: the sanctioned Python/Arrow lanes, each measured once
-    "returnflag_quantity_iqr",
-    "arrow_udf_text_normalize",
-    "embedding_range_audit",
-    # wave 14: dynamic partition pruning + deterministic-sample HT
-    "dpp_top_days_rollup",
-    "sampled_revenue_estimate",
-    # wave 15: funnel observability + schema drift
-    "pipeline_stage_funnel",
-    "schema_evolution_merge_read",
-    # wave 16: grouped-map lane + centroid pooling
-    "event_transition_matrix",
-    "label_centroid_similarity",
-    "bitmap_distinct_users",
-    # wave 17: parameterized SQL + native XML codec
-    "parameterized_sql_filter",
-    "xml_roundtrip_extract",
-    # wave 18: in-engine logistic-regression training
-    "logreg_train_weights",
-    # wave 19: evaluation compositions
-    "seasonal_naive_backtest",
-    "session_dwell_metrics",
-    "component_size_distribution",
-    # wave 20: the deterministic distributed bootstrap
-    "bootstrap_mean_ci",
-    # wave 21: lakehouse read path + op-aware CDC
-    "merge_on_read_view",
-    "cdc_changelog_apply",
-    # wave 22: exact penny allocation
-    "penny_exact_allocation",
-    # wave 23: leakage-safe features + label-noise audit
-    "pit_training_features",
-    "knn_label_noise_audit",
-    # wave 24: duplicated-span extraction
-    "max_duplicated_span",
-)
-
-#: re-confirm a rotating flagship slice inside the window (VERDICT r2
-#: #6). These sit AFTER the never-checked block so that if the driver
-#: budget lands below 50 the casualties are re-confirms, not
-#: first-evidence rows.
-_FLAGSHIP = (
-    "budget_pipeline_full",
-    "minhash_lsh_candidates",
-    "pricing_summary_report",
-    "portfolio_holdings",
-    "streaming_full_outer_join",
-)
-
-#: queries added THIS round (round 5) — no driver evidence yet, and the
-#: window is already full (45 never-checked + 5 flagship), so they sit
-#: past the boundary and rotate into _PRIORITY in round 6.
-_AFTER_WINDOW: tuple = (
     # wave 25: GraphQL live-transport connector + ML data-prep surface
     "graphql_source_roundtrip",
     "stratified_split_audit",
@@ -208,6 +133,23 @@ _AFTER_WINDOW: tuple = (
     "duplicate_invoice_pairs",
     "cumulative_distinct_users",
 )
+
+#: re-confirm a rotating flagship slice inside the window (VERDICT r2
+#: #6). These sit AFTER the never-checked block so that if the driver
+#: budget lands below 50 the casualties are re-confirms, not
+#: first-evidence rows. Round-6 slice rotates to five driver-green
+#: pillars not re-confirmed since r1-r4.
+_FLAGSHIP = (
+    "pricing_summary_report",
+    "minhash_lsh_candidates",
+    "simhash_hamming_pairs",
+    "market_share_trend",
+    "shipping_priority_topk",
+)
+
+#: queries added THIS round (round 6) — registry growth is frozen at
+#: ≤5 (VERDICT r5 #2); anything here rotates into _PRIORITY next round.
+_AFTER_WINDOW: tuple = ()
 
 #: remaining slots go to modules whose latest green rows are oldest.
 _MODULE_RANK = {

@@ -548,11 +548,12 @@ def q_paged_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", payload)
         .save()
     )
-    # must be true at PLAN time, which is lazy (after this returns), so
-    # set-and-leave: session.py builds with it true anyway, and the only
-    # reader in the repo that implements pushFilters is the one opted in
-    # below — ambient true changes nothing else
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # spark.sql.python.filterPushdown.enabled is set ONCE at session
+    # build (session.py) — not here, so building this query never
+    # mutates ambient planning behavior for other python data sources.
+    # On a foreign session without the flag the plan stays correct:
+    # pushFilters is an optimization, and the .filter below is applied
+    # post-scan regardless.
     return (
         spark.read.format("paged_json")
         .schema("doc_id long, lang string, n_chars long")
@@ -1098,10 +1099,28 @@ def shared_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dieter___etl___monarchmoney_spark.operators.dedup import ngram_jaccard_pairs
 
+    # Cache key folds in a fingerprint of the SOURCE DATA (size +
+    # mtime of documents.parquet, recursive for directory tables), not
+    # just the path: a regenerated corpus at the same path (new
+    # seed/generator) must miss the cache, otherwise three downstream
+    # queries silently read stale edges and the mismatch masquerades
+    # as a query bug.
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    fingerprint = hashlib.md5(
+        (sf_dir + "|" + "|".join(parts)).encode()
+    ).hexdigest()[:12]
     base = os.path.join(
         tempfile.gettempdir(),
-        f"jaccard_edges_{_JACCARD_EDGE_TAG}_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        f"jaccard_edges_{_JACCARD_EDGE_TAG}_{fingerprint}",
     )
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
         docs = load_table(spark, "documents", sf_dir)

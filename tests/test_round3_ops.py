@@ -496,3 +496,45 @@ def test_distributed_prefix_sum_matches_window(spark):
         for r in distributed_prefix_sum(tiny, ["k"], "v", "c", num_ranges=8).collect()
     }
     assert got2 == {1: 5, 2: 12}
+
+
+def test_distributed_prefix_sum_negative_values(spark):
+    """Signed inputs (running balances): the partition total must be
+    SUM(v), not max of the local prefix — alternating +/- values make
+    the local running sum non-monotone within every range."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dieter___etl___monarchmoney_spark.operators.prefix import (
+        distributed_prefix_sum,
+    )
+
+    data = [(i, (-1) ** i * ((3 * i) % 17 + 1)) for i in range(160)]
+    df = spark.createDataFrame(data, "k long, v long")
+    got = {
+        r.k: r.c
+        for r in distributed_prefix_sum(df, ["k"], "v", "c", num_ranges=16).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.c for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_distributed_prefix_sum_double_values(spark):
+    """Non-integral value column: the offset frame must carry the
+    aggregate's own type (double), not a hardcoded bigint."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dieter___etl___monarchmoney_spark.operators.prefix import (
+        distributed_prefix_sum,
+    )
+
+    data = [(i, ((-1) ** i) * (i % 7) * 0.25) for i in range(120)]
+    df = spark.createDataFrame(data, "k long, v double")
+    out = distributed_prefix_sum(df, ["k"], "v", "c", num_ranges=8)
+    assert dict(out.dtypes)["c"] == "double"
+    got = {r.k: r.c for r in out.collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.c for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
