@@ -134,6 +134,42 @@ def lsh_ann_topk(
     return scored.orderBy(F.col("similarity").desc(), F.col(id_col)).limit(k)
 
 
+def lsh_scored_candidates(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ONE scan that the whole LSH multiprobe recall curve (and the
+    exact baseline) derives from: per vector, the hamming distance
+    between its LSH bucket and the query's signature (``probe_radius``)
+    plus the exact cosine similarity.
+
+    ``lsh_ann_topk(multiprobe=r)`` ≡ ``filter(probe_radius <= r)`` +
+    the same (similarity DESC, id) top-k — the probe set "all buckets
+    within hamming distance r" IS the set of vectors whose bucket
+    differs from the query signature in ≤ r bits. An audit that
+    measures several radii (plus the exact top-k, = no radius filter)
+    therefore needs ONE pass over the vector table instead of one per
+    radius — at 100 TB that is the difference between one table scan
+    and five."""
+    planes = _hyperplanes(len(query_vec), bits, seed)
+    qv = np.asarray(query_vec, dtype=float)
+    qsig = sum(1 << i for i, p in enumerate(planes) if float(np.dot(qv, p)) > 0)
+    q = const_vec(query_vec)
+    return vectors.withColumn(
+        "bucket", lsh_signature(F.col(vec_col), planes)
+    ).select(
+        F.col(id_col),
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(int(qsig)))).alias(
+            "probe_radius"
+        ),
+        cosine(F.col(vec_col), q).alias("similarity"),
+    )
+
+
 def _fold_dot(a: Sequence[float], b: Sequence[float]) -> float:
     """Driver-side dot product as a strict left fold — the SAME float
     op order as ``dot`` (F.aggregate) and the DuckDB list_reduce oracle,

