@@ -1090,51 +1090,29 @@ def shared_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     provide this because the registry clears the cache between queries
     (registry.py docstring); parquet survives, and column pruning on the
     read means a `(doc_a, doc_b)` consumer never deserializes `jaccard`.
-    Write is two-phase (tmp dir + atomic rename) so a crashed run can
-    never leave a half-written table that a later read trusts."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
+    Write is two-phase and the cache key folds in a size+mtime
+    fingerprint of documents.parquet (sources/materialize.py) so a
+    crashed run can't leave a half-written table and a REGENERATED
+    corpus at the same path can't serve stale edges."""
     from dieter___etl___monarchmoney_spark.operators.dedup import ngram_jaccard_pairs
-
-    # Cache key folds in a fingerprint of the SOURCE DATA (size +
-    # mtime of documents.parquet, recursive for directory tables), not
-    # just the path: a regenerated corpus at the same path (new
-    # seed/generator) must miss the cache, otherwise three downstream
-    # queries silently read stale edges and the mismatch masquerades
-    # as a query bug.
-    src = os.path.join(sf_dir, "documents.parquet")
-    parts = []
-    if os.path.isdir(src):
-        for root, _dirs, files in os.walk(src):
-            for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(src):
-        st = os.stat(src)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    fingerprint = hashlib.md5(
-        (sf_dir + "|" + "|".join(parts)).encode()
-    ).hexdigest()[:12]
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"jaccard_edges_{_JACCARD_EDGE_TAG}_{fingerprint}",
+    from dieter___etl___monarchmoney_spark.sources.materialize import (
+        shared_materialized,
     )
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        docs = load_table(spark, "documents", sf_dir)
-        tmp = base + "_tmp"
-        (
-            ngram_jaccard_pairs(
-                docs, "text", "doc_id", n=3, threshold=0.5, doc_freq_cap=64
-            )
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        shutil.rmtree(base, ignore_errors=True)
-        os.rename(tmp, base)
-    return spark.read.parquet(base)
+
+    return shared_materialized(
+        spark,
+        sf_dir,
+        f"jaccard_edges_{_JACCARD_EDGE_TAG}",
+        ("documents",),
+        lambda: ngram_jaccard_pairs(
+            load_table(spark, "documents", sf_dir),
+            "text",
+            "doc_id",
+            n=3,
+            threshold=0.5,
+            doc_freq_cap=64,
+        ),
+    )
 
 
 @query("similarity_graph_triangles", _TRIANGLE_SQL)

@@ -288,6 +288,35 @@ _MINHASH_SIG_SQL = rf"""
 """
 
 
+#: version tag for the shared MinHash-LSH candidate-pair table — bump
+#: when the signature scheme (k, bands, hash) or schema changes.
+_MINHASH_PAIR_TAG = "k8_b4r2_v1"
+
+
+def shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH candidate-pair table ``(doc_a, doc_b)`` (k=8
+    signatures, 4 bands × 2 rows), materialized once per corpus and
+    read from disk by every consumer (`minhash_lsh_candidates`,
+    `neardup_clusters`, `dedup_survivors`) — the same build-the-edges-
+    ONCE production shape as corpus_ops.shared_jaccard_edges, for the
+    OTHER candidate-generation algorithm. Cache keyed on a
+    content fingerprint of documents.parquet + a semantics tag
+    (sources/materialize.py); write is two-phase."""
+    from dieter___etl___monarchmoney_spark.sources.materialize import (
+        shared_materialized,
+    )
+
+    return shared_materialized(
+        spark,
+        sf_dir,
+        f"minhash_pairs_{_MINHASH_PAIR_TAG}",
+        ("documents",),
+        lambda: minhash_lsh_dedup_pairs(
+            load_table(spark, "documents", sf_dir), "text", "doc_id"
+        ),
+    )
+
+
 @query(
     "minhash_lsh_candidates",
     _MINHASH_SIG_SQL
@@ -300,9 +329,9 @@ _MINHASH_SIG_SQL = rf"""
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (k=8, md5-derived) + LSH banding (4 bands × 2 rows):
     candidate near-dup pairs via band-bucket self-join — the n²-free
-    dedup path. Signatures match the oracle bit for bit."""
-    docs = load_table(spark, "documents", sf_dir)
-    return minhash_lsh_dedup_pairs(docs, "text", "doc_id")
+    dedup path. Signatures match the oracle bit for bit. Reads the
+    shared materialized pair table (built on first use)."""
+    return shared_minhash_pairs(spark, sf_dir)
 
 
 #: transitive closure of the MinHash-LSH candidate pairs — DuckDB's
@@ -335,10 +364,10 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs → connected components: every document assigned
     the min doc id reachable through the MinHash-LSH pair graph (the
     cluster survivor). The dedup materialization step: keep
-    ``doc_id == cluster_id``, drop the rest."""
+    ``doc_id == cluster_id``, drop the rest. Pairs come from the
+    shared materialized table, not a per-query recompute."""
     docs = load_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_dedup_pairs(docs, "text", "doc_id")
-    return neardup_clusters(docs, pairs, "doc_id")
+    return neardup_clusters(docs, shared_minhash_pairs(spark, sf_dir), "doc_id")
 
 
 _SURVIVORS_SQL = f"""
@@ -369,10 +398,12 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster — a plain partial-aggregable MAX, one shuffle on
     cluster_id, no per-cluster sort. The oracle keeps the textbook
     ROW_NUMBER formulation; both must pick identical survivors because
-    the (n_chars DESC, doc_id ASC) keep-policy is a total order."""
+    the (n_chars DESC, doc_id ASC) keep-policy is a total order.
+    Pairs come from the shared materialized table."""
     docs = load_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_dedup_pairs(docs, "text", "doc_id")
-    assigned = neardup_clusters(docs, pairs, "doc_id")
+    assigned = neardup_clusters(
+        docs, shared_minhash_pairs(spark, sf_dir), "doc_id"
+    )
     j = assigned.join(docs.select("doc_id", "n_chars"), "doc_id")
     return (
         j.groupBy("cluster_id")
