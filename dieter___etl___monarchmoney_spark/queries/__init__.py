@@ -62,6 +62,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave32_ops,
     wave33_ops,
     wave34_ops,
+    wave35_ops,
 )
 
 #: ROUND-6 ROTATION — every query that has NEVER had a driver-side
@@ -149,7 +150,11 @@ _FLAGSHIP = (
 
 #: queries added THIS round (round 6) — registry growth is frozen at
 #: ≤5 (VERDICT r5 #2); anything here rotates into _PRIORITY next round.
-_AFTER_WINDOW: tuple = ()
+_AFTER_WINDOW: tuple = (
+    # wave 35: the signed-input regression proof for the fixed
+    # distributed_prefix_sum (r5 advice, high severity)
+    "signed_running_balance",
+)
 
 #: remaining slots go to modules whose latest green rows are oldest.
 _MODULE_RANK = {

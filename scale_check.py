@@ -92,6 +92,11 @@ QUERIES = (
     "oov_rate_by_source",
     "naive_bayes_lang_confusion",
     "trigram_substring_search",
+    # round 6: the bench's heaviest documents-axis query — sequential
+    # greedy rounds whose per-round cost is one broadcast semi-join
+    # scan of the cached postings, so wall time must grow ~linearly
+    # with the corpus, not with rounds × corpus
+    "set_cover_greedy_selection",
 )
 
 #: event-temporal operators measured on the REPLICATED EVENTS axis:
@@ -111,6 +116,19 @@ EVENT_QUERIES = (
     # pair join that data growth must NOT inflate
     "partition_checksum_diff",
     "spearman_daily_correlation",
+    # wave 16 (round 5): the grouped-map Arrow lane — per-user Arrow
+    # batches, so linear user growth must give linear wall time
+    "event_transition_matrix",
+)
+
+#: embedding-space operators measured on the REPLICATED EMBEDDINGS
+#: axis: each replica shifts vec_id into a fresh range with the vector
+#: unchanged, so covariance structure and bucket densities replicate
+#: while the row count scales — PCA's covariance build and the ANN
+#: audit's single scoring scan must both stay ~linear.
+EMBED_QUERIES = (
+    "pca_top_component",
+    "ann_recall_audit",
 )
 
 VOWELS = "aeiou"
@@ -176,6 +194,23 @@ def build_scaled_docs(spark, sf_dir: str, scale: int, out_dir: str) -> None:
     for e in evs[1:]:
         eu = eu.unionByName(e)
     eu.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    # replicate embeddings into fresh vec_id ranges with the vectors
+    # unchanged: covariance structure and LSH/IVF bucket densities are
+    # scale-invariant while the row count grows linearly — the right
+    # null model for "same corpus distribution, more of it"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = []
+    for k in range(scale):
+        embs.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * 100_000_000)).alias("vec_id"),
+                *[c for c in emb.columns if c != "vec_id"],
+            )
+        )
+    mu = embs[0]
+    for m in embs[1:]:
+        mu = mu.unionByName(m)
+    mu.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
 def main() -> None:
@@ -189,7 +224,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = registry.load()
 
-    all_queries = QUERIES + EVENT_QUERIES
+    all_queries = QUERIES + EVENT_QUERIES + EMBED_QUERIES
     results: dict[str, dict[int, float]] = {q: {} for q in all_queries}
     root = Path(tempfile.mkdtemp(prefix="scale_check_"))
     try:
