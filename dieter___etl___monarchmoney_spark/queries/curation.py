@@ -20,7 +20,6 @@ from dieter___etl___monarchmoney_spark.functions.text import (
     quality_score,
     token_count,
 )
-from dieter___etl___monarchmoney_spark.operators.dedup import minhash_lsh_dedup_pairs
 from dieter___etl___monarchmoney_spark.queries.llm_pipeline import (
     _MINHASH_SIG_SQL,
     _QUALITY_SQL,
@@ -112,11 +111,17 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan scores + fingerprints; the window dedup
     shuffles once on the fingerprint; the near-dup drop is a broadcast
-    anti-join against the (tiny relative to corpus) loser set.
+    anti-join against the (tiny relative to corpus) loser set. The
+    loser set derives from the shared materialized MinHash pair table
+    (llm_pipeline.shared_minhash_pairs), not a per-query recompute.
     """
+    from dieter___etl___monarchmoney_spark.queries.llm_pipeline import (
+        shared_minhash_pairs,
+    )
+
     docs = load_table(spark, "documents", sf_dir)
     losers = (
-        minhash_lsh_dedup_pairs(docs, "text", "doc_id")
+        shared_minhash_pairs(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

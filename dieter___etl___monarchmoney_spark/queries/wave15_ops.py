@@ -28,7 +28,6 @@ from dieter___etl___monarchmoney_spark.functions.text import (
     quality_score,
     token_count,
 )
-from dieter___etl___monarchmoney_spark.operators.dedup import minhash_lsh_dedup_pairs
 from dieter___etl___monarchmoney_spark.queries.llm_pipeline import (
     _MINHASH_SIG_SQL,
     _QUALITY_SQL,
@@ -121,10 +120,16 @@ def q_pipeline_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     join and arrive as a broadcast flag; the five stage rows are
     CONDITIONAL SUMS over the one flagged frame, unpivoted at the end
     — adding observability costs zero extra passes over the corpus.
-    All outputs are exact integers."""
+    All outputs are exact integers. The loser flag reads the shared
+    materialized MinHash pair table (llm_pipeline.shared_minhash_pairs)
+    instead of re-running signatures + banding."""
+    from dieter___etl___monarchmoney_spark.queries.llm_pipeline import (
+        shared_minhash_pairs,
+    )
+
     docs = load_table(spark, "documents", sf_dir)
     losers = (
-        minhash_lsh_dedup_pairs(docs, "text", "doc_id")
+        shared_minhash_pairs(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_loser", F.lit(True))

@@ -221,14 +221,19 @@ def q_component_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: sizes is a cluster-cardinality aggregate of the
     assignment; the histogram re-aggregates sizes (≤ max-size groups);
     giant/total ride along as a broadcast 1-row frame. Integer counts
-    and a ratio of two exact integers — nothing to quantize."""
+    and a ratio of two exact integers — nothing to quantize. Candidate
+    pairs come from the shared materialized MinHash table (the fourth
+    consumer), so the audit never re-pays the signature+banding pass
+    it is auditing."""
     from dieter___etl___monarchmoney_spark.operators.dedup import (
-        minhash_lsh_dedup_pairs,
         neardup_clusters,
+    )
+    from dieter___etl___monarchmoney_spark.queries.llm_pipeline import (
+        shared_minhash_pairs,
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_dedup_pairs(docs, "text", "doc_id")
+    pairs = shared_minhash_pairs(spark, sf_dir)
     assigned = neardup_clusters(docs, pairs, "doc_id")
     sizes = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")

@@ -41,7 +41,6 @@ from dieter___etl___monarchmoney_spark.registry import query
 from dieter___etl___monarchmoney_spark.sources.parquet import load_table
 from dieter___etl___monarchmoney_spark.functions.text import tokens, quality_score
 from dieter___etl___monarchmoney_spark.operators.dedup import (
-    lsh_candidate_pairs,
     minhash_signatures,
     shingles_of,
 )
@@ -417,10 +416,17 @@ def q_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, all keyed joins, work proportional to candidate count ×
     doc length, not n². At 100 TB the audit runs on a hash-sampled
     slice of candidates (swap the LSH frame for its TABLESAMPLE) with
-    the identical plan."""
+    the identical plan. Candidates read the shared materialized
+    MinHash pair table; the signature pass still runs here because the
+    per-pair ESTIMATE needs the raw signatures, which the pair table
+    deliberately does not carry."""
+    from dieter___etl___monarchmoney_spark.queries.llm_pipeline import (
+        shared_minhash_pairs,
+    )
+
     docs = load_table(spark, "documents", sf_dir)
     sig = minhash_signatures(docs, "text", "doc_id")
-    cand = lsh_candidate_pairs(sig)
+    cand = shared_minhash_pairs(spark, sf_dir)
     sig_a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(1, 9)],
