@@ -28,6 +28,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+#: offset+limit ceiling for the TakeOrderedAndProject plan: beyond this,
+#: the per-task top-k buffer (2·k object refs) stops being "page-sized"
+#: and pagination falls back to a row_number window.
+_TAKE_ORDERED_MAX_ROWS = 1_000_000
+
 
 def transactions_query(
     txns: DataFrame,
@@ -83,8 +88,23 @@ def transactions_query(
         if val is not None:
             df = df.filter(F.col(col) == F.lit(val))
 
-    # O4/W5/O5 — stable order + offset/limit pagination
+    # O4/W5/O5 — stable order + offset/limit pagination.
+    # TakeOrderedAndProject allocates a 2·(offset+limit) top-k buffer
+    # PER TASK (guava TopKSelector eagerly news the array), so a large
+    # offset OOMs executors regardless of data size — a deep page-through
+    # or a fat-fingered offset must not be able to kill the job. Past the
+    # threshold, switch to the row_number page (one global-window rank,
+    # O(data) memory); below it, keep the top-k plan (no full sort).
     if limit is not None or offset:
+        if offset + (limit or 0) > _TAKE_ORDERED_MAX_ROWS:
+            if limit is not None:
+                return paginate_row_number(df, order_by, offset, limit)
+            w = Window.orderBy(*[F.col(c) for c in order_by])
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") > offset)
+                .drop("rn")
+            )
         df = df.orderBy(*order_by)
         if offset:
             df = df.offset(offset)

@@ -39,6 +39,33 @@ def test_pagination_paths_agree(spark):
     assert [r["txn_id"] for r in a.collect()] == [r["txn_id"] for r in b.collect()]
 
 
+def test_huge_offset_uses_window_path(spark):
+    """offset+limit past _TAKE_ORDERED_MAX_ROWS must not plan a
+    TakeOrderedAndProject: guava's TopKSelector eagerly allocates a
+    2·(offset+limit) buffer per task, so a deep page-through (or a
+    fat-fingered offset) would OOM executors on ANY non-empty input.
+    The fallback row_number page returns the same rows as the top-k
+    plan would — and past the end of the data, an empty page."""
+    txns = transactions(spark, SF_SMOKE).select("txn_id", "txn_date", "amount")
+    # past-the-end: empty, and completes without an executor OOM
+    big = transactions_query(
+        txns, order_by=("txn_date", "txn_id"), offset=10**9, limit=100
+    )
+    assert "TakeOrderedAndProject" not in big._jdf.queryExecution().executedPlan().toString()
+    assert big.count() == 0
+    # offset-only (no limit) at huge offset: also empty, no OOM
+    assert (
+        transactions_query(
+            txns, order_by=("txn_date", "txn_id"), offset=10**9
+        ).count()
+        == 0
+    )
+    # same page either side of the threshold boundary semantics
+    lo = transactions_query(txns, order_by=("txn_date", "txn_id"), offset=7, limit=5)
+    hi = paginate_row_number(txns, ("txn_date", "txn_id"), 7, 5)
+    assert [r["txn_id"] for r in lo.collect()] == [r["txn_id"] for r in hi.collect()]
+
+
 def test_search_predicate(spark):
     df = spark.createDataFrame(
         [("x", "apple pie", None), ("y", "beef", "apple farm"), ("z", "carrot", None)],
