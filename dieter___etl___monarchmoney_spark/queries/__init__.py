@@ -133,28 +133,30 @@ _PRIORITY = (
     "error_burst_islands",
     "duplicate_invoice_pairs",
     "cumulative_distinct_users",
+    # wave 35 (round 6, the one registry addition): first-evidence for
+    # the signed-input distributed_prefix_sum fix — belongs INSIDE the
+    # window, so it takes the slot of a fifth flagship re-confirm
+    "signed_running_balance",
 )
 
 #: re-confirm a rotating flagship slice inside the window (VERDICT r2
 #: #6). These sit AFTER the never-checked block so that if the driver
 #: budget lands below 50 the casualties are re-confirms, not
-#: first-evidence rows. Round-6 slice rotates to five driver-green
-#: pillars not re-confirmed since r1-r4.
+#: first-evidence rows. Round-6 slice: four driver-green pillars not
+#: re-confirmed since r1-r4 (the fifth slot went to the wave-35
+#: first-evidence row above; minhash_lsh_candidates doubles as the
+#: re-confirmation of the new shared materialized pair-table path).
 _FLAGSHIP = (
     "pricing_summary_report",
     "minhash_lsh_candidates",
     "simhash_hamming_pairs",
-    "market_share_trend",
     "shipping_priority_topk",
 )
 
 #: queries added THIS round (round 6) — registry growth is frozen at
 #: ≤5 (VERDICT r5 #2); anything here rotates into _PRIORITY next round.
-_AFTER_WINDOW: tuple = (
-    # wave 35: the signed-input regression proof for the fixed
-    # distributed_prefix_sum (r5 advice, high severity)
-    "signed_running_balance",
-)
+#: (empty: the single round-6 addition runs inside the window.)
+_AFTER_WINDOW: tuple = ()
 
 #: remaining slots go to modules whose latest green rows are oldest.
 _MODULE_RANK = {
