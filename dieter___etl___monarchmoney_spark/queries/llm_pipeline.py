@@ -297,11 +297,13 @@ def shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash-LSH candidate-pair table ``(doc_a, doc_b)`` (k=8
     signatures, 4 bands × 2 rows), materialized once per corpus and
     read from disk by every consumer (`minhash_lsh_candidates`,
-    `neardup_clusters`, `dedup_survivors`) — the same build-the-edges-
-    ONCE production shape as corpus_ops.shared_jaccard_edges, for the
-    OTHER candidate-generation algorithm. Cache keyed on a
-    content fingerprint of documents.parquet + a semantics tag
-    (sources/materialize.py); write is two-phase."""
+    `neardup_clusters`, `dedup_survivors`, `component_size_distribution`,
+    `corpus_curation`, `pipeline_stage_funnel`, `minhash_error_audit`) —
+    the same build-the-edges-ONCE production shape as
+    corpus_ops.shared_jaccard_edges, for the OTHER candidate-generation
+    algorithm. Cache keyed on a content fingerprint of
+    documents.parquet + a semantics tag (sources/materialize.py);
+    write is two-phase."""
     from dieter___etl___monarchmoney_spark.sources.materialize import (
         shared_materialized,
     )
