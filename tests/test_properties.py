@@ -363,3 +363,37 @@ def test_asof_union_scan_matches_bisect_replay(spark, tmp_path_factory, rows):
             want_us = int((base + dt.timedelta(minutes=want_m)).timestamp() * 1e6)
             assert r.signup_us == want_us
             assert r.signup_value == want_v
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(MONEY, min_size=1, max_size=80),
+    st.integers(2, 24),
+)
+def test_distributed_prefix_sum_signed_decimal_property(spark, values, ranges):
+    """The two-phase distributed prefix sum equals the sequential
+    running sum for ARBITRARY signed 2dp decimal streams at arbitrary
+    range counts — the input class whose partition totals a
+    max-of-prefix shortcut silently corrupts (r5 advice). Decimal
+    amounts make the check exact: no float tolerance hides an
+    off-by-a-partition offset."""
+    from decimal import Decimal as D
+
+    from dieter___etl___monarchmoney_spark.operators.prefix import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "k long, v decimal(18,2)"
+    )
+    got = {
+        r.k: r.c
+        for r in distributed_prefix_sum(
+            df, ["k"], "v", "c", num_ranges=ranges
+        ).collect()
+    }
+    running, want = D(0), {}
+    for i, v in enumerate(values):
+        running += v
+        want[i] = running
+    assert got == want
