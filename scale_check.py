@@ -97,6 +97,11 @@ QUERIES = (
     # scan of the cached postings, so wall time must grow ~linearly
     # with the corpus, not with rounds × corpus
     "set_cover_greedy_selection",
+    # round 6: the dedup-audit composition over the shared materialized
+    # MinHash pair table — growth must track the pair-table BUILD
+    # (signatures + banding, linear in corpus) plus a component pass
+    # over edge-touched vertices, never an n² shape
+    "component_size_distribution",
 )
 
 #: event-temporal operators measured on the REPLICATED EVENTS axis:
