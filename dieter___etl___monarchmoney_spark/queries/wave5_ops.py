@@ -42,7 +42,6 @@ from dieter___etl___monarchmoney_spark.functions.text import tokens
 from dieter___etl___monarchmoney_spark.queries.corpus_ops import (
     _BPE_K,
     _bpe_stage_sql,
-    bpe_learn,
 )
 
 _DEC18 = "decimal(38,18)"
@@ -93,18 +92,41 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's unrolled-CTE encoder symbol for symbol, not just the
     counts.
 
-    Scale shape: learning is K pair-count shuffles + O(K) driver rows
-    (the rules); encoding is a pure scan-local string rewrite — the
-    corpus is never shuffled to encode, which is why BPE apply
-    parallelizes perfectly at 100 TB (each executor rewrites its
-    partitions against the broadcast rule list). The count/fingerprint
-    audit here adds one doc_id-keyed join back to the token counts."""
+    Scale shape: the rules come from the shared materialized table
+    (learned ONCE per corpus by ``bpe_merge_rules``'s ``bpe_learn``,
+    collected here as ≤K driver rows); encoding is a pure scan-local
+    string rewrite — the corpus is never shuffled to encode, which is
+    why BPE apply parallelizes perfectly at 100 TB (each executor
+    rewrites its partitions against the broadcast rule list). The
+    count/fingerprint audit here adds one doc_id-keyed join back to
+    the token counts."""
+    from dieter___etl___monarchmoney_spark.queries.corpus_ops import (
+        shared_bpe_rules,
+    )
+
     docs = load_table(spark, "documents", sf_dir)
-    _rules, final = bpe_learn(docs)
-    # release the cache immediately: the returned plan re-derives the
-    # encoded frame from lineage (scan-local rewrites, cheap), and the
-    # bench loop must not accumulate persisted corpora.
-    final.unpersist()
+    rules = shared_bpe_rules(spark, sf_dir).orderBy("merge_rank").collect()
+    _S = "\x1f"
+    toks_col = F.filter(tokens("text"), lambda t: t != "")
+    final = (
+        docs.select("doc_id", toks_col.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit(_S), F.array_join("toks", _S + _S), F.lit(_S)).alias("s"),
+        )
+    )
+    # the same greedy left-to-right apply as bpe_learn's loop, replayed
+    # from the published rules in merge order — map-only per partition
+    for r in rules:
+        final = final.select(
+            "doc_id",
+            F.replace(
+                F.col("s"),
+                F.lit(_S + r.left_sym + _S + _S + r.right_sym + _S),
+                F.lit(_S + r.left_sym + r.right_sym + _S),
+            ).alias("s"),
+        )
     syms = F.split(F.regexp_replace("s", "^\x1f+|\x1f+$", ""), "\x1f\x1f")
     enc = final.select(
         "doc_id",
