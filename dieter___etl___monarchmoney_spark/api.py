@@ -405,11 +405,19 @@ class FinanceWarehouse:
         return new_id
 
     def delete_transaction(self, transaction_id) -> bool:
-        """monarchmoney.py:1615-1662."""
-        self.save(
-            "transactions", delete_rows(self.table("transactions"), [transaction_id], "id")
+        """monarchmoney.py:1615-1662 — returns whether a row was
+        actually deleted (the reference returns the server's `deleted`
+        flag; unconditionally reporting True would mask typo'd ids).
+        The existence probe is a point lookup, not a full-table count."""
+        txns = self.table("transactions")
+        existed = (
+            txns.filter(F.col("id") == F.lit(transaction_id)).limit(1).count() > 0
         )
-        return True
+        if existed:
+            self.save(
+                "transactions", delete_rows(txns, [transaction_id], "id")
+            )
+        return existed
 
     def update_transaction(self, transaction_id, **fields) -> None:
         """monarchmoney.py:2410-2570 — partial update of one row."""

@@ -88,7 +88,14 @@ def transactions_query(
         if val is not None:
             df = df.filter(F.col(col) == F.lit(val))
 
-    # O4/W5/O5 — stable order + offset/limit pagination.
+    # O4/W5/O5 — stable order + offset/limit pagination. Negative
+    # values get a clear client-side ValueError (same validation style
+    # as the both-or-neither date rule) instead of surfacing as a
+    # Spark AnalysisException from deep inside the plan.
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    if limit is not None and limit < 0:
+        raise ValueError(f"limit must be >= 0, got {limit}")
     # TakeOrderedAndProject allocates a 2·(offset+limit) top-k buffer
     # PER TASK (guava TopKSelector eagerly news the array), so a large
     # offset OOMs executors regardless of data size — a deep page-through

@@ -146,6 +146,9 @@ def test_mutations_roundtrip(wh):
     assert wh.get_transaction_details(new_id).collect()[0]["tag_ids"] == ["g2"]
     assert wh.delete_transaction(new_id) is True
     assert wh.get_transaction_details(new_id).count() == 0
+    # deleting a nonexistent id reports False, not a silent True
+    assert wh.delete_transaction(new_id) is False
+    assert wh.delete_transaction("never-existed") is False
 
     acc_id = wh.create_manual_account("depository", "checking", True, "Cash", 42.0)
     assert wh.get_accounts().filter(F.col("id") == acc_id).count() == 1

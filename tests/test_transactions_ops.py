@@ -66,6 +66,18 @@ def test_huge_offset_uses_window_path(spark):
     assert [r["txn_id"] for r in lo.collect()] == [r["txn_id"] for r in hi.collect()]
 
 
+def test_negative_pagination_raises_value_error(spark):
+    """Negative offset/limit fail fast with a client-side ValueError,
+    not a Spark AnalysisException from inside the plan."""
+    import pytest
+
+    txns = transactions(spark, SF_SMOKE).select("txn_id", "txn_date")
+    with pytest.raises(ValueError, match="offset must be >= 0"):
+        transactions_query(txns, order_by=("txn_date", "txn_id"), offset=-1)
+    with pytest.raises(ValueError, match="limit must be >= 0"):
+        transactions_query(txns, order_by=("txn_date", "txn_id"), limit=-1)
+
+
 def test_search_predicate(spark):
     df = spark.createDataFrame(
         [("x", "apple pie", None), ("y", "beef", "apple farm"), ("z", "carrot", None)],
