@@ -445,14 +445,24 @@ class FinanceWarehouse:
         self.save("categories", insert_rows(cats, row, "id"))
 
     def delete_transaction_category(self, category_id) -> bool:
-        """monarchmoney.py:1698-1736."""
-        self.save("categories", delete_rows(self.table("categories"), [category_id], "id"))
-        return True
+        """monarchmoney.py:1698-1736 — True only if the row existed."""
+        return self.delete_transaction_categories([category_id])[0]
 
     def delete_transaction_categories(self, category_ids: Sequence) -> list[bool]:
-        """monarchmoney.py:1738-1747 — bulk form; one merge, not N."""
-        self.save("categories", delete_rows(self.table("categories"), list(category_ids), "id"))
-        return [True for _ in category_ids]
+        """monarchmoney.py:1738-1747 — bulk form; one merge, not N.
+        Per-id result reports whether that row existed (the reference
+        surfaces the server's per-mutation outcome). The existence
+        probe collects only the MATCHING ids — bounded by the request
+        size, never the table."""
+        ids = list(category_ids)
+        cats = self.table("categories")
+        existing = {
+            r["id"]
+            for r in cats.filter(F.col("id").isin(ids)).select("id").collect()
+        }
+        if existing:
+            self.save("categories", delete_rows(cats, ids, "id"))
+        return [i in existing for i in ids]
 
     def create_transaction_tag(self, name: str, color: str) -> None:
         """monarchmoney.py:1859-1896."""
@@ -495,9 +505,14 @@ class FinanceWarehouse:
         self.save("accounts", accounts)
 
     def delete_account(self, account_id) -> bool:
-        """monarchmoney.py:560-598."""
-        self.save("accounts", delete_rows(self.table("accounts"), [account_id], "id"))
-        return True
+        """monarchmoney.py:560-598 — True only if the row existed."""
+        accounts = self.table("accounts")
+        existed = (
+            accounts.filter(F.col("id") == F.lit(account_id)).limit(1).count() > 0
+        )
+        if existed:
+            self.save("accounts", delete_rows(accounts, [account_id], "id"))
+        return existed
 
     def set_budget_amount(self, amount: float, category_id, start_date: str, **_) -> None:
         """monarchmoney.py:2572-2640 — point-update of a planned amount;

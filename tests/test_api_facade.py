@@ -155,11 +155,15 @@ def test_mutations_roundtrip(wh):
     wh.update_account(acc_id, currentBalance=99.0)
     assert wh.get_accounts().filter(F.col("id") == acc_id).collect()[0]["currentBalance"] == 99.0
     assert wh.delete_account(acc_id) is True
+    assert wh.delete_account(acc_id) is False
 
     wh.create_transaction_tag("vacation", "green")
     assert wh.table("tags").filter("name = 'vacation'").count() == 1
     wh.create_transaction_category("g-exp", "Utilities")
-    assert wh.delete_transaction_categories(["cat-Utilities"]) == [True]
+    assert wh.delete_transaction_categories(["cat-Utilities", "cat-Never"]) == [
+        True,
+        False,
+    ]
     # refresh plumbing is a truthful no-op
     assert wh.request_accounts_refresh_and_wait(["a1"]) is True
 
