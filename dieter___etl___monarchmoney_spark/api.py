@@ -405,10 +405,14 @@ class FinanceWarehouse:
         return new_id
 
     def delete_transaction(self, transaction_id) -> bool:
-        """monarchmoney.py:1615-1662 — returns whether a row was
-        actually deleted (the reference returns the server's `deleted`
-        flag; unconditionally reporting True would mask typo'd ids).
-        The existence probe is a point lookup, not a full-table count."""
+        """monarchmoney.py:1615-1662. Returns whether a row was
+        actually deleted. Deliberate adaptation of the reference's
+        error surface: the reference RAISES RequestFailedException when
+        the server's `deleted` flag is false; here not-found is an
+        expected outcome of a batch pipeline, so it is reported as
+        False rather than an exception (unconditionally reporting True
+        would mask typo'd ids). The existence probe is a point lookup,
+        not a full-table count."""
         txns = self.table("transactions")
         existed = (
             txns.filter(F.col("id") == F.lit(transaction_id)).limit(1).count() > 0
@@ -445,15 +449,19 @@ class FinanceWarehouse:
         self.save("categories", insert_rows(cats, row, "id"))
 
     def delete_transaction_category(self, category_id) -> bool:
-        """monarchmoney.py:1698-1736 — True only if the row existed."""
+        """monarchmoney.py:1698-1736 — True only if the row existed
+        (bool adaptation of the reference's raise-on-failure; see
+        delete_transaction)."""
         return self.delete_transaction_categories([category_id])[0]
 
     def delete_transaction_categories(self, category_ids: Sequence) -> list[bool]:
         """monarchmoney.py:1738-1747 — bulk form; one merge, not N.
-        Per-id result reports whether that row existed (the reference
-        surfaces the server's per-mutation outcome). The existence
-        probe collects only the MATCHING ids — bounded by the request
-        size, never the table."""
+        Per-id result reports whether that row existed. The reference's
+        bulk form gathers per-mutation EXCEPTIONS (asyncio.gather with
+        return_exceptions=True) rather than booleans; a list[bool] is
+        the deliberate batch-friendly rendering of that outcome. The
+        existence probe collects only the MATCHING ids — bounded by the
+        request size, never the table."""
         ids = list(category_ids)
         cats = self.table("categories")
         existing = {
@@ -505,7 +513,9 @@ class FinanceWarehouse:
         self.save("accounts", accounts)
 
     def delete_account(self, account_id) -> bool:
-        """monarchmoney.py:560-598 — True only if the row existed."""
+        """monarchmoney.py:560-598 — True only if the row existed
+        (the reference returns the raw response dict; a bool is the
+        deliberate tabular-API rendering of the same outcome)."""
         accounts = self.table("accounts")
         existed = (
             accounts.filter(F.col("id") == F.lit(account_id)).limit(1).count() > 0

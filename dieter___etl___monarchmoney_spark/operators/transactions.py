@@ -106,11 +106,16 @@ def transactions_query(
         if offset + (limit or 0) > _TAKE_ORDERED_MAX_ROWS:
             if limit is not None:
                 return paginate_row_number(df, order_by, offset, limit)
+            # The trailing orderBy keeps this path's output-order
+            # contract identical to the sub-threshold orderBy path —
+            # without it the order held only incidentally (the global
+            # window collapses to one partition today).
             w = Window.orderBy(*[F.col(c) for c in order_by])
             return (
                 df.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") > offset)
                 .drop("rn")
+                .orderBy(*order_by)
             )
         df = df.orderBy(*order_by)
         if offset:
@@ -136,6 +141,7 @@ def paginate_row_number(
         df.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") > offset) & (F.col("rn") <= offset + limit))
         .drop("rn")
+        .orderBy(*order_by)
     )
 
 
