@@ -972,8 +972,18 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan growth; localCheckpoint truncates each iteration's lineage.
     Centering subtracts broadcast means; eigenvalue = final ||C·v||."""
     vectors = load_table(spark, "embeddings", sf_dir)
-    n = vectors.count()  # bounded driver read: one scalar
     d = len(vectors.select("embedding").first()["embedding"])  # O(dim)
+    # The covariance stage below does n·d(d+1)/2 exact-decimal
+    # accumulations — CPU-bound, embarrassingly parallel. When the
+    # source arrives under-split (sf0.1 is ONE parquet row group, so
+    # the whole aggregation ran in ONE task: measured 7.5 s serial vs
+    # 1.5 s at 32-way), widen to the session's parallelism first; when
+    # the input already has ≥cores splits (any real-scale table), skip
+    # the shuffle. Decimal addition at fixed scale is exact and
+    # order-independent, so the split change cannot move the hash.
+    par = spark.sparkContext.defaultParallelism
+    if vectors.rdd.getNumPartitions() < par:
+        vectors = vectors.repartition(par)
     long = vectors.select(
         "vec_id", F.posexplode("embedding").alias("i0", "x")
     ).select("vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
@@ -1016,8 +1026,9 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pay the exact-decimal aggregation — the per-row double→Decimal
     # cast and the Decimal accumulator updates are the measured cost of
     # this query (≈1 µs/term), and the triangle halves the term count.
-    # The mirror below restores the full matrix with the SAME doubles,
-    # so the oracle (which sums the full square) hashes identically.
+    # The index-arithmetic reconstruction below restores the full matrix
+    # with the SAME doubles, so the oracle (full square) hashes
+    # identically.
     step1 = carr.select(
         F.col("carr"), F.posexplode_outer("carr").alias("i0", "ci")
     )
@@ -1032,24 +1043,22 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") + F.col("j0")).alias("j"),  # j = (i0+1) + j0
         (F.col("ci") * F.col("cj")).alias("p"),
     )
+    # Every vector contributes exactly one term per (i,j) cell, so the
+    # per-group COUNT *is* n — deriving the n-1 divisor inside the
+    # aggregate saves the separate vectors.count() driver job.
     tri = step2.groupBy("i", "j").agg(
         (
             F.sum(F.col("p").cast("decimal(38,15)")).cast("double")
-            / F.lit(float(n - 1))
+            / (F.count(F.lit(1)) - F.lit(1)).cast("double")
         ).alias("cov")
         # p = ci*cj over the SAME doubles the join form multiplied,
         # so the decimal sums (and the oracle hash) are bit-identical
-    )
-    cmat = tri.unionByName(
-        tri.filter(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov")
-        )
     )
     # NOT persisted: the d^2 matrix flows ONCE into the 1-row array
     # state below (persist() here measured ~10x slower than the
     # straight codegen path — the cache builder re-evaluates the
     # generate pipeline on the interpreted path, and nothing reads
-    # cmat twice anymore)
+    # the matrix twice anymore)
     # Power iterations over the d² matrix as ARRAY FOLDS on a 1-row
     # frame (the repo's const-matrix pattern, operators/similarity.py):
     # the matrix is O(dim²) — sketch-sized, not data-sized — so the
@@ -1061,6 +1070,17 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal(38,18) terms == order-independent SUM), so the oracle and
     # the driver hash are untouched. At 100 TB nothing changes: the one
     # fact-sized stage is the covariance build above.
+    # The union-mirror restores the square matrix from the triangle;
+    # the mirrored branch reuses the aggregate's exchange (verified in
+    # the executed plan), so the covariance pipeline runs once. (An
+    # index-arithmetic transform/element_at reconstruction was measured
+    # 6 s SLOWER — per-element interpreted element_at over a struct
+    # array is pathological — and rejected.)
+    cmat = tri.unionByName(
+        tri.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov")
+        )
+    )
     cm_row = cmat.groupBy().agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("i", "j", "cov"))),
