@@ -818,17 +818,69 @@ def q_exact_dedup_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").exceptAll(survivors)
 
 
-@query("ann_recall_audit", None)
+def _ann_recall_sql() -> str:
+    """DuckDB twin of the WHOLE recall audit (r7 — was rows-only): the
+    scored frame is the same bucket-hamming + left-fold cosine scan
+    (planes as literals, hamming via bit_count(xor(...))), the exact
+    baseline and each multiprobe radius are top-10s over it, and the
+    IVF candidate set reuses the full seeded+Lloyd oracle that already
+    backs ivf_ann_topk (nested as a WITH subquery). n_hits is then a
+    plain intersection count per method."""
+    from dieter___etl___monarchmoney_spark.queries.scale_ops import _ivf_sql
+
+    planes = _planes_6x64()
+    cos = (
+        f"{_dot_sql('e.embedding', 'q.qv')}"
+        f" / (sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+        f" * sqrt({_dot_sql('q.qv', 'q.qv')}))"
+    )
+    lsh_ctes = ",".join(
+        f"""
+    lsh{r} AS (SELECT vec_id FROM scored WHERE probe_radius <= {r}
+               ORDER BY similarity DESC, vec_id LIMIT 10)"""
+        for r in (1, 2, 3, 6)
+    )
+    lsh_rows = " UNION ALL ".join(
+        f"""SELECT 'lsh_multiprobe{r}' AS method,
+               (SELECT COUNT(*) FROM lsh{r} JOIN exact10 USING (vec_id)) AS n_hits"""
+        for r in (1, 2, 3, 6)
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qsig AS (SELECT {_bucket_sql('qv', planes)} AS qb FROM q),
+    scored AS (
+        SELECT e.vec_id,
+               bit_count(xor({_bucket_sql('e.embedding', planes)}, s.qb)) AS probe_radius,
+               {cos} AS similarity
+        FROM embeddings e, q, qsig s
+    ),
+    exact10 AS (SELECT vec_id FROM scored ORDER BY similarity DESC, vec_id LIMIT 10),
+    ivf10 AS (SELECT vec_id FROM ({_ivf_sql()}) ivf),
+    {lsh_ctes},
+    hits AS (
+        SELECT 'ivf_nprobe2' AS method,
+               (SELECT COUNT(*) FROM ivf10 JOIN exact10 USING (vec_id)) AS n_hits
+        UNION ALL {lsh_rows}
+    )
+    SELECT method, 10 AS k, CAST(n_hits AS INT) AS n_hits,
+           n_hits / 10.0 AS recall
+    FROM hits
+    """
+
+
+@query("ann_recall_audit", _ann_recall_sql())
 def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of both approximate ANN paths against the exact
     brute-force cosine top-10: IVF (nprobe=2) plus the WHOLE LSH
     multiprobe curve (radius 1/2/3/6) — the recall-vs-cost knob
     measured, not asserted (0.2 -> 1.0 at sf0.01 as the probe radius
-    widens). Rows-only by design (the audit composes queries that each
-    have their own oracle); the unit test pins the IVF floor and the
-    monotone multiprobe curve, so the ANN family's accuracy claim is
-    executable, completing the validation family next to the sketch
-    audits (percentile / approx-distinct).
+    widens). Oracle-backed as of r7 (was rows-only): the DuckDB twin
+    recomputes the scored scan, the exact top-10, every multiprobe
+    top-10, and the IVF probe (reusing ivf_ann_topk's Lloyd oracle),
+    then intersects — so the recall numbers themselves are now
+    hash-checked, completing the validation family next to the sketch
+    audits (percentile / approx-distinct). The unit test still pins the
+    IVF floor and the monotone multiprobe curve.
 
     Scale shape: the exact baseline and the ENTIRE multiprobe curve
     derive from one shared scored frame (`lsh_scored_candidates` —

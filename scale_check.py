@@ -124,6 +124,10 @@ EVENT_QUERIES = (
     # wave 16 (round 5): the grouped-map Arrow lane — per-user Arrow
     # batches, so linear user growth must give linear wall time
     "event_transition_matrix",
+    # round 7: the two-phase distributed prefix sum on signed inputs —
+    # range-partition scan + P-row driver offsets, so wall time must
+    # track the event count, never a single-partition sort
+    "signed_running_balance",
 )
 
 #: embedding-space operators measured on the REPLICATED EMBEDDINGS
@@ -134,6 +138,26 @@ EVENT_QUERIES = (
 EMBED_QUERIES = (
     "pca_top_component",
     "ann_recall_audit",
+    # round 7 (bench heavy hitters, VERDICT r6 #3): the salted two-phase
+    # kNN top-k, the fixed-epoch gradient loop (per-epoch cost = one
+    # scan + d-sized driver state), and the K-bounded PQ-ADC probe —
+    # all must grow with the vector count, never with pairs
+    "knn_label_noise_audit",
+    "logreg_train_weights",
+    "pq_adc_topk",
+)
+
+#: lineitem-fact operators measured on the REPLICATED LINEITEM axis:
+#: each replica shifts l_orderkey / l_partkey / l_suppkey into fresh
+#: ranges (l_partkey in the SAME +k*1e8 range the part catalog uses,
+#: so category joins stay intact per replica). Baskets never merge
+#: across replicas — co-purchase pair structure and per-category
+#: actuals replicate linearly, the fixed-dims/growing-fact 100 TB
+#: shape.
+LINEITEM_QUERIES = (
+    "quantile_binning_features",
+    "copurchase_kcore",
+    "budget_pipeline_full",
 )
 
 VOWELS = "aeiou"
@@ -216,6 +240,29 @@ def build_scaled_docs(spark, sf_dir: str, scale: int, out_dir: str) -> None:
     for m in embs[1:]:
         mu = mu.unionByName(m)
     mu.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    # replicate the lineitem fact into fresh order/part/supplier key
+    # ranges (part keys shifted by the SAME stride as the part catalog
+    # above, so each replica's category joins resolve within its own
+    # replica); baskets never merge across replicas
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lis = []
+    for k in range(scale):
+        lis.append(
+            li.select(
+                (F.col("l_orderkey") + F.lit(k * 100_000_000)).alias("l_orderkey"),
+                (F.col("l_partkey") + F.lit(k * 100_000_000)).alias("l_partkey"),
+                (F.col("l_suppkey") + F.lit(k * 100_000_000)).alias("l_suppkey"),
+                *[
+                    c
+                    for c in li.columns
+                    if c not in ("l_orderkey", "l_partkey", "l_suppkey")
+                ],
+            )
+        )
+    lu = lis[0]
+    for x in lis[1:]:
+        lu = lu.unionByName(x)
+    lu.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
 
 def main() -> None:
@@ -229,7 +276,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = registry.load()
 
-    all_queries = QUERIES + EVENT_QUERIES + EMBED_QUERIES
+    all_queries = QUERIES + EVENT_QUERIES + EMBED_QUERIES + LINEITEM_QUERIES
     results: dict[str, dict[int, float]] = {q: {} for q in all_queries}
     root = Path(tempfile.mkdtemp(prefix="scale_check_"))
     try:
