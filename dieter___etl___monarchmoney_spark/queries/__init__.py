@@ -4,13 +4,12 @@ Importing this package registers every query into
 ``dieter___etl___monarchmoney_spark.registry``.
 
 Registration order is deliberate: the grading driver evaluates queries
-in registry order and has a finite per-round budget (round 1 covered 50
-of 88), so queries that still need driver-side correctness evidence come
-first — the ones red or hash-mismatched in CORRECTNESS_r01.json, then
-every module the round-1 run never reached (relational, scale_ops,
-streaming, filters, forecast, core, budget) — and the modules already
-fully driver-green in round 1 (analytics, curation, LLM pipeline) come
-last.
+in registry order with a ~50-query per-round budget, so the window is
+rotated every round to wherever correctness evidence is weakest. Since
+round 6 every registered query has a driver row (267/267 oracle-backed
+queries green), so the rotation now optimizes evidence FRESHNESS:
+queries whose implementation changed after their last green row come
+first, then the queries whose freshest green row is oldest.
 """
 
 from dieter___etl___monarchmoney_spark import registry as _registry
@@ -65,92 +64,96 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave35_ops,
 )
 
-#: ROUND-6 ROTATION — every query that has NEVER had a driver-side
-#: correctness row runs first. After round 5 (all 50 checked rows
-#: green, second consecutive zero-red round) the never-green set is
-#: exactly the round-5 _AFTER_WINDOW block: the 45 wave-25–34 queries
-#: registered past the ~50-query driver window, all locally
-#: oracle-green via tests/test_oracle_parity.py. 45 + 5 flagship
-#: re-confirms = one full window. Registry growth is FROZEN this
-#: round (≤5 new queries, VERDICT r5 #2) so the window converts the
-#: entire registry to driver-proven.
+#: ROUND-7 ROTATION — evidence freshness (VERDICT r6 #1/#2). After
+#: round 6 every registered query has a driver row and 267/267
+#: oracle-backed queries are green, so the window stops chasing
+#: first-evidence and instead re-proves the code the driver rows
+#: actually describe: (a) every query whose implementation changed in
+#: rounds 6–7 AFTER its last green row (shared pair-table / BPE /
+#: budget-sheet / edge-cache consumers, the pagination guard, the
+#: parallelized PCA, and ann_recall_audit which only now gained a
+#: DuckDB oracle), then (b) the 33 queries whose freshest green row is
+#: still round 1 — five rounds old while their shared helpers
+#: (functions/money.py, operators/transactions.py, dedup, multimodal)
+#: kept evolving. 15 + 33 + 2 flagship = one full 50-query window;
+#: after it lands, no green row in the registry is older than r2.
+#: Registry growth stays FROZEN (VERDICT r6 #2).
 #: sessionize_tws_stream is NOT listed: google.protobuf is absent in
 #: this environment (no network, installs forbidden; re-checked at
-#: round-6 start), so it never registers — gate documented in README.
+#: round-7 start), so it never registers — gate documented in README.
 _PRIORITY = (
-    # wave 25: GraphQL live-transport connector + ML data-prep surface
-    "graphql_source_roundtrip",
-    "stratified_split_audit",
-    "target_encoding_loo",
-    "quantile_binning_features",
-    "decile_lift_table",
-    "sequence_packing_plan",
-    # wave 26: skyline, entropy, dataset card, k-fold contamination
-    "pareto_quality_frontier",
-    "token_entropy_by_source",
-    "dataset_card_stats",
-    "kfold_leakage_audit",
-    # wave 27: integrity audits, co-purchase graph, rank surfaces
-    "fk_integrity_audit",
-    "copurchase_frequent_pairs",
-    "copurchase_kcore",
-    "window_rank_surface",
-    "spearman_daily_correlation",
-    "partition_checksum_diff",
-    # wave 28: PQ-ADC ANN, trigram search, OOV rate, weighted median
-    "pq_adc_topk",
-    "trigram_substring_search",
-    "oov_rate_by_source",
-    "weighted_median_by_segment",
-    # wave 29: classify / forecast / report / attribute
-    "naive_bayes_lang_confusion",
-    "holt_linear_forecast",
-    "topn_with_others_rollup",
-    "hierarchy_share_report",
-    "linear_touch_attribution",
-    # wave 30: robust/distributional statistics
-    "theil_sen_trend",
-    "revenue_gini_by_nation",
-    "event_path_trigrams",
-    "interarrival_burstiness",
-    "kaplan_meier_churn",
-    # wave 31: bitemporal, retention, UDTF lane, grouping-id
-    "bitemporal_as_of_as_at",
-    "retention_policy_prune",
-    "udtf_chunk_explode",
-    "grouping_id_rollup_report",
-    # wave 32: exact quantiles, tf-idf join, nearest asof, tree stump
-    "percentile_bridge_exact",
-    "tfidf_cosine_pairs",
-    "asof_nearest_tolerance",
-    "decision_stump_split",
-    # wave 33: search-stack + curation compositions
-    "reciprocal_rank_fusion",
-    "set_cover_greedy_selection",
-    "join_fanout_profile",
-    # wave 34: closing completions
-    "kendall_tau_daily",
-    "error_burst_islands",
-    "duplicate_invoice_pairs",
-    "cumulative_distinct_users",
-    # wave 35 (round 6, the one registry addition): first-evidence for
-    # the signed-input distributed_prefix_sum fix — belongs INSIDE the
-    # window, so it takes the slot of a fifth flagship re-confirm
-    "signed_running_balance",
+    # (a) stale-evidence: code changed after the last green driver row
+    # -- shared MinHash pair-table consumers (r6 rewiring)
+    "dedup_survivors",
+    "neardup_clusters",
+    "pipeline_stage_funnel",
+    "component_size_distribution",
+    "minhash_error_audit",
+    "corpus_curation",
+    # -- fingerprinted Jaccard edge-cache consumers (r6 rewiring)
+    "ngram_jaccard_pairs",
+    "similarity_graph_triangles",
+    "dup_graph_pagerank",
+    # -- BPE rules-table rework (r6)
+    "bpe_merge_rules",
+    "bpe_encode_corpus",
+    # -- shared budget sheet read-back (r6)
+    "reconciliation_audit",
+    # -- pagination guard + explicit order contract (r6/r7)
+    "transactions_filtered_page",
+    # -- r7 edits: parallelized covariance; first-ever oracle row
+    "pca_top_component",
+    "ann_recall_audit",
+    # (b) oldest-evidence re-confirms: last green row is round 1
+    # -- flagship aggregates / filters over evolved shared helpers
+    "transactions_summary",
+    "cashflow_summary",
+    "cashflow_by_category_group",
+    "monthly_merchant_dense_rank",
+    # -- text analysis family
+    "text_language_id",
+    "text_quality_scores",
+    "text_repetition_scores",
+    "text_token_stats",
+    "distinct_token_stats",
+    "percentile_stats_by_lang",
+    "term_relevance_topk",
+    "pii_redaction_audit",
+    "boilerplate_segment_audit",
+    "chunk_sliding_windows",
+    # -- dedup / similarity family
+    "dedup_exact_groups",
+    "dedup_token_multiset",
+    "exact_dedup_removed",
+    "incremental_dedup",
+    "simhash_buckets",
+    "decontamination_overlap",
+    "embedding_neardup_pairs",
+    "embedding_centroids_by_label",
+    "nearest_centroid_confusion",
+    "ann_lsh_topk",
+    # -- sampling / split / mixture family
+    "train_val_test_split",
+    "global_shuffle_assignment",
+    "language_balanced_sample",
+    "source_mixture_sample",
+    # -- multimodal plumbing (Arrow mapInPandas lanes)
+    "multimodal_metadata",
+    "multimodal_decode_fake",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize",
 )
 
 #: re-confirm a rotating flagship slice inside the window (VERDICT r2
-#: #6). These sit AFTER the never-checked block so that if the driver
-#: budget lands below 50 the casualties are re-confirms, not
-#: first-evidence rows. Round-6 slice: four driver-green pillars not
-#: re-confirmed since r1-r4 (the fifth slot went to the wave-35
-#: first-evidence row above; minhash_lsh_candidates doubles as the
-#: re-confirmation of the new shared materialized pair-table path).
+#: #6). These sit AFTER the stale/oldest-evidence block so that if the
+#: driver budget lands below 50 the casualties are the freshest-risk
+#: re-confirms. Round-7 slice: two r2-era pillars whose shared helpers
+#: changed since — the W1 running-total family (operators/prefix.py
+#: rework, r6) and the J1 broadcast-enrichment join.
 _FLAGSHIP = (
-    "pricing_summary_report",
-    "minhash_lsh_candidates",
-    "simhash_hamming_pairs",
-    "shipping_priority_topk",
+    "running_total_by_category",
+    "account_enrichment_join",
 )
 
 #: queries added THIS round (round 6) — registry growth is frozen at
