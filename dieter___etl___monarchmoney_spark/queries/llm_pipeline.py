@@ -1095,14 +1095,25 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") + F.col("j0")).alias("j"),  # j = (i0+1) + j0
         (F.col("ci") * F.col("cj")).alias("p"),
     )
-    # Every vector contributes exactly one term per (i,j) cell, so the
-    # per-group COUNT *is* n — deriving the n-1 divisor inside the
-    # aggregate saves the separate vectors.count() driver job.
-    tri = step2.groupBy("i", "j").agg(
-        (
-            F.sum(F.col("p").cast("decimal(38,15)")).cast("double")
-            / (F.count(F.lit(1)) - F.lit(1)).cast("double")
-        ).alias("cov")
+    # Divisor: the GLOBAL n-1, exactly as the oracle's `nrows` CTE —
+    # NOT the per-cell COUNT-1, which silently diverges the moment any
+    # embedding array is ragged (a vector shorter than d contributes
+    # no term to its missing cells, so their count would be < n). The
+    # scalar arrives as a broadcast 1-row aggregate over the raw scan
+    # (a count(1) reads no columns — parquet metadata speed), keeping
+    # the plan driver-collect-free.
+    n_df = load_table(spark, "embeddings", sf_dir).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    tri = (
+        step2.groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,15)")).cast("double").alias("s"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            (F.col("s") / (F.col("n_vecs") - F.lit(1)).cast("double")).alias("cov"),
+        )
         # p = ci*cj over the SAME doubles the join form multiplied,
         # so the decimal sums (and the oracle hash) are bit-identical
     )

@@ -11,9 +11,10 @@ two columns never deserializes the rest.
 
 Safety properties:
 
-- **Two-phase write** (tmp dir + atomic rename): a crashed run can
-  never leave a half-written table that a later read trusts (readers
-  key on the post-rename ``_SUCCESS``).
+- **Two-phase write** (tmp dir + atomic rename + atomic pointer
+  swap): a crashed run can never leave a half-written table that a
+  later read trusts (readers resolve the ``CURRENT`` pointer, which
+  only ever names complete, immutable version dirs).
 - **Content-fingerprinted cache key**: the directory name folds in a
   size+mtime fingerprint of the SOURCE files, not just the dataset
   path — a regenerated dataset at the same path (new seed/generator)
@@ -22,10 +23,12 @@ Safety properties:
   semantics (parameters, schema) change, so a stale temp table can
   never satisfy a newer query.
 - **Concurrency-safe publish**: each writer stages into its OWN
-  ``mkdtemp`` directory, then renames into place; a losing racer
-  (rename fails because the winner already published) discards its
-  staging dir and reads the winner's table — first-writer-wins,
-  never a mixed or partial publish.
+  ``mkdtemp`` directory, renames the complete table to a UNIQUE
+  immutable version dir, then atomically swaps the ``CURRENT``
+  pointer file. Nothing is ever deleted, so no interleaving of
+  racing cold builders can break a reader pinned to a published
+  version — the pointer is last-writer-wins over identical-content
+  builds (the fingerprint pins the inputs), never mixed or partial.
 
 Deployment note: node-local ``tempfile.gettempdir()`` is right for
 this single-node sandbox only. On a real cluster the materialization
@@ -41,6 +44,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,6 +76,29 @@ def source_fingerprint(sf_dir: str, *tables: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
+def cache_path(sf_dir: str, tag: str, source_tables: tuple[str, ...]) -> str:
+    """The on-disk location ``shared_materialized`` publishes to for
+    (``tag``, source fingerprint). Exposed so tests (and operational
+    tooling) never re-derive the layout from implementation details."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"shared_{tag}_{source_fingerprint(sf_dir, *source_tables)}",
+    )
+
+
+def current_table_dir(root: str) -> str | None:
+    """The published version directory ``root/CURRENT`` points at, or
+    None when nothing has been published yet (or the pointed-at
+    version vanished — treated as unpublished)."""
+    try:
+        with open(os.path.join(root, "CURRENT")) as f:
+            version = f.read().strip()
+    except OSError:
+        return None
+    vdir = os.path.join(root, version)
+    return vdir if version and os.path.isdir(vdir) else None
+
+
 def shared_materialized(
     spark: SparkSession,
     sf_dir: str,
@@ -80,33 +107,42 @@ def shared_materialized(
     build: Callable[[], DataFrame],
 ) -> DataFrame:
     """Return the materialized table for (``tag``, source fingerprint),
-    building it with ``build()`` on first use (two-phase commit)."""
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"shared_{tag}_{source_fingerprint(sf_dir, *source_tables)}",
-    )
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        # Stage into a per-process unique dir so two concurrent cold
-        # runs can never interleave writes into one staging area, then
-        # publish with a single rename. If the rename loses the race
-        # (the winner already published a _SUCCESS-complete table),
-        # drop our staging copy and read the winner's — the fingerprint
-        # guarantees both built from identical inputs.
-        tmp = tempfile.mkdtemp(prefix=os.path.basename(base) + "_stage_")
-        tmp_table = os.path.join(tmp, "t")
-        build().write.mode("overwrite").parquet(tmp_table)
+    building it with ``build()`` on first use.
+
+    Publish protocol — versioned dirs + an atomic pointer file (the
+    simplified object-store commit pattern: versions are immutable,
+    the pointer swap is the transaction):
+
+    1. build into a private ``mkdtemp`` staging dir (a failed build
+       can never orphan state under ``root``);
+    2. rename the complete table to ``root/v_<unique>`` — version
+       names are unique, so this can never collide with anything;
+    3. atomically replace the one-line ``root/CURRENT`` file (POSIX
+       file-over-file rename) to point at the new version.
+
+    NOTHING is ever deleted, so no interleaving of concurrent cold
+    builders can break a reader pinned to an already-published
+    version — racing publishers are last-writer-wins on the pointer,
+    and the source fingerprint in ``root``'s name guarantees every
+    racer built the same rows. A crash between (2) and (3) leaks one
+    unreferenced version dir (bounded by builder count, swept with
+    the tempdir); a crash during (1) leaks only staging. Readers see
+    either the old or the new complete version, never a mix."""
+    root = cache_path(sf_dir, tag, source_tables)
+    vdir = current_table_dir(root)
+    if vdir is None:
+        os.makedirs(root, exist_ok=True)
+        stage = tempfile.mkdtemp(prefix=os.path.basename(root) + "_stage_")
         try:
-            if os.path.isdir(base) and not os.path.exists(
-                os.path.join(base, "_SUCCESS")
-            ):
-                # a crashed pre-rename dir from an older layout; a
-                # published table can only appear complete (rename is
-                # atomic), so _SUCCESS-less means garbage.
-                shutil.rmtree(base, ignore_errors=True)
-            os.rename(tmp_table, base)
-        except OSError:
-            if not os.path.exists(os.path.join(base, "_SUCCESS")):
-                raise
+            tmp_table = os.path.join(stage, "t")
+            build().write.mode("overwrite").parquet(tmp_table)
+            version = "v_" + uuid.uuid4().hex[:12]
+            vdir = os.path.join(root, version)
+            os.rename(tmp_table, vdir)
+            ptr_tmp = os.path.join(stage, "CURRENT")
+            with open(ptr_tmp, "w") as f:
+                f.write(version)
+            os.rename(ptr_tmp, os.path.join(root, "CURRENT"))
         finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(base)
+            shutil.rmtree(stage, ignore_errors=True)
+    return spark.read.parquet(vdir)

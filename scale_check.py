@@ -163,106 +163,66 @@ LINEITEM_QUERIES = (
 VOWELS = "aeiou"
 
 
+#: one stride per id namespace — part and lineitem MUST share the part
+#: stride so each replica's category joins resolve within its own copy
+KEY_STRIDE = 100_000_000
+EVENT_STRIDE = 1_000_000_000
+
+
+def _replicate(df, scale: int, shifted: dict[str, int], rotated: tuple[str, ...] = ()):
+    """Union `scale` copies of `df`: each copy k shifts every column in
+    `shifted` into a fresh `+k*stride` id range and vowel-rotates every
+    column in `rotated` by k (so cross-replica text never collides —
+    duplicate/match STRUCTURE replicates, pair counts don't inflate).
+    All other columns pass through; original column order is kept."""
+    copies = []
+    for k in range(scale):
+        rot = VOWELS[k % 5 :] + VOWELS[: k % 5]
+        cols = []
+        for c in df.columns:
+            if c in shifted:
+                cols.append((F.col(c) + F.lit(k * shifted[c])).alias(c))
+            elif c in rotated:
+                cols.append(F.translate(c, VOWELS, rot).alias(c))
+            else:
+                cols.append(F.col(c))
+        copies.append(df.select(*cols))
+    union = copies[0]
+    for c in copies[1:]:
+        union = union.unionByName(c)
+    return union
+
+
 def build_scaled_docs(spark, sf_dir: str, scale: int, out_dir: str) -> None:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    parts = []
-    for k in range(scale):
-        rot = VOWELS[k % 5 :] + VOWELS[: k % 5]
-        parts.append(
-            docs.select(
-                (F.col("doc_id") + F.lit(k * 100_000_000)).alias("doc_id"),
-                F.translate("text", VOWELS, rot).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
+    # documents: fresh doc_id ranges, vowel-rotated text
+    # part catalog: fresh key ranges + rotated names so the
+    #   entity-resolution / fuzzy-match family measures too
+    # events: fresh user/event ids — timelines never merge across
+    #   replicas, per-user session/streak/as-of state is invariant
+    # embeddings: fresh vec_id, vectors unchanged — covariance and
+    #   LSH/IVF bucket densities scale-invariant, row count linear
+    # lineitem: fresh order/part/supp keys, part keys in lockstep
+    #   with the part catalog (same KEY_STRIDE) so category joins
+    #   resolve per replica; baskets never merge
+    plans = {
+        "documents": ({"doc_id": KEY_STRIDE}, ("text",)),
+        "part": ({"p_partkey": KEY_STRIDE}, ("p_name",)),
+        "events": ({"event_id": EVENT_STRIDE, "user_id": EVENT_STRIDE}, ()),
+        "embeddings": ({"vec_id": KEY_STRIDE}, ()),
+        "lineitem": (
+            {
+                "l_orderkey": KEY_STRIDE,
+                "l_partkey": KEY_STRIDE,
+                "l_suppkey": KEY_STRIDE,
+            },
+            (),
+        ),
+    }
+    for table, (shifted, rotated) in plans.items():
+        src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        _replicate(src, scale, shifted, rotated).write.mode("overwrite").parquet(
+            f"{out_dir}/{table}.parquet"
         )
-    union = parts[0]
-    for p in parts[1:]:
-        union = union.unionByName(p)
-    union.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
-    # replicate the part catalog the same way (fresh key ranges,
-    # vowel-rotated names) so the entity-resolution / fuzzy-match
-    # family measures too: match-pair structure replicates per copy,
-    # cross-copy names don't collide
-    cat = spark.read.parquet(f"{sf_dir}/part.parquet")
-    reps = []
-    for k in range(scale):
-        rot = VOWELS[k % 5 :] + VOWELS[: k % 5]
-        reps.append(
-            cat.select(
-                (F.col("p_partkey") + F.lit(k * 100_000_000)).alias("p_partkey"),
-                F.translate("p_name", VOWELS, rot).alias("p_name"),
-                "p_brand",
-                "p_type",
-                "p_size",
-                "p_retailprice",
-            )
-        )
-    cu = reps[0]
-    for r in reps[1:]:
-        cu = cu.unionByName(r)
-    cu.write.mode("overwrite").parquet(f"{out_dir}/part.parquet")
-    # replicate events into fresh user_id/event_id ranges: timelines
-    # never merge across replicas, so session/streak/as-of state per
-    # user is invariant while the user population scales linearly
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    evs = []
-    for k in range(scale):
-        evs.append(
-            ev.select(
-                (F.col("event_id") + F.lit(k * 1_000_000_000)).alias("event_id"),
-                "ts",
-                (F.col("user_id") + F.lit(k * 1_000_000_000)).alias("user_id"),
-                "event_type",
-                "value",
-                "props",
-            )
-        )
-    eu = evs[0]
-    for e in evs[1:]:
-        eu = eu.unionByName(e)
-    eu.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
-    # replicate embeddings into fresh vec_id ranges with the vectors
-    # unchanged: covariance structure and LSH/IVF bucket densities are
-    # scale-invariant while the row count grows linearly — the right
-    # null model for "same corpus distribution, more of it"
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    embs = []
-    for k in range(scale):
-        embs.append(
-            emb.select(
-                (F.col("vec_id") + F.lit(k * 100_000_000)).alias("vec_id"),
-                *[c for c in emb.columns if c != "vec_id"],
-            )
-        )
-    mu = embs[0]
-    for m in embs[1:]:
-        mu = mu.unionByName(m)
-    mu.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
-    # replicate the lineitem fact into fresh order/part/supplier key
-    # ranges (part keys shifted by the SAME stride as the part catalog
-    # above, so each replica's category joins resolve within its own
-    # replica); baskets never merge across replicas
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    lis = []
-    for k in range(scale):
-        lis.append(
-            li.select(
-                (F.col("l_orderkey") + F.lit(k * 100_000_000)).alias("l_orderkey"),
-                (F.col("l_partkey") + F.lit(k * 100_000_000)).alias("l_partkey"),
-                (F.col("l_suppkey") + F.lit(k * 100_000_000)).alias("l_suppkey"),
-                *[
-                    c
-                    for c in li.columns
-                    if c not in ("l_orderkey", "l_partkey", "l_suppkey")
-                ],
-            )
-        )
-    lu = lis[0]
-    for x in lis[1:]:
-        lu = lu.unionByName(x)
-    lu.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
 
 def main() -> None:

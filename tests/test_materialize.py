@@ -1,34 +1,29 @@
 """shared_materialized safety properties: concurrent-publish race,
-fingerprint failure on missing sources, crash-garbage recovery.
+fingerprint failure on missing sources, crash-garbage tolerance.
 
-The race test simulates the two-process interleaving in-process: the
-loser's build() publishes the winner's table into `base` before the
-loser's own rename runs, so the loser's rename collides and the
-first-writer-wins fallback must kick in (ADVICE r6 medium).
+The publish protocol is versioned-dirs + an atomic ``CURRENT`` pointer
+(nothing is ever deleted), so the race tests assert the two properties
+that protocol guarantees: a reader pinned to a published version keeps
+working no matter what racers do, and a cold builder that loses the
+pointer race still ends with a complete, readable table.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 
 import pytest
 
 from dieter___etl___monarchmoney_spark.sources.materialize import (
+    cache_path,
+    current_table_dir,
     shared_materialized,
     source_fingerprint,
 )
 
 SF = "/root/testdata/sf0.001"
-
-
-def _base(tag: str) -> str:
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"shared_{tag}_{source_fingerprint(SF, 'region')}",
-    )
 
 
 def test_fingerprint_missing_source_raises():
@@ -55,49 +50,89 @@ def test_cold_build_then_cache_hit(spark):
         assert out2.count() == 5
         assert len(calls) == 1, "second call must hit the published table"
     finally:
-        shutil.rmtree(_base(tag), ignore_errors=True)
+        shutil.rmtree(cache_path(SF, tag, ("region",)), ignore_errors=True)
 
 
-def test_publish_race_loser_reads_winner(spark):
+def test_publish_race_never_breaks_published_reader(spark):
+    """A racer that publishes while another cold build is in flight:
+    the already-returned reader must keep working (its version dir is
+    immutable and never deleted), and the late publisher's own result
+    must be a complete readable table."""
     tag = f"t_{uuid.uuid4().hex[:8]}"
-    base = _base(tag)
+    root = cache_path(SF, tag, ("region",))
+    winner_frames = []
 
-    def winner_publish():
-        stage = tempfile.mkdtemp(prefix="race_winner_")
-        t = os.path.join(stage, "t")
-        spark.range(3).withColumnRenamed("id", "v").coalesce(1).write.parquet(t)
-        os.rename(t, base)
-        shutil.rmtree(stage, ignore_errors=True)
-
-    def loser_build():
-        # Simulate the other process winning between our existence
-        # check and our publish: it lands a complete table at `base`.
-        winner_publish()
+    def late_build():
+        # Simulate the other process winning while our build runs: a
+        # full publish (version dir + pointer swap) lands mid-build.
+        winner_frames.append(
+            shared_materialized(
+                spark, SF, tag, ("region",),
+                lambda: spark.range(3).withColumnRenamed("id", "v"),
+            )
+        )
         return spark.range(9).withColumnRenamed("id", "v")
 
     try:
-        out = shared_materialized(spark, SF, tag, ("region",), loser_build)
-        # first-writer-wins: the loser must silently read the winner's
-        # 3-row table, not raise and not clobber it with its 9 rows.
-        assert out.count() == 3
-        assert os.path.exists(os.path.join(base, "_SUCCESS"))
+        out = shared_materialized(spark, SF, tag, ("region",), late_build)
+        # the winner's pinned reader still sees its complete 3-row table
+        assert winner_frames[0].count() == 3
+        # the late publisher reads a complete table (its own 9 rows —
+        # pointer is last-writer-wins over identical-fingerprint builds)
+        assert out.count() == 9
+        # and a fresh resolve returns a readable published version
+        vdir = current_table_dir(root)
+        assert vdir is not None
+        assert spark.read.parquet(vdir).count() == 9
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
 
 
-def test_crash_garbage_base_is_replaced(spark):
+def test_crash_garbage_is_tolerated_not_trusted(spark):
+    """Leftovers from a crashed builder (an unreferenced version dir,
+    stray files under root) must neither satisfy the cache nor break
+    the next build — and are never confused with published data."""
     tag = f"t_{uuid.uuid4().hex[:8]}"
-    base = _base(tag)
-    os.makedirs(base, exist_ok=True)  # _SUCCESS-less: crash garbage
-    with open(os.path.join(base, "part-junk"), "w") as f:
-        f.write("not parquet")
+    root = cache_path(SF, tag, ("region",))
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "part-junk"), "w") as f:
+        f.write("not parquet")  # crashed pre-pointer garbage
+    os.makedirs(os.path.join(root, "v_deadbeef"), exist_ok=True)
     try:
+        assert current_table_dir(root) is None  # garbage is not a publish
         out = shared_materialized(
             spark, SF, tag, ("region",),
             lambda: spark.range(4).withColumnRenamed("id", "v"),
         )
         assert out.count() == 4
-        assert os.path.exists(os.path.join(base, "_SUCCESS"))
-        assert not os.path.exists(os.path.join(base, "part-junk"))
+        vdir = current_table_dir(root)
+        assert vdir is not None and os.path.basename(vdir) != "v_deadbeef"
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_failed_build_leaks_no_staging(spark, tmp_path):
+    """A build() that raises must not orphan a staging dir in tmp and
+    must leave the cache cold (next call rebuilds)."""
+    import tempfile as _tf
+
+    tag = f"t_{uuid.uuid4().hex[:8]}"
+    root = cache_path(SF, tag, ("region",))
+    prefix = os.path.basename(root) + "_stage_"
+
+    def bad_build():
+        raise RuntimeError("boom")
+
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            shared_materialized(spark, SF, tag, ("region",), bad_build)
+        leaks = [d for d in os.listdir(_tf.gettempdir()) if d.startswith(prefix)]
+        assert leaks == []
+        assert current_table_dir(root) is None
+        out = shared_materialized(
+            spark, SF, tag, ("region",),
+            lambda: spark.range(2).withColumnRenamed("id", "v"),
+        )
+        assert out.count() == 2
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
