@@ -94,7 +94,22 @@ def minhash_signatures(
     unrelated docs and blow up the LSH buckets. Explode → groupBy(doc)
     keeps the shuffle keyed on doc id; partial aggregation (map-side min)
     means the shuffle carries one row per doc, not one per shingle.
+
+    ``k`` must be even and ≤ 8: each md5 yields exactly four 8-hex
+    slices, so k>8 would silently slice past the digest (constant ''
+    minhashes → every band collides → the all-pairs blowup LSH exists
+    to avoid) and odd k would wrap the modulo and reuse a slice
+    (correlated "independent" hashes). Scaling k (e.g. the k=128 of a
+    production dedup) means adding more salted md5s — ``md5(salt_s ||
+    shingle)`` for s = ceil(k/4) salts — and updating the DuckDB
+    oracle twins in lockstep, since they replicate these exact slices.
     """
+    if k % 2 != 0 or not (2 <= k <= 8):
+        raise ValueError(
+            f"minhash_signatures supports even k in [2, 8] (two md5s × four "
+            f"8-hex slices), got k={k}; add salted md5s (and update the "
+            f"oracle twins) to widen"
+        )
     half = k // 2
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
     sh = toks.select(
@@ -229,23 +244,13 @@ def ngram_jaccard_pairs(
     postings = postings.filter(F.size("ids") >= 2)
     if doc_freq_cap is not None:
         postings = postings.filter(F.size("ids") <= doc_freq_cap)
-    ids = F.col("ids")
-    combos = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     inter = (
-        postings.select(F.explode(combos).alias("p"))
+        postings.select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
         .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.a.n_sh").alias("n_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.b.n_sh").alias("n_b"),
+            F.col("p.doc_a.doc_id").alias("doc_a"),
+            F.col("p.doc_a.n_sh").alias("n_a"),
+            F.col("p.doc_b.doc_id").alias("doc_b"),
+            F.col("p.doc_b.n_sh").alias("n_b"),
         )
         .groupBy("doc_a", "n_a", "doc_b", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -442,7 +447,6 @@ def neardup_clusters(
         .persist()
     )
     all_verts = vertices.select(F.col(id_col).alias("v"))
-    edge_verts = edges.select("v").distinct().persist()
 
     if edges.count() <= 2 * driver_threshold:  # edges frame holds both directions
         spark = vertices.sparkSession
@@ -456,17 +460,21 @@ def neardup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.collect():
+        # ONE collect serves both the unions and the member set (the
+        # doubled edge list's `v` column covers every endpoint) — no
+        # distributed distinct, no second collect on the path chosen
+        # precisely because the data is driver-sized
+        edge_rows = edges.collect()
+        for r in edge_rows:
             ra, rb = find(r["v"]), find(r["u"])
             if ra != rb:
                 # union by MIN root so the representative IS the min label
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra
-        members = sorted({r["v"] for r in edge_verts.collect()})
+        members = sorted({r["v"] for r in edge_rows})
         rows = [(v, find(v)) for v in members]
         edges.unpersist()
-        edge_verts.unpersist()
         lbl = spark.createDataFrame(rows, ["v", "cluster_id"]) if rows else None
         singletons = all_verts.join(
             spark.createDataFrame([(v,) for v, _ in rows], ["v"])
@@ -478,6 +486,9 @@ def neardup_clusters(
         out = singletons if lbl is None else lbl.unionByName(singletons)
         return out.select(F.col("v").alias(id_col), "cluster_id")
 
+    # distributed path only: the edge-touched vertex set seeds the loop
+    # and drives the singleton anti-join
+    edge_verts = edges.select("v").distinct().persist()
     labels = edge_verts.select("v", F.col("v").alias("cluster_id"))
 
     def _hop(lbl: DataFrame, with_flag: bool) -> DataFrame:
@@ -557,9 +568,15 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     signature from the sign of each vote. ~6× faster than folding the
     token array 32 times per row (the `simhash32` expression form) while
     producing identical signatures.
+
+    ``explode_outer``, not ``explode``: a NULL-text or zero-token doc
+    must surface as one NULL-token row (every vote -1 → signature 0,
+    exactly what ``simhash32`` computes for it), not silently vanish
+    from the signature table — a dedup pass keyed on these buckets
+    must never lose documents.
     """
     toks = df.select(
-        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok")
+        F.col(id_col).alias("_id"), F.explode_outer(tokens(text_col)).alias("tok")
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
     votes = toks.groupBy("_id").agg(
         *[
@@ -675,6 +692,12 @@ def bloom_build(
     itself (2 KiB at the default size), NOT the data. Spark's own
     bloom_filter_agg is optimizer-internal; this is the same structure
     as a public, oracle-checkable surface."""
+    if m_bits <= 0 or m_bits % 64 != 0:
+        # positions up to m_bits-1 index word pos//64: a non-multiple
+        # of 64 under-allocates the word array (IndexError here after
+        # the full job has run; silent false negatives on the probe
+        # side, which would change exact-join RESULTS downstream)
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     c = F.col(key_col)
     positions = F.array(
         *[F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits)) for i in range(k)]
@@ -709,6 +732,14 @@ def bloom_might_contain(
     big to broadcast as a join but whose BLOOM FILTER broadcasts in
     kilobytes filters the fact at scan speed, and the exact join then
     shuffles only the surviving sliver."""
+    if m_bits <= 0 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if len(words) != m_bits // 64:
+        raise ValueError(
+            f"filter has {len(words)} words but m_bits={m_bits} implies "
+            f"{m_bits // 64} — build and probe must agree or the probe "
+            f"silently reads past the array (false negatives)"
+        )
     c = F.col(key_col)
     lit_words = F.lit([int(w) for w in words])
     cond: Column | None = None

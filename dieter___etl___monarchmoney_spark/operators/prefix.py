@@ -5,17 +5,26 @@ A naive global running total forces Spark to sort the whole input into
 ONE window partition — the classic single-reducer scale-killer. The
 two-phase form here is the textbook distributed scan:
 
-1. range-partition on the order key (P ranges, P = cluster width) and
-   compute an ordinary per-partition running sum — parallel, one local
-   sort per partition (already sorted within ranges by the shuffle);
-2. collect the P partition totals (K-bounded driver materialization:
-   P rows, never data rows), prefix-sum them on the driver, and
-   broadcast the P cumulative offsets back;
-3. each row's global prefix = its local prefix + its partition's
-   offset — a map-side add, no further shuffle.
+1. assign every row an explicit range-bucket id from K-bounded
+   quantile boundaries of the first order key (one map-side-combined
+   aggregate — boundary rows, never data rows), then range-partition
+   on that bucket id — the ONE data shuffle — and compute an ordinary
+   per-bucket running sum;
+2. collect the per-bucket totals (K-bounded driver materialization:
+   ≤ num_ranges rows), prefix-sum them on the driver, and broadcast
+   the cumulative offsets back;
+3. each row's global prefix = its local prefix + its bucket's offset —
+   a map-side add, no further shuffle.
 
-Total cost: one range shuffle + one P-row collect, versus the naive
-plan's full sort into a single task. This is the same
+The bucket id must be an EXPLICIT column (not ``spark_partition_id``):
+a window partitioned by the bucket column is satisfied by the range
+exchange's own clustering, so Catalyst inserts NO second exchange —
+partitioning by ``spark_partition_id()`` instead would force a second
+full-data hash shuffle (RangePartitioning on the sort keys does not
+satisfy a clustering requirement on the synthetic pid column).
+
+Total cost: one range shuffle + two scalar-sized driver reads, versus
+the naive plan's full sort into a single task. This is the same
 partial-then-offset decomposition Spark itself uses for
 ``zipWithIndex``.
 
@@ -31,16 +40,37 @@ import decimal
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DateType,
     DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
+    NumericType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
 _PID = "__prefix_pid"
 _LOCAL = "__prefix_local"
+
+
+def _bucket_key(df: DataFrame, first_col: str):
+    """A double-valued, order-preserving image of the first order key,
+    used only to cut range-bucket boundaries (ties collapsing under the
+    double cast merely merge adjacent buckets — never reorder them)."""
+    t = df.schema[first_col].dataType
+    c = F.col(first_col)
+    if isinstance(t, (TimestampType, TimestampNTZType)):
+        # NTZ casts through timestamp at a fixed session-tz offset —
+        # monotone, which is all bucketing needs
+        return F.unix_micros(c.cast("timestamp")).cast("double")
+    if isinstance(t, DateType):
+        return F.unix_date(c).cast("double")
+    if isinstance(t, NumericType):
+        return c.cast("double")
+    return None  # non-rangeable key type: caller falls back
 
 
 def distributed_prefix_sum(
@@ -54,43 +84,71 @@ def distributed_prefix_sum(
     global ``order_cols`` order (inclusive of the current row).
 
     ``order_cols`` must be a unique total order (pass tie-break keys);
-    ``value_col`` may be a column name or Column expression. The
-    result keeps the range partitioning, so a downstream
+    ``value_col`` may be a column name or Column expression. The first
+    order key must be numeric / timestamp / date (it cuts the range
+    buckets). The result is range-partitioned on the bucket id — in
+    ascending key order — so a downstream
     ``sortWithinPartitions(order_cols)`` write emits globally sorted
     output without another shuffle.
+
+    Determinism: bucket boundaries come from ``percentile_approx``
+    (deterministic sketch), not the RangePartitioner's random
+    reservoir — for exact types (int/bigint/decimal) the output is
+    bucketing-independent anyway; for double value columns the
+    floating ADD ORDER follows the (deterministic) buckets.
     """
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     keys = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(num_ranges, *keys)
-    # spark_partition_id() on a range-partitioned frame IS the range
-    # index (RangePartitioner assigns partition 0 the lowest range), so
-    # the driver-side offsets line up with the ranges by construction.
+    bkey = _bucket_key(df, order_cols[0])
+    if bkey is None:
+        raise TypeError(
+            f"distributed_prefix_sum: first order column {order_cols[0]!r} "
+            f"must be numeric/timestamp/date to cut range buckets"
+        )
+    # K-bounded boundary probe: one map-side-combined aggregate returns
+    # ≤ num_ranges-1 cut points (deduped — a skewed key just yields
+    # fewer, fatter buckets). NULL keys sort first and land in bucket 0
+    # (every `NULL > cut` is false), matching ASC NULLS FIRST order.
+    cuts = [i / num_ranges for i in range(1, num_ranges)]
+    row = df.select(
+        F.percentile_approx(bkey, F.array(*[F.lit(c) for c in cuts]), F.lit(10_000)).alias("b")
+    ).first()
+    bounds = sorted(set(row["b"])) if row is not None and row["b"] is not None else []
+    if bounds:
+        bounds_arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(F.filter(bounds_arr, lambda b: bkey > b))
+    else:
+        bucket = F.lit(0)
+    n_buckets = len(bounds) + 1
+    # ONE data shuffle: range-partition on the explicit bucket id. The
+    # window below requires clustering on _PID, which RangePartitioning
+    # on _PID satisfies — no second exchange (pinned by the plan test).
+    ranged = df.withColumn(_PID, bucket.cast("int")).repartitionByRange(
+        n_buckets, F.col(_PID)
+    )
     local_w = (
         Window.partitionBy(_PID)
         .orderBy(*keys)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = (
-        ranged.withColumn(_PID, F.spark_partition_id())
-        .withColumn(_LOCAL, F.sum(value).over(local_w))
-        # Pinned so the partition totals the driver reads and the rows
-        # the offsets are joined back to come from the SAME evaluation
-        # (RangePartitioner samples its bounds; an unpinned re-eval
-        # could re-draw them). The pin is deliberately NOT released
-        # here: the returned DataFrame still reads from it, and Spark
-        # evicts LRU cache blocks under memory pressure anyway. Callers
-        # that loop over many prefix sums can spark.catalog.clearCache()
-        # between iterations.
+        ranged.withColumn(_LOCAL, F.sum(value).over(local_w))
+        # Pinned so the bucket totals the driver reads and the rows the
+        # offsets are joined back to come from the SAME evaluation. The
+        # pin is deliberately NOT released here: the returned DataFrame
+        # still reads from it, and Spark evicts LRU cache blocks under
+        # memory pressure anyway. Callers that loop over many prefix
+        # sums can spark.catalog.clearCache() between iterations.
         .persist()
     )
-    # Partition total = SUM(value), NOT max of the running prefix —
-    # with negative values (running balances, deltas) the local prefix
-    # is non-monotone and its max overstates the partition total.
+    # Bucket total = SUM(value), NOT max of the running prefix — with
+    # negative values (running balances, deltas) the local prefix is
+    # non-monotone and its max overstates the bucket total.
     totals_df = local.groupBy(_PID).agg(F.sum(value).alias("t"))
     t_type = totals_df.schema["t"].dataType
     totals = {
         r[_PID]: r["t"] for r in totals_df.collect()
-    }  # K-bounded: num_ranges rows
+    }  # K-bounded: ≤ num_ranges rows
     if isinstance(t_type, DecimalType):
         zero = decimal.Decimal(0)
     elif isinstance(t_type, (DoubleType, FloatType)):
@@ -98,7 +156,7 @@ def distributed_prefix_sum(
     else:
         zero = 0
     offsets, running = [], zero
-    for pid in range(num_ranges):
+    for pid in range(n_buckets):
         offsets.append((pid, running))
         t = totals.get(pid)
         if t is not None:

@@ -118,7 +118,11 @@ def lsh_ann_topk(
 
     planes = _hyperplanes(len(query_vec), bits, seed)
     qv = np.asarray(query_vec, dtype=float)
-    qsig = sum(1 << i for i, p in enumerate(planes) if float(np.dot(qv, p)) > 0)
+    # _fold_dot, NOT np.dot: the engine's lsh_signature and the DuckDB
+    # oracle both evaluate the plane dot as a strict left fold; BLAS
+    # pairwise summation can flip the sign of a near-zero dot in the
+    # last ulp, silently shifting every probe_radius off the oracle's
+    qsig = sum(1 << i for i, p in enumerate(planes) if _fold_dot(qv, p) > 0)
     # multi-probe: all buckets within hamming distance `multiprobe`
     probe = {qsig}
     for h in range(1, multiprobe + 1):
@@ -157,7 +161,11 @@ def lsh_scored_candidates(
     and five."""
     planes = _hyperplanes(len(query_vec), bits, seed)
     qv = np.asarray(query_vec, dtype=float)
-    qsig = sum(1 << i for i, p in enumerate(planes) if float(np.dot(qv, p)) > 0)
+    # _fold_dot, NOT np.dot: the engine's lsh_signature and the DuckDB
+    # oracle both evaluate the plane dot as a strict left fold; BLAS
+    # pairwise summation can flip the sign of a near-zero dot in the
+    # last ulp, silently shifting every probe_radius off the oracle's
+    qsig = sum(1 << i for i, p in enumerate(planes) if _fold_dot(qv, p) > 0)
     q = const_vec(query_vec)
     return vectors.withColumn(
         "bucket", lsh_signature(F.col(vec_col), planes)
@@ -320,6 +328,16 @@ def embedding_neardup_pairs(
     persisted — it feeds both sides), so the per-pair verify is a single
     dot product instead of three: computing cosine(a, b) inside the join
     would re-derive both norms for every candidate pair."""
+    # validate `dim` against the data before planning: a mismatch makes
+    # every plane dot NULL (zip_with pads with nulls), every bucket 0,
+    # and the self-join silently degenerates to the all-pairs n² blowup
+    # this operator exists to prevent. One O(1) row probe, not a scan.
+    first = vectors.select(F.size(vec_col).alias("d")).first()
+    if first is not None and first["d"] != dim:
+        raise ValueError(
+            f"embedding_neardup_pairs: dim={dim} but {vec_col!r} vectors "
+            f"have {first['d']} elements — buckets would all collapse to 0"
+        )
     planes = _hyperplanes(dim, bits, seed)
     # norm as a materialized column FIRST: referencing l2_norm(vec)
     # inside the transform lambda would re-run the whole fold per element

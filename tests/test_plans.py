@@ -307,6 +307,34 @@ def test_pagination_no_single_partition_sort(spark):
     assert "Window" not in plan
 
 
+def test_prefix_sum_single_exchange(spark):
+    """distributed_prefix_sum moves the data through exactly ONE
+    shuffle: the range exchange on the explicit bucket id satisfies the
+    window's clustering requirement, so Catalyst inserts no second
+    (hash) exchange — the failure mode of partitioning the window by
+    spark_partition_id(). The offset join stays broadcast."""
+    import pyspark.sql.functions as F
+
+    from dieter___etl___monarchmoney_spark.operators.prefix import (
+        distributed_prefix_sum,
+    )
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+        "event_id", "ts", F.col("value").cast("decimal(18,6)").alias("amount")
+    )
+    out = distributed_prefix_sum(ev, ["ts", "event_id"], "amount", "bal")
+    plan = _plan(out)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # one range exchange in the live subtree (the InMemoryRelation
+    # stringifies its stored plan a second time — count distinct ids)
+    import re
+
+    ids = {m for m in re.findall(r"Exchange rangepartitioning[^\[]*\[plan_id=(\d+)\]", plan)}
+    assert len(ids) <= 2  # live subtree + its cached-plan rendering
+    assert "BroadcastExchange" in plan
+
+
 def test_cashflow_report_single_scan_grouping_sets(spark):
     """The four-section cashflow report (SURVEY §3.3) runs as ONE
     grouping-sets aggregate: one lineitem scan, an Expand (the
