@@ -49,10 +49,21 @@ Options (``spark.read.format("graphql_json")``):
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StructType
+
+# module-level, NOT a function-local import inside the reader: a
+# runtime `import` on the executor needs the package on the worker's
+# sys.path, defeating the by-value shipping contract. As a module
+# global (with json_ingest registered by value in `register`), the
+# function ships inside the pickled reader instead.
+from dieter___etl___monarchmoney_spark.sources.json_ingest import (
+    NonRetryableError,
+    with_retries,
+)
 
 DEFAULT_PAGE_SIZE = 500
 
@@ -65,7 +76,11 @@ def _walk(obj: dict, dotted: str):
 
 def _post(url: str, operation: str, graphql: str, variables: dict, token: str | None):
     """One GraphQL POST → decoded ``data`` payload. Raises on HTTP or
-    GraphQL-level errors (the reference surfaces both as exceptions)."""
+    GraphQL-level errors (the reference surfaces both as exceptions).
+    Permanent failures — 4xx other than 408/429, and GraphQL-level
+    errors (bad token, malformed query) — raise ``NonRetryableError``
+    so the T6 retry wrapper fails fast instead of re-POSTing a doomed
+    request three times per page."""
     body = json.dumps(
         {"operationName": operation, "query": graphql, "variables": variables}
     ).encode()
@@ -73,10 +88,15 @@ def _post(url: str, operation: str, graphql: str, variables: dict, token: str | 
     if token:
         headers["Authorization"] = f"Token {token}"
     req = urllib.request.Request(url, data=body, headers=headers, method="POST")
-    with urllib.request.urlopen(req, timeout=30) as resp:
-        payload = json.loads(resp.read())
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            payload = json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        if 400 <= e.code < 500 and e.code not in (408, 429):
+            raise NonRetryableError(f"HTTP {e.code} from {url}: permanent") from e
+        raise
     if payload.get("errors"):
-        raise RuntimeError(f"GraphQL errors: {payload['errors']}")
+        raise NonRetryableError(f"GraphQL errors: {payload['errors']}")
     return payload["data"]
 
 
@@ -120,8 +140,6 @@ class GraphQLJsonReader(DataSourceReader):
         self.token = options.get("token")
 
     def _call(self, variables: dict):
-        from dieter___etl___monarchmoney_spark.sources.json_ingest import with_retries
-
         return with_retries(
             lambda: _post(
                 self.url, self.operation, self.graphql, variables, self.token
@@ -150,8 +168,20 @@ class GraphQLJsonReader(DataSourceReader):
 
 
 def register(spark) -> None:
-    """Idempotent format registration (same by-value shipping contract
-    as paged_source.register)."""
+    """Idempotent format registration. Same by-value shipping contract
+    as paged_source.register — and actually enforced here: this module
+    AND json_ingest (whose ``with_retries`` the reader calls on
+    executors) are registered for by-value pickling, so read tasks
+    never depend on the package being importable from the worker's
+    cwd/sys.path."""
+    import sys
+
+    import cloudpickle
+
+    from dieter___etl___monarchmoney_spark.sources import json_ingest
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(json_ingest)
     spark.dataSource.register(GraphQLJsonDataSource)
 
 
@@ -184,7 +214,11 @@ class MockGraphQLServer:
         with open(payload_path) as f:
             records = [json.loads(line) for line in f if line.strip()]
         expected_auth = f"Token {token}" if token else None
-        state = {"fails_left": fail_first}
+        # lock: ThreadingHTTPServer handles pages concurrently, and an
+        # unguarded read-modify-write could serve MORE than fail_first
+        # 500s (two threads both seeing fails_left==1), flaking the
+        # retry test
+        state = {"fails_left": fail_first, "lock": threading.Lock()}
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def log_message(self, *args):  # keep bench stdout parseable
@@ -195,8 +229,11 @@ class MockGraphQLServer:
                     self.send_response(401)
                     self.end_headers()
                     return
-                if state["fails_left"] > 0:
-                    state["fails_left"] -= 1
+                with state["lock"]:
+                    inject_fail = state["fails_left"] > 0
+                    if inject_fail:
+                        state["fails_left"] -= 1
+                if inject_fail:
                     self.send_response(500)
                     self.end_headers()
                     return

@@ -21,11 +21,20 @@ from pyspark.sql import types as T
 WRAPPER_KEYS = ("results", "nodes", "items", "edges", "data")
 
 
+class NonRetryableError(Exception):
+    """A PERMANENT failure (auth rejection, malformed query, GraphQL
+    validation error): ``with_retries`` re-raises it immediately —
+    re-POSTing a doomed request 3× per page just hammers the endpoint
+    before the same failure surfaces."""
+
+
 def with_retries(fn, *, attempts: int = 3, delay_s: float = 5.0, sleep=None):
     """T6 — transport retry policy (3 attempts, 5 s sleep,
     MonarchMoneyMain-v3.py:1058-1082). Connector-edge concern: wraps the
     driver-side fetch that produces the documents; Spark task retries
-    cover execution-side failures. ``sleep`` is injectable for tests."""
+    cover execution-side failures. ``sleep`` is injectable for tests.
+    ``NonRetryableError`` (and causes the callable classifies as such)
+    fail fast instead of burning the retry budget."""
     import time as _time
 
     sleep = sleep or _time.sleep
@@ -33,6 +42,8 @@ def with_retries(fn, *, attempts: int = 3, delay_s: float = 5.0, sleep=None):
     for attempt in range(1, attempts + 1):
         try:
             return fn()
+        except NonRetryableError:
+            raise
         except Exception as exc:  # noqa: BLE001 — transport errors are opaque
             last = exc
             if attempt < attempts:

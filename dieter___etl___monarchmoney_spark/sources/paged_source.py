@@ -281,8 +281,20 @@ class PagedJsonWriter(DataSourceWriter):
         import os
         import uuid
 
+        from pyspark import TaskContext
+
         os.makedirs(self.staging, exist_ok=True)
-        part = os.path.join(self.staging, f"part-{uuid.uuid4().hex[:12]}.jsonl")
+        # zero-padded PARTITION id prefix: the commit-side sort must
+        # reproduce partition order (the reference's ordered-sheet
+        # contract, O1/O2) — sorting uuid-only names is arbitrary and
+        # differs run to run. The uuid suffix keeps concurrent attempts
+        # of the same partition (speculation, task retry) from
+        # colliding mid-write; Spark commits exactly one message per
+        # partition, so the suffix never decides the order.
+        pid = TaskContext.get().partitionId()
+        part = os.path.join(
+            self.staging, f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.jsonl"
+        )
         n = 0
         with open(part, "w") as f:
             for row in iterator:
@@ -297,10 +309,12 @@ class PagedJsonWriter(DataSourceWriter):
 
         tmp = f"{self.path}.tmp-{os.path.basename(self.staging)}"
         with open(tmp, "wb") as out:
-            # deterministic merge order: sort by part path, not task
-            # completion order
+            # deterministic merge order: the part basename leads with
+            # the zero-padded partition id, so this sort IS partition
+            # order
             for m in sorted(
-                (m for m in messages if m is not None), key=lambda m: m.part_path
+                (m for m in messages if m is not None),
+                key=lambda m: os.path.basename(m.part_path),
             ):
                 with open(m.part_path, "rb") as src:
                     shutil.copyfileobj(src, out)
@@ -334,9 +348,17 @@ class PagedJsonStreamWriter(DataSourceStreamWriter):
         import os
         import uuid
 
+        from pyspark import TaskContext
+
         staging = os.path.join(self.path, ".staging")
         os.makedirs(staging, exist_ok=True)
-        part = os.path.join(staging, f"part-{uuid.uuid4().hex[:12]}.jsonl")
+        # partition-id prefix (see PagedJsonWriter.write): without it a
+        # re-delivered batch merges its fresh uuid-named parts in a
+        # DIFFERENT sorted order, replacing epoch-N.jsonl with the same
+        # rows differently ordered — which breaks the "identical
+        # content" half of the idempotent-epoch exactly-once claim.
+        pid = TaskContext.get().partitionId()
+        part = os.path.join(staging, f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.jsonl")
         n = 0
         with open(part, "w") as f:
             for row in iterator:
@@ -347,14 +369,16 @@ class PagedJsonStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         import os
+        import shutil
 
         tmp = os.path.join(self.path, f".tmp-epoch-{batchId}")
         with open(tmp, "wb") as out:
             for m in sorted(
-                (m for m in messages if m is not None), key=lambda m: m.part_path
+                (m for m in messages if m is not None),
+                key=lambda m: os.path.basename(m.part_path),
             ):
                 with open(m.part_path, "rb") as src:
-                    out.write(src.read())
+                    shutil.copyfileobj(src, out)  # stream, don't buffer whole parts
                 os.remove(m.part_path)
         os.replace(tmp, os.path.join(self.path, f"epoch-{batchId}.jsonl"))
 

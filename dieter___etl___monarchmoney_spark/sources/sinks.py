@@ -37,6 +37,22 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jpath, jvm
 
 
+def staged_swap(spark: SparkSession, staging: str, path: str) -> None:
+    """Delete-then-rename a fully-written staging directory onto the
+    target — the shared tail of every staged rewrite (staged_overwrite,
+    compact_table, run_incremental_load). Hadoop rename reports failure
+    via its boolean, not an exception — and at that point the old
+    target is already gone, so a silent False (cross-filesystem
+    staging, concurrent writer) would lose the table without a trace;
+    raise instead."""
+    fs, target, jvm = _hadoop_fs(spark, path)
+    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+    if fs.exists(target):
+        fs.delete(target, True)
+    if not fs.rename(staging_path, target):
+        raise IOError(f"rename {staging} -> {path} failed; table left in staging")
+
+
 def staged_overwrite(df: DataFrame, path: str) -> None:
     """K1 for self-referencing rewrites: a path can't be overwritten
     while a plan still reads it, so stage to a sibling directory and
@@ -45,17 +61,7 @@ def staged_overwrite(df: DataFrame, path: str) -> None:
     skip the swap entirely)."""
     staging = path.rstrip("/") + "._staging"
     df.write.mode("overwrite").parquet(staging)
-    spark = df.sparkSession
-    fs, target, jvm = _hadoop_fs(spark, path)
-    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
-    if fs.exists(target):
-        fs.delete(target, True)
-    # Hadoop rename reports failure via its boolean, not an exception —
-    # and at this point the old target is already gone, so a silent
-    # False (cross-filesystem staging, concurrent writer) would lose
-    # the table without a trace.
-    if not fs.rename(staging_path, target):
-        raise IOError(f"rename {staging} -> {path} failed; table left in staging")
+    staged_swap(df.sparkSession, staging, path)
 
 
 def delete_path(spark: SparkSession, path: str) -> bool:
@@ -97,15 +103,17 @@ def write_csv(df: DataFrame, path: str) -> None:
 
 def ensure_table(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
     """K5 — create-if-absent bootstrap (_ensure_ws
-    MonarchMoneyMain-v3.py:76-81): if the path doesn't read, write an
+    MonarchMoneyMain-v3.py:76-81): if the path does not EXIST, write an
     empty frame with the given schema; return the (possibly fresh)
-    table."""
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    table. Absence is a FileSystem existence check, never an exception
+    catch — a transient read error (corrupt file, storage hiccup,
+    permissions) on an existing populated table must raise, not
+    trigger the bootstrap's overwrite and silently wipe it."""
+    fs, target, _ = _hadoop_fs(spark, path)
+    if not fs.exists(target):
         empty = spark.createDataFrame([], like.schema)
         empty.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+    return spark.read.parquet(path)
 
 
 def truncate_table(spark: SparkSession, path: str) -> None:
@@ -150,6 +158,34 @@ def write_sorted_table(
     )
 
 
+def _partition_col_of(spark: SparkSession, path: str) -> str | None:
+    """The hive-layout partition column of a table directory (from its
+    ``col=value`` subdirectory names), or None for a flat table."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and "=" in name and not name.startswith("."):
+            return name.split("=", 1)[0]
+    return None
+
+
+def _count_parquet_files(spark: SparkSession, path: str) -> int:
+    """Recursive ``.parquet`` file count — partition subdirs included,
+    so the compaction manifest reports real numbers for hive layouts
+    (the flat listStatus saw 0 files either side)."""
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    n = 0
+    it = fs.listFiles(jpath, True)  # recursive RemoteIterator
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
 def compact_table(spark: SparkSession, path: str, target_files: int = 8) -> dict:
     """Maintenance op the 100 TB lake actually needs: incremental loads
     leave one small file per micro-batch/partition-write; eventually the
@@ -157,14 +193,29 @@ def compact_table(spark: SparkSession, path: str, target_files: int = 8) -> dict
     Rewrite to ``target_files`` via ``coalesce`` — a NARROW dependency:
     existing files concatenate into fewer tasks with no shuffle — then
     swap through the staged Hadoop-FS path. Returns a
-    files-before/after manifest."""
-    before = [
-        f for f in _list_files(spark, path) if f.endswith(".parquet")
-    ]
+    files-before/after manifest.
+
+    PRESERVES a hive ``col=value`` layout: a partitioned table is
+    rewritten ``partitionBy`` its partition column (repartitioned on it
+    so each partition compacts toward one file) — flattening it would
+    silently break ``list_partition_values``/``expire_partitions``
+    retention and collide with the next dynamic partition write."""
+    before = _count_parquet_files(spark, path)
+    part_col = _partition_col_of(spark, path)
     df = spark.read.parquet(path)
-    staged_overwrite(df.coalesce(target_files), path)
-    after = [f for f in _list_files(spark, path) if f.endswith(".parquet")]
-    return {"files_before": len(before), "files_after": len(after)}
+    if part_col is not None:
+        staging = path.rstrip("/") + "._staging"
+        (
+            df.repartition(part_col)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(staging)
+        )
+        staged_swap(spark, staging, path)
+    else:
+        staged_overwrite(df.coalesce(target_files), path)
+    after = _count_parquet_files(spark, path)
+    return {"files_before": before, "files_after": after}
 
 
 def expire_partitions(

@@ -179,12 +179,16 @@ def run_incremental_load(
         (F.col(date_col) >= F.lit(start.isoformat()))
         & (F.col(date_col) <= F.lit(end.date().isoformat()))
     )
-    try:
+    from dieter___etl___monarchmoney_spark.sources.sinks import _hadoop_fs
+
+    # Absence is an EXISTENCE check, never an exception catch: a
+    # transient read failure (corrupt footer, storage hiccup,
+    # permissions) on an existing sink must surface, not silently
+    # reclassify ten years of history as "no sink" and replace the
+    # whole table with one reload window.
+    fs_probe, target_probe, _ = _hadoop_fs(spark, sink_path)
+    if fs_probe.exists(target_probe):
         existing = spark.read.parquet(sink_path)
-        has_existing = True
-    except Exception:
-        has_existing = False
-    if has_existing:
         merged = replace_window_merge(existing, fresh, date_col, start)
     else:
         merged = fresh
@@ -198,21 +202,14 @@ def run_incremental_load(
     # source once per count and then again for the write — at scale that
     # triples the extract cost; parquet counts come from row-group
     # metadata, not a data scan.
-    from dieter___etl___monarchmoney_spark.sources.sinks import _hadoop_fs
+    from dieter___etl___monarchmoney_spark.sources.sinks import staged_swap
 
     staging = sink_path.rstrip("/") + "._staging"
     merged.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
     n = staged.count()
     fresh_n = staged.filter(F.col(date_col) >= F.lit(start.isoformat())).count()
-    fs, target, jvm = _hadoop_fs(spark, sink_path)
-    staging_jpath = jvm.org.apache.hadoop.fs.Path(staging)
-    if fs.exists(target):
-        fs.delete(target, True)
-    # rename failure surfaces as a boolean, and the old target is gone —
-    # raise rather than silently lose the table (see sinks.staged_overwrite)
-    if not fs.rename(staging_jpath, target):
-        raise IOError(f"rename {staging} -> {sink_path} failed; table left in staging")
+    staged_swap(spark, staging, sink_path)
     if fresh_n > 0 or advance_on_empty:
         write_watermark(spark, control_path, end)
     return {

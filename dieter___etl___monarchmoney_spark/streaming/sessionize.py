@@ -63,42 +63,49 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Streaming sessionization with per-user state: events accumulate
     into the open session; a gap beyond ``gap_minutes`` (or state
-    timeout at watermark) closes it and emits the session row."""
-    gap = dt.timedelta(minutes=gap_minutes)
+    timeout at watermark) closes it and emits the session row.
+
+    State carries NANOSECOND bounds and the gap test runs on ``ts_ns``
+    with the same (ts_ns, event_id) order as ``sessionize_batch`` — a
+    µs-truncated test would disagree with the batch twin for raw-ns
+    sources on gaps within 1 µs of the boundary. Emitted bounds
+    truncate ns → µs, exactly like the batch form's min/max over the
+    µs ``ts`` column."""
+    gap_ns = gap_minutes * 60 * 1_000_000_000
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.hasTimedOut:
-            start, end, n, sid = state.get
+            start_ns, end_ns, n, sid = state.get
             state.remove()
             yield pd.DataFrame(
-                [[user_id, sid, pd.Timestamp(start, unit="us"), pd.Timestamp(end, unit="us"), n]],
+                [[user_id, sid, pd.Timestamp(start_ns // 1000, unit="us"), pd.Timestamp(end_ns // 1000, unit="us"), n]],
                 columns=[f.name for f in SESSION_SCHEMA.fields],
             )
             return
-        rows = pd.concat(list(pdfs)).sort_values("ts")
+        rows = pd.concat(list(pdfs)).sort_values(["ts_ns", "event_id"])
         if state.exists:
-            start_us, end_us, n, sid = state.get
+            start_ns, end_ns, n, sid = state.get
         else:
-            start_us = end_us = None
+            start_ns = end_ns = None
             # first session is id 1, matching the batch form's running
             # SUM(is_break) numbering so the twins are row-identical
             n, sid = 0, 1
         out = []
-        for ts in rows["ts"]:
-            ts_us = int(pd.Timestamp(ts).value // 1000)
-            if end_us is not None and ts_us - end_us > gap.total_seconds() * 1e6:
-                out.append([user_id, sid, pd.Timestamp(start_us, unit="us"), pd.Timestamp(end_us, unit="us"), n])
+        for ts_ns in rows["ts_ns"]:
+            ts_ns = int(ts_ns)
+            if end_ns is not None and ts_ns - end_ns > gap_ns:
+                out.append([user_id, sid, pd.Timestamp(start_ns // 1000, unit="us"), pd.Timestamp(end_ns // 1000, unit="us"), n])
                 sid += 1
-                start_us, n = ts_us, 0
-            if start_us is None:
-                start_us = ts_us
-            end_us = ts_us
+                start_ns, n = ts_ns, 0
+            if start_ns is None:
+                start_ns = ts_ns
+            end_ns = ts_ns
             n += 1
-        state.update((start_us, end_us, n, sid))
-        state.setTimeoutTimestamp(end_us // 1000 + gap_minutes * 60 * 1000)
+        state.update((start_ns, end_ns, n, sid))
+        state.setTimeoutTimestamp(end_ns // 1_000_000 + gap_minutes * 60 * 1000)
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in SESSION_SCHEMA.fields])
 
@@ -137,7 +144,10 @@ def sessionize_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    gap_us = gap_minutes * 60 * 1_000_000
+    # ns-exact gap test on ts_ns with the batch twin's (ts_ns,
+    # event_id) order — see sessionize_stream; emitted bounds truncate
+    # ns -> µs like the batch form's min/max over the µs ts column
+    gap_ns = gap_minutes * 60 * 1_000_000_000
     cols = [f.name for f in SESSION_SCHEMA.fields]
 
     class SessionProcessor(StatefulProcessor):
@@ -149,32 +159,32 @@ def sessionize_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         def handleInputRows(self, key, rows, timer_values):
             (user_id,) = key
             parts = [pdf for pdf in rows]
-            pdf = pd.concat(parts).sort_values("ts")
+            pdf = pd.concat(parts).sort_values(["ts_ns", "event_id"])
             if self._state.exists():
-                start_us, end_us, n, sid = self._state.get()
+                start_ns, end_ns, n, sid = self._state.get()
             else:
-                start_us = end_us = None
+                start_ns = end_ns = None
                 n, sid = 0, 1  # first session is id 1 (batch-twin numbering)
             out = []
-            for ts in pdf["ts"]:
-                ts_us = int(pd.Timestamp(ts).value // 1000)
-                if end_us is not None and ts_us - end_us > gap_us:
+            for ts_ns in pdf["ts_ns"]:
+                ts_ns = int(ts_ns)
+                if end_ns is not None and ts_ns - end_ns > gap_ns:
                     out.append(
                         [
                             user_id,
                             sid,
-                            pd.Timestamp(start_us, unit="us"),
-                            pd.Timestamp(end_us, unit="us"),
+                            pd.Timestamp(start_ns // 1000, unit="us"),
+                            pd.Timestamp(end_ns // 1000, unit="us"),
                             n,
                         ]
                     )
                     sid += 1
-                    start_us, n = ts_us, 0
-                if start_us is None:
-                    start_us = ts_us
-                end_us = ts_us
+                    start_ns, n = ts_ns, 0
+                if start_ns is None:
+                    start_ns = ts_ns
+                end_ns = ts_ns
                 n += 1
-            self._state.update((start_us, end_us, n, sid))
+            self._state.update((start_ns, end_ns, n, sid))
             if out:
                 yield pd.DataFrame(out, columns=cols)
 

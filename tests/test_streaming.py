@@ -78,6 +78,56 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     for row in got:
         assert row in batch
 
+
+def test_sessionize_stream_ns_gap_boundary(spark, tmp_path):
+    """The stream's gap test runs on ts_ns like the batch twin: a gap
+    of 30min+1ns must BREAK the session in both implementations, and a
+    gap of exactly 30min must break in NEITHER — a µs-truncated stream
+    test would disagree on the +1ns case for raw-ns sources."""
+    base_ns = int(dt.datetime(2024, 1, 1).timestamp()) * 1_000_000_000
+    gap_ns = 30 * 60 * 1_000_000_000
+    rows = []
+    # user 1: second event 30min+1ns later -> break (2 sessions)
+    # user 2: second event exactly 30min later -> no break (1 session)
+    for u, delta in ((1, gap_ns + 1), (2, gap_ns)):
+        for i, off in enumerate((0, delta, delta + 1_000_000_000)):
+            rows.append((u * 10 + i, base_ns + off, u, "e", 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    from dieter___etl___monarchmoney_spark.sources.parquet import (
+        _normalize_event_time,
+    )
+
+    df = _normalize_event_time(df)  # raw-ns long -> (ts µs, ts_ns)
+    batch = {
+        (r["user_id"], r["session_id"], r["n_events"])
+        for r in sessionize_batch(df).collect()
+    }
+    # user 1 split 1+2, user 2 single 3-event session
+    assert batch == {(1, 1, 1), (1, 2, 2), (2, 1, 3)}
+
+    src = str(tmp_path / "ns_events_src")
+    df.write.parquet(src)
+    stream_in = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sessionize_stream(stream_in)
+        .writeStream.format("memory")
+        .queryName("t_ns_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_id"], r["n_events"])
+        for r in spark.table("t_ns_sessions").collect()
+    }
+    # only user 1's FIRST session closes in-stream (the rest stay open
+    # in state) — and it must match the batch row exactly: the stream
+    # saw the +1ns gap the µs truncation would have erased
+    assert got == {(1, 1, 1)}
+
 def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     """The REAL watermark semantics (not just availableNow equivalence):
     with a 1-day watermark and append output, an event arriving in a
