@@ -104,7 +104,8 @@ class FinanceWarehouse:
         return (
             self.table("accounts")
             .select("type", "subtype")
-            .distinct()
+            # no .distinct() first: collect_set already dedups per
+            # type, and the extra distinct is a whole second shuffle
             .groupBy("type")
             .agg(F.sort_array(F.collect_set("subtype")).alias("possibleSubtypes"))
             .orderBy("type")
@@ -130,9 +131,9 @@ class FinanceWarehouse:
             balances = balances.filter(F.col("date") >= F.lit(start_date))
         if end_date:
             balances = balances.filter(F.col("date") <= F.lit(end_date))
-        return balances.groupBy("date").agg(
-            F.sum(F.col("balance").cast("decimal(18,6)")).cast("double").alias("balance")
-        )
+        from dieter___etl___monarchmoney_spark.functions.money import money_sum
+
+        return balances.groupBy("date").agg(money_sum("balance").alias("balance"))
 
     def get_account_history(self, account_id) -> DataFrame:
         """monarchmoney.py:795-1022 — per-account daily snapshots,
@@ -259,6 +260,17 @@ class FinanceWarehouse:
         """monarchmoney.py:1403-1554 — the full filter surface, same
         defaults (limit=100), same both-or-neither date validation."""
         txns = self.table("transactions")
+        if tag_ids:
+            # BEFORE pagination, like every other predicate: the
+            # reference passes tagIds in the GraphQL filter variables,
+            # so offset/limit page over the TAGGED result set —
+            # filtering the already-truncated page would return short
+            # (or empty) pages whenever matches sort past the window.
+            txns = txns.filter(
+                F.arrays_overlap(
+                    F.col("tag_ids"), F.array(*[F.lit(t) for t in tag_ids])
+                )
+            )
         df = transactions_query(
             txns.withColumnRenamed("date", "txn_date"),
             start_date=start_date,
@@ -278,12 +290,6 @@ class FinanceWarehouse:
             offset=offset,
             limit=limit,
         )
-        if tag_ids:
-            df = df.filter(
-                F.arrays_overlap(
-                    F.col("tag_ids"), F.array(*[F.lit(t) for t in tag_ids])
-                )
-            )
         return df.withColumnRenamed("txn_date", "date")
 
     def get_transaction_details(self, transaction_id) -> DataFrame:
@@ -386,15 +392,23 @@ class FinanceWarehouse:
         category_id, notes: str = "", update_balance: bool = False,
     ) -> str:
         """monarchmoney.py:1556-1613 — returns the new id; amount is
-        rounded to 2dp like the reference (:1601)."""
+        rounded to 2dp like the reference (:1601).
+
+        Id = content digest over ALL payload fields (incl. category and
+        notes), not hash(): Python str hashing is per-process
+        randomized, so a retried create in a new process would mint a
+        DIFFERENT id for the same logical transaction — breaking
+        idempotent retries and cross-run references. The flip side is
+        deliberate and now total: an id collision can ONLY be a
+        byte-identical payload, which coalesces as an idempotent retry
+        (insert_rows drops it, the same id is returned). Two REAL
+        identical purchases need a distinguishing note — the price of
+        deterministic ids in a batch engine, vs the reference's
+        server-minted fresh ids."""
         txns = self.table("transactions")
-        # stable content digest, not hash(): Python str hashing is
-        # per-process randomized, so a retried create in a new process
-        # would mint a DIFFERENT id for the same logical transaction —
-        # breaking idempotent retries and cross-run references
         import hashlib
 
-        key = f"{date}|{account_id}|{amount}|{merchant_name}"
+        key = f"{date}|{account_id}|{amount}|{merchant_name}|{category_id}|{notes}"
         new_id = f"manual-{hashlib.md5(key.encode()).hexdigest()[:12]}"
         row = self.spark.createDataFrame(
             [(new_id, date, round(float(amount), 2), account_id, category_id,
@@ -440,10 +454,29 @@ class FinanceWarehouse:
     def create_transaction_category(
         self, group_id, transaction_category_name: str, icon: str = "", **_
     ) -> None:
-        """monarchmoney.py:1772-1857."""
+        """monarchmoney.py:1772-1857. Ids are name-keyed (the id format
+        callers address deletes with), so a re-create with identical
+        fields is an idempotent no-op — but a SAME-NAME category in a
+        different group or with a different icon raises instead of
+        being silently dropped by the anti-join."""
         cats = self.table("categories")
+        new_id = f"cat-{transaction_category_name}"
+        want = {"group_id": group_id, "icon": icon}
+        probe_cols = [c for c in want if c in cats.columns]
+        clash = (
+            cats.filter(F.col("id") == F.lit(new_id))
+            .select(*probe_cols)
+            .limit(1)
+            .collect()
+        )
+        if clash and any(clash[0][c] != want[c] for c in probe_cols):
+            raise ValueError(
+                f"category {transaction_category_name!r} already exists with "
+                f"different group/icon — category names are the id namespace "
+                f"here; pick a distinct name"
+            )
         row = self.spark.createDataFrame(
-            [(f"cat-{transaction_category_name}", transaction_category_name, group_id, icon)],
+            [(new_id, transaction_category_name, group_id, icon)],
             ["id", "name", "group_id", "icon"],
         )
         self.save("categories", insert_rows(cats, row, "id"))
@@ -494,9 +527,30 @@ class FinanceWarehouse:
         self, account_type: str, account_sub_type: str, is_in_net_worth: bool,
         account_name: str, account_balance: float = 0,
     ) -> str:
-        """monarchmoney.py:356-414."""
+        """monarchmoney.py:356-414. Name-keyed id: identical re-create
+        is an idempotent no-op; a same-name account with different
+        type/subtype/net-worth raises rather than silently vanishing
+        in the insert anti-join."""
         accounts = self.table("accounts")
         new_id = f"manual-{account_name}"
+        want = {
+            "type": account_type,
+            "subtype": account_sub_type,
+            "includeInNetWorth": is_in_net_worth,
+        }
+        probe_cols = [c for c in want if c in accounts.columns]
+        clash = (
+            accounts.filter(F.col("id") == F.lit(new_id))
+            .select(*probe_cols)
+            .limit(1)
+            .collect()
+        )
+        if clash and any(clash[0][c] != want[c] for c in probe_cols):
+            raise ValueError(
+                f"manual account {account_name!r} already exists with a "
+                f"different type/subtype/net-worth setting — account names "
+                f"are the id namespace here; pick a distinct name"
+            )
         row = self.spark.createDataFrame(
             [(new_id, account_name, account_type, account_sub_type,
               float(account_balance), is_in_net_worth)],
@@ -532,14 +586,21 @@ class FinanceWarehouse:
             [(str(category_id), start_date, float(amount))],
             ["category_id", "month", "plannedAmount"],
         ).withColumn("month", F.col("month").cast("date"))
-        try:
+        # first-write is an EXISTENCE check, not an exception catch: a
+        # broad except here would also swallow schema drift or a
+        # transient read error on an existing plan table and replace
+        # the WHOLE table with this one row, reported as success.
+        from dieter___etl___monarchmoney_spark.sources.sinks import _hadoop_fs
+
+        fs, target, _ = _hadoop_fs(self.spark, path)
+        if fs.exists(target):
             existing = read_sink(self.spark, path)
             merged = upsert_rows(
                 existing.withColumn("_k", F.concat_ws("|", "category_id", "month")),
                 row.withColumn("_k", F.concat_ws("|", "category_id", "month")),
                 "_k",
             ).drop("_k")
-        except Exception:
+        else:
             merged = row
         from dieter___etl___monarchmoney_spark.sources.sinks import staged_overwrite
 
@@ -549,7 +610,13 @@ class FinanceWarehouse:
         """monarchmoney.py:2642-2665 — CSV upload becomes a balance-table
         window replace for the account."""
         existing = self.table("balances")
-        kept = existing.filter(F.col("account_id") != F.lit(account_id))
+        # NULL-safe keep-filter: `col != lit` is NULL (row dropped) for
+        # NULL account_ids, which would silently delete unrelated rows
+        # on every upload — same guard as maintenance.update_splits
+        kept = existing.filter(
+            F.col("account_id").isNull()
+            | (F.col("account_id") != F.lit(account_id))
+        )
         self.save("balances", kept.unionByName(balances, allowMissingColumns=True))
 
     def request_accounts_refresh(self, account_ids: Sequence) -> bool:

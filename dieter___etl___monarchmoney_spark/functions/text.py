@@ -30,13 +30,21 @@ BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization of lowercased text."""
+    """Whitespace tokenization of lowercased text.
+
+    KNOWN SEMANTIC (shared with every DuckDB oracle twin, so it cannot
+    change on one side alone): empty / whitespace-only text yields
+    ``['']`` — one empty token, count 1 — because ``split('')`` returns
+    a single empty element in BOTH engines. Callers that must treat
+    blank docs as zero-token (quality scoring, token budgeting) filter
+    blanks first or ``F.filter(tokens(c), t -> t != '')``, which several
+    queries (sequence_packing) already do."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count."""
+    """Whitespace token count (blank text counts 1 — see ``tokens``)."""
     return F.size(tokens(col))
 
 

@@ -96,7 +96,13 @@ def cashflow_report(
     byMerchant, summary — monarchmoney.py:2264-2328). The base frame is
     persisted and eagerly materialized so the four branches reuse one
     scan instead of four (the reference gets this for free because the
-    remote server answers all four blocks from one request)."""
+    remote server answers all four blocks from one request).
+
+    The pin is deliberately NOT released here — the returned frames
+    still read it, and Spark evicts LRU cache blocks under memory
+    pressure. Long-lived sessions issuing many reports can
+    ``spark.catalog.clearCache()`` between calls (same contract as
+    operators/prefix.py)."""
     base = txns.persist()
     base.count()
     report = {

@@ -36,13 +36,19 @@ DECODED_SCHEMA = T.StructType(
 
 def binary_metadata(df: DataFrame, bin_col: str) -> DataFrame:
     """Metadata extraction without decoding: byte length + magic-byte
-    format sniff — pure column expressions (never leaves the JVM)."""
+    format sniff — pure column expressions (never leaves the JVM).
+
+    The sniff compares HEX of the raw bytes, never a string cast: a
+    ``binary -> string`` cast treats the bytes as UTF-8, while a
+    Python literal like ``"\\x89PNG"`` is UTF-8 *encoded* into the
+    plan (0x89 -> 0xC2 0x89), so a startswith on the cast can never
+    match non-ASCII magic — every PNG/JPEG classified 'unknown'."""
     b = F.col(bin_col)
-    magic = F.substring(b.cast("string"), 1, 4)
+    magic_hex = F.hex(F.substring(b, 1, 4))  # e.g. '89504E47'
     fmt = (
-        F.when(magic.startswith("\x89PNG"), "png")
-        .when(magic.startswith("\xff\xd8"), "jpeg")
-        .when(magic.startswith("RIFF"), "riff")
+        F.when(magic_hex == "89504E47", "png")  # \x89PNG
+        .when(magic_hex.startswith("FFD8"), "jpeg")
+        .when(magic_hex == "52494646", "riff")  # 'RIFF'
         .otherwise("unknown")
     )
     return df.withColumn("n_bytes", F.octet_length(b)).withColumn("format", fmt)

@@ -122,6 +122,14 @@ def transactions_query(
             df = df.offset(offset)
         if limit is not None:
             df = df.limit(limit)
+    elif all(c in df.columns for c in order_by):
+        # the unpaginated path honors order_by too — "Filter + order +
+        # paginate" is the contract, and silently returning partition
+        # order is invisible in single-partition tests while breaking
+        # full ordered exports at scale. (Filter-only uses on frames
+        # WITHOUT the default order columns keep working: ordering an
+        # unorderable frame is skipped, pagination on one still raises.)
+        df = df.orderBy(*order_by)
     return df
 
 

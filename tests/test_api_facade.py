@@ -96,6 +96,20 @@ def test_transactions_filter_surface(wh):
     assert [r["id"] for r in wh.get_transaction_splits("t3").collect()] == ["s1"]
 
 
+def test_tag_filter_applies_before_pagination(wh):
+    """tag_ids is a FILTER (the reference's GraphQL filter variables),
+    so it must restrict the set BEFORE offset/limit page over it — a
+    tagged row that sorts past the page window must still be found."""
+    # limit=1: without pre-filtering, the page would be the earliest
+    # transaction regardless of tag and the tag filter would empty it
+    # (g2 tags a row that does NOT sort first)
+    got = wh.get_transactions(tag_ids=["g2"], limit=1).collect()
+    assert len(got) == 1 and "g2" in got[0]["tag_ids"]
+    # and the page over a tag spanning several rows returns them all
+    g1 = wh.get_transactions(tag_ids=["g1"], limit=10).collect()
+    assert len(g1) == 2 and all("g1" in r["tag_ids"] for r in g1)
+
+
 def test_tags_live_counts(wh):
     tags = {r["name"]: r["transactionCount"] for r in wh.get_transaction_tags().collect()}
     assert tags == {"joint": 2, "big": 1}

@@ -209,6 +209,25 @@ def test_multimodal_stubs(spark):
     assert len([r for r in frames if r["doc_id"] == 2]) == 3  # 100//32 frames
 
 
+def test_binary_metadata_magic_bytes(spark):
+    """The format sniff must match REAL magic bytes: a binary→string
+    cast UTF-8-mangles 0x89/0xFF, so a naive startswith never matched
+    PNG/JPEG — the sniff now compares hex of the raw bytes."""
+    from dieter___etl___monarchmoney_spark.operators.multimodal import (
+        binary_metadata,
+    )
+
+    rows = [
+        (1, bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A])),  # PNG
+        (2, bytes([0xFF, 0xD8, 0xFF, 0xE0, 0x00])),  # JPEG
+        (3, b"RIFF....WAVE"),
+        (4, b"plain text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r["format"] for r in binary_metadata(df, "blob").collect()}
+    assert got == {1: "png", 2: "jpeg", 3: "riff", 4: "unknown"}
+
+
 def test_feature_extract_matches_hashlib(spark):
     import hashlib
 
