@@ -438,6 +438,17 @@ def test_quantization_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_label_noise_audit_blocked_equijoin_no_bnlj(spark):
+    """The r7 `weak` fix: kNN candidates come from an LSH-bucket
+    EQUI-join (each query exploded into its multiprobe signatures, hash
+    join on the bucket id), never the broadcast nested-loop n·(n/25)
+    product the old exact scorer planned."""
+    plan = _plan(QUERIES["knn_label_noise_audit"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_triangle_join_no_cartesian(spark):
     plan = _plan(QUERIES["similarity_graph_triangles"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan

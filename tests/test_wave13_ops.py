@@ -362,16 +362,21 @@ def test_pit_frame_excludes_current_row(spark, tmp_path):
 
 
 def test_label_noise_audit_flags_are_genuine(spark):
-    """Flagged vectors must disagree with a strict neighbor majority;
-    the flag rate should be a minority of the audited sample (labels
-    carry real signal — logreg reaches 0.63 on them)."""
-    flagged = QUERIES["knn_label_noise_audit"](spark, SF_ORACLE).collect()
+    """Every audited vector reports its modal neighbor label; the
+    ``suspect`` flag requires a strict disagreeing majority, and
+    suspects are a minority of the sample (labels carry real signal —
+    logreg reaches 0.63 on them)."""
+    rows = QUERIES["knn_label_noise_audit"](spark, SF_ORACLE).collect()
     emb = load_table(spark, "embeddings", SF_ORACLE)
     n_audited = emb.filter(F.col("vec_id") % 25 == 0).count()
-    for r in flagged:
-        assert r.own_label != r.neighbor_label
-        assert r.n_votes >= 3
-    assert len(flagged) < n_audited
+    # one modal row per audited query with a non-empty neighborhood
+    assert 0 < len(rows) <= n_audited
+    for r in rows:
+        assert 1 <= r.n_votes <= 5
+        assert r.suspect == (
+            r.own_label != r.neighbor_label and r.n_votes >= 3
+        )
+    assert sum(r.suspect for r in rows) < len(rows)
 
 
 def test_duplicated_span_on_crafted_overlap(spark, tmp_path):
