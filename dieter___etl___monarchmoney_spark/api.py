@@ -259,18 +259,10 @@ class FinanceWarehouse:
     ) -> DataFrame:
         """monarchmoney.py:1403-1554 — the full filter surface, same
         defaults (limit=100), same both-or-neither date validation."""
+        # the tag filter lives INSIDE transactions_query (before
+        # pagination, like every other predicate) — the round-7 fix is
+        # structural for every caller, not an API-local patch
         txns = self.table("transactions")
-        if tag_ids:
-            # BEFORE pagination, like every other predicate: the
-            # reference passes tagIds in the GraphQL filter variables,
-            # so offset/limit page over the TAGGED result set —
-            # filtering the already-truncated page would return short
-            # (or empty) pages whenever matches sort past the window.
-            txns = txns.filter(
-                F.arrays_overlap(
-                    F.col("tag_ids"), F.array(*[F.lit(t) for t in tag_ids])
-                )
-            )
         df = transactions_query(
             txns.withColumnRenamed("date", "txn_date"),
             start_date=start_date,
@@ -279,6 +271,7 @@ class FinanceWarehouse:
             search_columns=("plaidName", "notes") if search else (),
             category_ids=category_ids,
             account_ids=account_ids,
+            tag_ids=tag_ids,
             flags={
                 "hasAttachments": has_attachments,
                 "hasNotes": has_notes,

@@ -44,6 +44,8 @@ def transactions_query(
     category_ids: Sequence | None = None,
     account_ids: Sequence | None = None,
     merchant_ids: Sequence | None = None,
+    tag_ids: Sequence | None = None,
+    tag_col: str = "tag_ids",
     flags: dict[str, object] | None = None,
     order_by: Sequence[str] = ("txn_date", "txn_id"),
     offset: int = 0,
@@ -82,6 +84,22 @@ def transactions_query(
     ):
         if ids:
             df = df.filter(F.col(col).isin(list(ids)))
+
+    # tag overlap — BEFORE pagination, like every other predicate: the
+    # reference passes tagIds in the GraphQL filter variables
+    # (monarchmoney.py:1519-1520), so offset/limit page over the TAGGED
+    # result set. Filtering an already-truncated page returns short (or
+    # empty) pages whenever matches sort past the window — the round-7
+    # wrong-answer bug this operator now owns structurally for every
+    # caller (api.get_transactions delegates here).
+    if tag_ids:
+        elem = df.schema[tag_col].dataType.elementType.simpleString()
+        df = df.filter(
+            F.arrays_overlap(
+                F.col(tag_col),
+                F.array(*[F.lit(t).cast(elem) for t in tag_ids]),
+            )
+        )
 
     # P5 — tri-state flag filters (monarchmoney.py:1522-1542)
     for col, val in (flags or {}).items():

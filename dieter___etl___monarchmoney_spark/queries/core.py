@@ -126,3 +126,45 @@ def q_transactions_filtered_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page.select(
         "txn_id", "amount", "txn_date", "account_id", "category_id", "merchant_id"
     )
+
+
+@query(
+    "transactions_tag_filtered_page",
+    f"""
+    SELECT txn_id, amount, txn_date, category_id, merchant_id
+    FROM (
+        SELECT *, [category_id % 11, merchant_id % 11, order_id % 11] AS tag_ids
+        FROM ({TRANSACTIONS_SQL})
+    )
+    WHERE list_has_any(tag_ids, [3, 7])
+    ORDER BY txn_date, txn_id
+    LIMIT 100 OFFSET 150
+    """,
+)
+def q_transactions_tag_filtered_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-overlap filter + pagination PAST page 1 (get_transactions
+    tagIds, monarchmoney.py:1519-1520) — the driver-reachable proof of
+    the round-7 fix: the tag predicate must apply BEFORE offset/limit
+    (it lives inside ``transactions_query``, the same code path
+    ``api.get_transactions`` delegates to). Under the pre-fix ordering
+    (paginate, then tag-filter) this page would contain only the tagged
+    survivors of rows 1–N of the UNfiltered order — a different, and
+    short, result set — so the oracle row would be red. Tags are a
+    deterministic synthesis over the star model (three small-modulus
+    keys), dense enough that every page is full."""
+    txns = transactions(spark, sf_dir).withColumn(
+        "tag_ids",
+        F.array(
+            F.col("category_id") % 11,
+            F.col("merchant_id") % 11,
+            F.col("order_id") % 11,
+        ),
+    )
+    page = transactions_query(
+        txns,
+        tag_ids=[3, 7],
+        order_by=("txn_date", "txn_id"),
+        offset=150,
+        limit=100,
+    )
+    return page.select("txn_id", "amount", "txn_date", "category_id", "merchant_id")

@@ -686,18 +686,42 @@ def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_metadata",
-    """
-    SELECT doc_id, octet_length(encode(text)) AS n_bytes
-    FROM documents
+    r"""
+    WITH b AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 4 = 0 THEN '\x89\x50\x4E\x47'::BLOB
+                     WHEN doc_id % 4 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+                     WHEN doc_id % 4 = 2 THEN 'RIFF'::BLOB
+                     ELSE ''::BLOB END) || encode(text) AS blob
+        FROM documents
+    )
+    SELECT doc_id, octet_length(blob) AS n_bytes,
+           CASE WHEN substring(hex(blob), 1, 8) = '89504E47' THEN 'png'
+                WHEN substring(hex(blob), 1, 4) = 'FFD8' THEN 'jpeg'
+                WHEN substring(hex(blob), 1, 8) = '52494646' THEN 'riff'
+                ELSE 'unknown' END AS format
+    FROM b
     """,
 )
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata without decode (JVM-only): documents' text
-    encoded to bytes plays the opaque media blob."""
-    docs = load_table(spark, "documents", sf_dir).withColumn(
-        "blob", F.encode(F.col("text"), "UTF-8")
+    encoded to bytes plays the opaque media blob, with REAL PNG/JPEG/RIFF
+    magic bytes prepended by doc_id stripe so the magic-byte sniff is
+    driver-exercised non-degenerately (the round-7 bug — a UTF-8 string
+    cast that could never match non-ASCII magic — would turn every
+    `format` 'unknown' and go red here; the oracle reproduces the sniff
+    over hex of the same synthesized blobs)."""
+    docs = load_table(spark, "documents", sf_dir)
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(bytes([0x89, 0x50, 0x4E, 0x47])))
+        .when(F.col("doc_id") % 4 == 1, F.lit(bytes([0xFF, 0xD8, 0xFF, 0xE0])))
+        .when(F.col("doc_id") % 4 == 2, F.lit(b"RIFF"))
+        .otherwise(F.lit(b""))
     )
-    return binary_metadata(docs, "blob").select("doc_id", "n_bytes")
+    docs = docs.withColumn(
+        "blob", F.concat(magic, F.encode(F.col("text"), "UTF-8"))
+    )
+    return binary_metadata(docs, "blob").select("doc_id", "n_bytes", "format")
 
 
 @query(

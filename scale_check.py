@@ -145,6 +145,11 @@ EMBED_QUERIES = (
     "knn_label_noise_audit",
     "logreg_train_weights",
     "pq_adc_topk",
+    # round 8 (VERDICT r7 #3): the bench-max embedding pipeline — LSH
+    # bucket self-join pairs → connected components — was the one
+    # embedding-family query with no growth-ratio row; bucket densities
+    # are scale-invariant under replication so Σbucket² grows ~linearly
+    "semantic_dedup_clusters",
 )
 
 #: lineitem-fact operators measured on the REPLICATED LINEITEM axis:
