@@ -388,21 +388,28 @@ class FinanceWarehouse:
         rounded to 2dp like the reference (:1601).
 
         Id = content digest over ALL payload fields (incl. category and
-        notes), not hash(): Python str hashing is per-process
-        randomized, so a retried create in a new process would mint a
-        DIFFERENT id for the same logical transaction — breaking
-        idempotent retries and cross-run references. The flip side is
-        deliberate and now total: an id collision can ONLY be a
-        byte-identical payload, which coalesces as an idempotent retry
-        (insert_rows drops it, the same id is returned). Two REAL
-        identical purchases need a distinguishing note — the price of
-        deterministic ids in a batch engine, vs the reference's
-        server-minted fresh ids."""
+        notes) SALTED with a per-payload occurrence counter, not
+        hash(): Python str hashing is per-process randomized, so a
+        digestless id would break cross-run references. The counter
+        (count of existing rows sharing the digest prefix) makes a
+        byte-identical second create mint a DISTINCT deterministic id
+        — two same-priced purchases in one day both land, matching the
+        reference's always-fresh server-minted ids instead of silently
+        coalescing the second into the first (the pre-round-8
+        behavior, which was silent data loss on a plausible input).
+        The price: a blind client-side RETRY of an already-applied
+        create inserts a duplicate — exactly what replaying the
+        reference's POST against the live server does too; idempotent
+        re-runs should re-check state, not re-fire creates."""
         txns = self.table("transactions")
         import hashlib
 
         key = f"{date}|{account_id}|{amount}|{merchant_name}|{category_id}|{notes}"
-        new_id = f"manual-{hashlib.md5(key.encode()).hexdigest()[:12]}"
+        digest = hashlib.md5(key.encode()).hexdigest()[:12]
+        # occurrence salt: O(1)-ish point-prefix probe, never a scan of
+        # anything wider than this digest's id family
+        n_prior = txns.filter(F.col("id").startswith(f"manual-{digest}")).count()
+        new_id = f"manual-{digest}" if n_prior == 0 else f"manual-{digest}-{n_prior}"
         row = self.spark.createDataFrame(
             [(new_id, date, round(float(amount), 2), account_id, category_id,
               merchant_name, notes)],

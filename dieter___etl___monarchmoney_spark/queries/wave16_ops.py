@@ -3,11 +3,12 @@ Arrow path) on a genuinely sequential computation, and vector mean
 pooling with exact-decimal per-dimension sums —
 
 - ``event_transition_matrix``: per-user event-type bigrams (the Markov
-  transition estimate behind session modeling) via
-  ``groupBy(user).applyInPandas`` — the grouped-map lane is the right
-  tool exactly when each key needs ORDERED sequential iteration that
-  column algebra would contort (and the oracle proves a LAG window can
-  still express this one — the docstring frames the trade honestly);
+  transition estimate behind session modeling). Registered as the
+  LAG-window JVM form since round 8 (it is window-expressible, so the
+  hot path must be); the ``groupBy(user).applyInPandas`` grouped-map
+  walk remains as the twin the unit test pins equal — that lane is the
+  right tool exactly when each key needs ORDERED sequential iteration
+  that column algebra would contort;
 - ``label_centroid_similarity``: per-label centroid (mean pooling over
   an array column, the embedding-aggregation primitive) followed by
   the k×k pairwise cosine between centroids — all sums quantized to
@@ -65,24 +66,52 @@ def _transitions(pdf: pd.DataFrame) -> pd.DataFrame:
 @query("event_transition_matrix", _TRANSITION_SQL)
 def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition matrix (the empirical Markov chain over
-    user timelines) via the GROUPED-MAP pandas lane:
+    user timelines) — LAG window over (user, ts, event_id) + one
+    bigram aggregate, fully JVM-side.
+
+    Round-8 decision (VERDICT r7 #6, recorded): this computation IS
+    window-expressible, so the registered/benched query is the JVM
+    form — the grouped-map ``applyInPandas`` walk
+    (:func:`transition_matrix_grouped_map`) was the bench's slowest
+    non-streaming query (~6.7 s warm at sf0.1, Arrow serialization of
+    every event row) while existing only as a lane showcase. The lane
+    keeps full coverage as the TWIN: the unit test runs both forms and
+    pins them equal (the same §2.10 discipline, with the roles
+    swapped). Grouped-map remains the right tool when the per-key walk
+    carries state no fixed-width window expresses (multi-step
+    lookbacks, resets, compiled/ML per-key models).
+
+    Scale shape: one shuffle on user_id for the window (skew bounded
+    by the busiest user's history — same bound as sessionization),
+    then a map-side-combinable |types|² aggregate. Counts are exact
+    integers end to end."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+def transition_matrix_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map pandas lane twin of
+    :func:`q_event_transition_matrix`:
     ``groupBy(user_id).applyInPandas`` hands each user's full ordered
     timeline to Python, which walks it sequentially and emits local
-    bigram counts; a JVM-side aggregate then sums the per-user counts.
-
-    Lane framing (§2.10 discipline): THIS instance is still
-    window-expressible — the oracle derives the same matrix with a
-    LAG window — and the hot path would use that form; grouped-map
-    earns its keep when the per-key walk carries state no fixed-width
-    window expresses (multi-step lookbacks, resets, compiled/ML
-    per-key models). The unit test pins the two forms equal, the same
-    twin discipline as wave 13.
-
-    Scale shape: one shuffle on user_id (each task gets whole users;
-    skew bounded by the busiest user's history — same bound as
-    sessionization); Python emits AT MOST |types|² rows per user, so
-    the JVM re-aggregation input is tiny. Counts are exact integers
-    end to end."""
+    bigram counts; a JVM-side aggregate sums the per-user counts.
+    Exercised (and pinned equal to the registered JVM form) by
+    tests/test_wave13_ops.py — the sanctioned grouped-map Arrow lane,
+    kept out of the bench path since round 8."""
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", "ts", "event_id", "event_type"
     )

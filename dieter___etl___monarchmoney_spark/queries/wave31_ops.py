@@ -4,11 +4,12 @@ keep-latest-N retention pruning with a content checksum, a Python
 UDTF (table function) chunker measured as its own lane, and the
 GROUPING_ID subtotal surface.
 
-The UDTF joins the three Arrow lanes (scalar `arrow_udf_text_
-normalize`, grouped-agg `returnflag_quantity_iqr`, grouped-map
-`event_transition_matrix`) as the ONLY sanctioned per-row Python
-lanes in the repo: each exists to pin the API's cost and parity, with
-the hot-path alternative documented alongside.
+The UDTF joins the other sanctioned Arrow lanes (scalar
+`arrow_udf_text_normalize`, grouped-agg `returnflag_quantity_iqr`,
+and — twin-only since round 8 — the grouped-map
+`transition_matrix_grouped_map`) as the ONLY sanctioned per-row
+Python lanes in the repo: each exists to pin the API's cost and
+parity, with the hot-path alternative documented alongside.
 """
 
 from __future__ import annotations

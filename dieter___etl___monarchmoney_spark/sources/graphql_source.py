@@ -96,8 +96,50 @@ def _post(url: str, operation: str, graphql: str, variables: dict, token: str | 
             raise NonRetryableError(f"HTTP {e.code} from {url}: permanent") from e
         raise
     if payload.get("errors"):
-        raise NonRetryableError(f"GraphQL errors: {payload['errors']}")
+        if all(_is_permanent_graphql_error(e) for e in payload["errors"]):
+            raise NonRetryableError(f"GraphQL errors: {payload['errors']}")
+        # servers commonly return TRANSIENT failures (rate limiting,
+        # internal errors) as HTTP 200 + an errors array — those must
+        # keep the T6 retry budget the reference's transport gives them
+        raise RuntimeError(f"GraphQL errors (retryable): {payload['errors']}")
     return payload["data"]
+
+
+#: spec'd / conventional extension codes that are clearly permanent —
+#: retrying a validation or auth failure re-POSTs a doomed request
+_PERMANENT_GQL_CODES = {
+    "GRAPHQL_PARSE_FAILED",
+    "GRAPHQL_VALIDATION_FAILED",
+    "BAD_USER_INPUT",
+    "UNAUTHENTICATED",
+    "FORBIDDEN",
+    "PERSISTED_QUERY_NOT_SUPPORTED",
+}
+
+
+def _is_permanent_graphql_error(err: dict) -> bool:
+    """Classify one GraphQL error object. Only CLEARLY permanent
+    classes (validation, auth — by extensions.code when present, by
+    message heuristics otherwise) fail fast; unknown errors stay
+    retryable, since an over-eager NonRetryable on a transient 200+
+    errors response silently drops the retry budget (ADVICE r7)."""
+    code = str((err.get("extensions") or {}).get("code", "")).upper()
+    if code:
+        return code in _PERMANENT_GQL_CODES
+    msg = str(err.get("message", "")).lower()
+    return any(
+        s in msg
+        for s in (
+            "unauthorized",
+            "unauthenticated",
+            "forbidden",
+            "invalid token",
+            "validation",
+            "cannot query field",
+            "syntax error",
+            "malformed",
+        )
+    )
 
 
 class GraphQLPage(InputPartition):

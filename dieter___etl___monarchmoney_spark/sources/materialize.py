@@ -120,14 +120,16 @@ def shared_materialized(
     3. atomically replace the one-line ``root/CURRENT`` file (POSIX
        file-over-file rename) to point at the new version.
 
-    NOTHING is ever deleted, so no interleaving of concurrent cold
-    builders can break a reader pinned to an already-published
-    version — racing publishers are last-writer-wins on the pointer,
-    and the source fingerprint in ``root``'s name guarantees every
-    racer built the same rows. A crash between (2) and (3) leaks one
-    unreferenced version dir (bounded by builder count, swept with
-    the tempdir); a crash during (1) leaks only staging. Readers see
-    either the old or the new complete version, never a mix."""
+    The publish path never deletes anything a reader could be pinned
+    to MID-TRANSACTION — racing publishers are last-writer-wins on the
+    pointer, and the source fingerprint in ``root``'s name guarantees
+    every racer built the same rows. After a successful pointer swap,
+    stale version dirs (not named by CURRENT, older than a grace
+    period longer than any session) are best-effort pruned so racing
+    cold builds and rename/swap crash leftovers don't accumulate a
+    full table copy each under a warehouse/object-store root where no
+    OS tempdir sweeper exists. Readers see either the old or the new
+    complete version, never a mix."""
     root = cache_path(sf_dir, tag, source_tables)
     vdir = current_table_dir(root)
     if vdir is None:
@@ -145,4 +147,34 @@ def shared_materialized(
             os.rename(ptr_tmp, os.path.join(root, "CURRENT"))
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+        _prune_stale_versions(root, keep=os.path.basename(vdir))
     return spark.read.parquet(vdir)
+
+
+#: versions older than this (and not CURRENT) are prunable — longer
+#: than any reader session, so a pinned dir can't vanish mid-read
+_PRUNE_GRACE_SEC = 6 * 3600
+
+
+def _prune_stale_versions(root: str, keep: str) -> None:
+    """Best-effort sweep of version dirs under ``root`` that are not
+    ``keep`` (the dir CURRENT names) and whose mtime is older than the
+    grace period. Runs only after a successful pointer swap; every
+    failure is swallowed — pruning is hygiene, never correctness, and
+    a racing publisher may have already removed the same dir."""
+    import time
+
+    cutoff = time.time() - _PRUNE_GRACE_SEC
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for name in entries:
+        if name == keep or not name.startswith("v_"):
+            continue
+        path = os.path.join(root, name)
+        try:
+            if os.path.isdir(path) and os.stat(path).st_mtime < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue

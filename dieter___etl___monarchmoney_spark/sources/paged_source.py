@@ -239,6 +239,18 @@ def register(spark) -> None:
 # --------------------------------------------------------------------------
 
 
+def _part_pid(part_path: str) -> int:
+    """Partition id parsed from a ``part-<pid>-<uuid>`` basename, as an
+    INT: the commit-side merge must reproduce partition order, and a
+    lexicographic sort on the zero-padded prefix silently breaks at
+    pid >= 100000 ('part-100000' sorts before 'part-99999') — the
+    ordered-sheet contract would corrupt exactly when the job got big."""
+    import os
+
+    base = os.path.basename(part_path)
+    return int(base.split("-")[1])
+
+
 class PagePartFile(WriterCommitMessage):
     """Per-task commit message: the staged part file and its row count."""
 
@@ -309,12 +321,11 @@ class PagedJsonWriter(DataSourceWriter):
 
         tmp = f"{self.path}.tmp-{os.path.basename(self.staging)}"
         with open(tmp, "wb") as out:
-            # deterministic merge order: the part basename leads with
-            # the zero-padded partition id, so this sort IS partition
-            # order
+            # deterministic merge order: the PARSED partition id (int,
+            # not the lexicographic basename — see _part_pid)
             for m in sorted(
                 (m for m in messages if m is not None),
-                key=lambda m: os.path.basename(m.part_path),
+                key=lambda m: _part_pid(m.part_path),
             ):
                 with open(m.part_path, "rb") as src:
                     shutil.copyfileobj(src, out)
@@ -375,7 +386,7 @@ class PagedJsonStreamWriter(DataSourceStreamWriter):
         with open(tmp, "wb") as out:
             for m in sorted(
                 (m for m in messages if m is not None),
-                key=lambda m: os.path.basename(m.part_path),
+                key=lambda m: _part_pid(m.part_path),
             ):
                 with open(m.part_path, "rb") as src:
                     shutil.copyfileobj(src, out)  # stream, don't buffer whole parts

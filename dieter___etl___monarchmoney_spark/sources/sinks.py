@@ -158,17 +158,30 @@ def write_sorted_table(
     )
 
 
-def _partition_col_of(spark: SparkSession, path: str) -> str | None:
-    """The hive-layout partition column of a table directory (from its
-    ``col=value`` subdirectory names), or None for a flat table."""
+def _partition_cols_of(spark: SparkSession, path: str) -> list[str]:
+    """ALL hive-layout partition columns of a table directory, outermost
+    first (from nested ``col=value`` subdirectory names); empty for a
+    flat table. Descends the first partition branch per level — hive
+    layouts are uniform, every branch carries the same column chain.
+    Detecting only the first level silently FLATTENED multi-level
+    layouts on compaction (ADVICE r7): a=.../b=... came back as
+    partitionBy(a) only, breaking the second level's pruning and
+    retention."""
+    cols: list[str] = []
     fs, jpath, _ = _hadoop_fs(spark, path)
     if not fs.exists(jpath):
-        return None
-    for status in fs.listStatus(jpath):
-        name = status.getPath().getName()
-        if status.isDirectory() and "=" in name and not name.startswith("."):
-            return name.split("=", 1)[0]
-    return None
+        return cols
+    while True:
+        nxt = None
+        for status in fs.listStatus(jpath):
+            name = status.getPath().getName()
+            if status.isDirectory() and "=" in name and not name.startswith("."):
+                cols.append(name.split("=", 1)[0])
+                nxt = status.getPath()
+                break
+        if nxt is None:
+            return cols
+        jpath = nxt
 
 
 def _count_parquet_files(spark: SparkSession, path: str) -> int:
@@ -201,14 +214,14 @@ def compact_table(spark: SparkSession, path: str, target_files: int = 8) -> dict
     silently break ``list_partition_values``/``expire_partitions``
     retention and collide with the next dynamic partition write."""
     before = _count_parquet_files(spark, path)
-    part_col = _partition_col_of(spark, path)
+    part_cols = _partition_cols_of(spark, path)
     df = spark.read.parquet(path)
-    if part_col is not None:
+    if part_cols:
         staging = path.rstrip("/") + "._staging"
         (
-            df.repartition(part_col)
+            df.repartition(*[F.col(c) for c in part_cols])
             .write.mode("overwrite")
-            .partitionBy(part_col)
+            .partitionBy(*part_cols)
             .parquet(staging)
         )
         staged_swap(spark, staging, path)

@@ -173,6 +173,23 @@ def test_mutations_roundtrip(wh):
 
     wh.create_transaction_tag("vacation", "green")
     assert wh.table("tags").filter("name = 'vacation'").count() == 1
+
+
+def test_identical_creates_mint_distinct_ids(wh):
+    """Two genuinely identical payloads (same-priced purchases in one
+    day, empty notes) must BOTH land with distinct deterministic ids —
+    the reference mints a fresh server id per create; silently
+    coalescing the second was data loss (ADVICE r7)."""
+    id1 = wh.create_transaction("2024-03-03", "a1", 4.5, "Kiosk", "c1")
+    id2 = wh.create_transaction("2024-03-03", "a1", 4.5, "Kiosk", "c1")
+    try:
+        assert id1 != id2
+        assert id2.startswith(id1)  # digest prefix + occurrence salt
+        for i in (id1, id2):
+            assert wh.get_transaction_details(i).count() == 1
+    finally:
+        wh.delete_transaction(id2)
+        wh.delete_transaction(id1)
     wh.create_transaction_category("g-exp", "Utilities")
     assert wh.delete_transaction_categories(["cat-Utilities", "cat-Never"]) == [
         True,

@@ -99,3 +99,29 @@ def test_reader_requires_paths():
         GraphQLJsonReader(None, {"url": "http://x"})
     with pytest.raises(ValueError, match="url"):
         GraphQLJsonReader(None, {})
+
+
+def test_graphql_error_classification():
+    """Only clearly-permanent GraphQL errors (validation/auth codes or
+    message heuristics) fail fast; rate-limit / internal / unknown
+    errors stay retryable — servers return transients as HTTP 200 +
+    errors (ADVICE r7)."""
+    from dieter___etl___monarchmoney_spark.sources.graphql_source import (
+        _is_permanent_graphql_error,
+    )
+
+    permanent = [
+        {"extensions": {"code": "GRAPHQL_VALIDATION_FAILED"}},
+        {"extensions": {"code": "UNAUTHENTICATED"}},
+        {"message": "Cannot query field 'foo' on type 'Query'"},
+        {"message": "Invalid token"},
+    ]
+    retryable = [
+        {"extensions": {"code": "INTERNAL_SERVER_ERROR"}},
+        {"extensions": {"code": "RATE_LIMITED"}},
+        {"message": "Something went wrong, please retry"},
+        {"message": ""},
+        {},
+    ]
+    assert all(_is_permanent_graphql_error(e) for e in permanent)
+    assert not any(_is_permanent_graphql_error(e) for e in retryable)

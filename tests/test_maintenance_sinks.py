@@ -153,6 +153,37 @@ def test_compact_table_reduces_files(spark, tmp_path):
     )
 
 
+def test_compact_table_preserves_multilevel_layout(spark, tmp_path):
+    """Compaction of a two-level hive layout (a=.../b=...) must rewrite
+    partitionBy BOTH levels — detecting only the first silently
+    flattened the second (ADVICE r7)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dieter___etl___monarchmoney_spark.sources.sinks import compact_table
+
+    out = str(tmp_path / "two_level")
+    df = spark.createDataFrame(
+        [(i, f"2024-{1 + i % 2:02d}", f"s{i % 3}") for i in range(60)],
+        ["id", "month", "src"],
+    )
+    for _ in range(3):  # fragment it
+        df.write.mode("append").partitionBy("month", "src").parquet(out)
+
+    manifest = compact_table(spark, out)
+    assert manifest["files_after"] < manifest["files_before"]
+    # both levels survive on disk
+    lvl1 = [d for d in os.listdir(out) if d.startswith("month=")]
+    assert sorted(lvl1) == ["month=2024-01", "month=2024-02"]
+    for d in lvl1:
+        lvl2 = [s for s in os.listdir(os.path.join(out, d)) if s.startswith("src=")]
+        assert sorted(lvl2) == ["src=s0", "src=s1", "src=s2"]
+    back = spark.read.parquet(out)
+    assert back.count() == 180
+    assert set(back.columns) == {"id", "month", "src"}
+
+
 def test_expire_partitions_metadata_only(spark, tmp_path):
     """Retention drops only pre-cutoff partition directories; surviving
     data is untouched (same files, same rows)."""

@@ -136,3 +136,33 @@ def test_failed_build_leaks_no_staging(spark, tmp_path):
         assert out.count() == 2
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stale_versions_pruned_after_publish(spark):
+    """A successful pointer swap sweeps version dirs that are not
+    CURRENT and older than the grace period (crash/race leftovers),
+    while keeping young ones and the published version itself."""
+    import time
+
+    from dieter___etl___monarchmoney_spark.sources import materialize as m
+
+    tag = f"t_{uuid.uuid4().hex[:8]}"
+    root = cache_path(SF, tag, ("region",))
+    os.makedirs(root, exist_ok=True)
+    old = os.path.join(root, "v_stale_leftover")
+    young = os.path.join(root, "v_young_leftover")
+    os.makedirs(old)
+    os.makedirs(young)
+    past = time.time() - m._PRUNE_GRACE_SEC - 60
+    os.utime(old, (past, past))
+    try:
+        out = shared_materialized(
+            spark, SF, tag, ("region",),
+            lambda: spark.range(3).withColumnRenamed("id", "v"),
+        )
+        assert out.count() == 3
+        assert not os.path.exists(old), "stale leftover must be pruned"
+        assert os.path.exists(young), "young dirs stay (reader grace)"
+        assert current_table_dir(root) is not None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -339,3 +339,18 @@ def test_bad_record_policy(spark, tmp_path):
         .collect()
     )
     assert sorted(r["id"] for r in got) == [1, 3]
+
+
+def test_part_pid_sorts_numerically_past_padding_width():
+    """The commit merge orders parts by PARSED partition id: a
+    lexicographic basename sort breaks at pid >= 100000 (ADVICE r7)."""
+    from dieter___etl___monarchmoney_spark.sources.paged_source import _part_pid
+
+    paths = [
+        "/x/part-100000-abcdef.jsonl",
+        "/x/part-99999-abcdef.jsonl",
+        "/x/part-00001-abcdef.jsonl",
+    ]
+    assert sorted(paths, key=_part_pid) == [paths[2], paths[1], paths[0]]
+    # the lexicographic order this replaces was genuinely wrong:
+    assert sorted(paths) != sorted(paths, key=_part_pid)

@@ -503,11 +503,13 @@ def test_whole_registry_plan_hygiene(spark):
         "multimodal_resize",
         # wave 13/16: the sanctioned Python/Arrow lanes, each pinned to
         # a JVM twin by tests/test_wave13_ops.py — grouped-agg pandas
-        # UDAF, Arrow scalar UDF, mapInArrow, grouped-map applyInPandas
+        # UDAF, Arrow scalar UDF, mapInArrow. (The grouped-map lane,
+        # event_transition_matrix, registered its JVM LAG-window form
+        # in round 8; the applyInPandas walk lives on as the twin in
+        # tests/test_wave13_ops.py.)
         "returnflag_quantity_iqr",
         "arrow_udf_text_normalize",
         "embedding_range_audit",
-        "event_transition_matrix",
         # wave 31: the fourth sanctioned lane — the Python UDTF runs
         # Arrow-batched (ArrowEvalPythonUDTF; the query function sets
         # spark.sql.execution.pythonUDTF.arrow.enabled)

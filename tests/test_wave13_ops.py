@@ -161,24 +161,20 @@ def test_schema_evolution_backfills_nulls(spark):
     }
 
 
-def test_transition_matrix_equals_lag_twin(spark):
-    """Grouped-map lane vs the LAG-window JVM twin — the wave-13 twin
-    discipline applied to wave 16's sequential walk."""
-    got = QUERIES["event_transition_matrix"](spark, SF_ORACLE)
-    ev = load_table(spark, "events", SF_ORACLE)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    twin = (
-        ev.select(
-            "user_id",
-            F.col("event_type").alias("next_type"),
-            F.lag("event_type").over(w).alias("prev_type"),
-        )
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", "next_type")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+def test_transition_matrix_equals_grouped_map_twin(spark):
+    """The registered JVM (LAG-window) form vs the grouped-map
+    applyInPandas lane — the wave-13 twin discipline with the roles
+    swapped since round 8 (the JVM form is benched; the Arrow lane
+    stays covered HERE)."""
+    from dieter___etl___monarchmoney_spark.queries.wave16_ops import (
+        transition_matrix_grouped_map,
     )
+
+    got = QUERIES["event_transition_matrix"](spark, SF_ORACLE)
+    twin = transition_matrix_grouped_map(spark, SF_ORACLE)
     assert got.exceptAll(twin).count() == 0
     assert twin.exceptAll(got).count() == 0
+    ev = load_table(spark, "events", SF_ORACLE)
     # transition mass accounting: sum over the matrix = rows - users
     total = sum(r.n_transitions for r in got.collect())
     n_users = ev.select("user_id").distinct().count()
