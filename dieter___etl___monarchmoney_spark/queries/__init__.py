@@ -64,101 +64,85 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave35_ops,
 )
 
-#: ROUND-7 ROTATION — evidence freshness (VERDICT r6 #1/#2). After
-#: round 6 every registered query has a driver row and 267/267
-#: oracle-backed queries are green, so the window stops chasing
-#: first-evidence and instead re-proves the code the driver rows
-#: actually describe: (a) every query whose implementation changed in
-#: rounds 6–7 AFTER its last green row (shared pair-table / BPE /
-#: budget-sheet / edge-cache consumers, the pagination guard, the
-#: parallelized PCA, and ann_recall_audit which only now gained a
-#: DuckDB oracle), then (b) the 33 queries whose freshest green row is
-#: still round 1 — five rounds old while their shared helpers
-#: (functions/money.py, operators/transactions.py, dedup, multimodal)
-#: kept evolving. 15 + 33 + 2 flagship = one full 50-query window;
-#: after it lands, no green row in the registry is older than r2.
-#: Registry growth stays FROZEN (VERDICT r6 #2).
+#: ROUND-8 ROTATION — evidence freshness (VERDICT r7 #4). All 271
+#: pre-round queries have green rows across r1–r7; the window re-proves
+#: (a) every query whose implementation changed THIS round after its
+#: last green row — the LSH-blocked kNN audit rewrite, the new
+#: tag-filtered pagination query (the one round-8 registry addition,
+#: within the ≤5 budget), the magic-byte multimodal fixture, the JVM
+#: transition-matrix swap, and transactions_filtered_page whose shared
+#: operator grew the tag parameter — then (b) the 41 queries whose
+#: freshest green row is round 2 (six rounds old). 5 + 41 + 2 flagship
+#: = one full window; after it lands no green row in the registry is
+#: older than r3.
 #: sessionize_tws_stream is NOT listed: google.protobuf is absent in
 #: this environment (no network, installs forbidden; re-checked at
-#: round-7 start), so it never registers — gate documented in README.
+#: round-8 start), so it never registers — gate documented in README.
 _PRIORITY = (
-    # (a) stale-evidence: code changed after the last green driver row
-    # -- shared MinHash pair-table consumers (r6 rewiring)
-    "dedup_survivors",
-    "neardup_clusters",
-    "pipeline_stage_funnel",
-    "component_size_distribution",
-    "minhash_error_audit",
-    "corpus_curation",
-    # -- fingerprinted Jaccard edge-cache consumers (r6 rewiring)
-    "ngram_jaccard_pairs",
-    "similarity_graph_triangles",
-    "dup_graph_pagerank",
-    # -- BPE rules-table rework (r6)
-    "bpe_merge_rules",
-    "bpe_encode_corpus",
-    # -- shared budget sheet read-back (r6)
-    "reconciliation_audit",
-    # -- pagination guard + explicit order contract (r6/r7)
-    "transactions_filtered_page",
-    # -- r7 edits: parallelized covariance; first-ever oracle row
-    "pca_top_component",
-    "ann_recall_audit",
-    # (b) oldest-evidence re-confirms: last green row is round 1
-    # -- flagship aggregates / filters over evolved shared helpers
-    "transactions_summary",
-    "cashflow_summary",
-    "cashflow_by_category_group",
-    "monthly_merchant_dense_rank",
-    # -- text analysis family
-    "text_language_id",
-    "text_quality_scores",
-    "text_repetition_scores",
-    "text_token_stats",
-    "distinct_token_stats",
-    "percentile_stats_by_lang",
-    "term_relevance_topk",
-    "pii_redaction_audit",
-    "boilerplate_segment_audit",
-    "chunk_sliding_windows",
-    # -- dedup / similarity family
-    "dedup_exact_groups",
-    "dedup_token_multiset",
-    "exact_dedup_removed",
-    "incremental_dedup",
-    "simhash_buckets",
-    "decontamination_overlap",
-    "embedding_neardup_pairs",
-    "embedding_centroids_by_label",
-    "nearest_centroid_confusion",
-    "ann_lsh_topk",
-    # -- sampling / split / mixture family
-    "train_val_test_split",
-    "global_shuffle_assignment",
-    "language_balanced_sample",
-    "source_mixture_sample",
-    # -- multimodal plumbing (Arrow mapInPandas lanes)
+    # (a) round-8 edits: code changed after the last green driver row
+    "knn_label_noise_audit",
+    "transactions_tag_filtered_page",
     "multimodal_metadata",
-    "multimodal_decode_fake",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-    "multimodal_resize",
+    "event_transition_matrix",
+    "transactions_filtered_page",
+    # (b) oldest-evidence re-confirms: last green row is round 2
+    "accounts_sorted_contract",
+    "asof_view_attribution",
+    "bm25_doc_ranking",
+    "budget_totals_rollup",
+    "cashflow_by_merchant",
+    "cashflow_cube",
+    "category_group_chain_join",
+    "cdc_latest_state",
+    "conversion_funnel",
+    "corpus_stats_by_lang",
+    "daily_aggregate_snapshots",
+    "daily_type_share",
+    "doc_fingerprints",
+    "duplicated_ngram_fraction",
+    "event_type_daily_pivot",
+    "ivf_ann_topk",
+    "json_field_extract",
+    "monthly_rollup_by_type",
+    "moving_average_7d",
+    "one_day_change",
+    "page_with_total_count",
+    "parent_child_self_join",
+    "part_metrics_unpivot",
+    "range_banded_join",
+    "recurring_forecast_diff",
+    "rollover_remaining",
+    "row_number_pagination",
+    "scd2_history",
+    "semantic_dedup_clusters",
+    "sequence_packing",
+    "skew_salted_cashflow",
+    "source_curation_report",
+    "streaming_daily_rollup",
+    "streaming_enriched_rollup",
+    "streaming_event_dedup",
+    "table_profile",
+    "token_length_histogram",
+    "top_k_transactions",
+    "transaction_point_lookup",
+    "watermark_replace_merge",
+    "weekly_retention_cohorts",
 )
 
 #: re-confirm a rotating flagship slice inside the window (VERDICT r2
 #: #6). These sit AFTER the stale/oldest-evidence block so that if the
 #: driver budget lands below 50 the casualties are the freshest-risk
-#: re-confirms. Round-7 slice: two r2-era pillars whose shared helpers
-#: changed since — the W1 running-total family (operators/prefix.py
-#: rework, r6) and the J1 broadcast-enrichment join.
+#: re-confirms. Round-8 slice: two r3-era pillars adjacent to this
+#: round's work — the event-temporal sessionization pillar and the
+#: salted two-phase kNN batch join (sibling of the rewritten audit).
 _FLAGSHIP = (
-    "running_total_by_category",
-    "account_enrichment_join",
+    "sessionization",
+    "knn_batch_join",
 )
 
-#: queries added THIS round (round 6) — registry growth is frozen at
+#: queries added THIS round (round 8) — registry growth is frozen at
 #: ≤5 (VERDICT r5 #2); anything here rotates into _PRIORITY next round.
-#: (empty: the single round-6 addition runs inside the window.)
+#: (empty: the single round-8 addition runs inside the window.)
 _AFTER_WINDOW: tuple = ()
 
 #: remaining slots go to modules whose latest green rows are oldest.
