@@ -145,25 +145,14 @@ _FLAGSHIP = (
 #: (empty: the single round-8 addition runs inside the window.)
 _AFTER_WINDOW: tuple = ()
 
-#: remaining slots go to modules whose latest green rows are oldest.
+#: remaining slots (past the explicit window) go to modules whose
+#: latest green rows are oldest — after the r8 window lands that means
+#: the r3-era modules lead the overflow tail.
 _MODULE_RANK = {
     f"{__name__}.{m}": i
     for i, m in enumerate(
         (
-            # r1-evidence-only modules first
-            "llm_pipeline",
-            "curation",
-            "budget",
-            "core",
-            "filters",
-            "forecast_nested",
-            # r2-green modules
-            "corpus_ops",
-            "analytics_ops",
-            "scale_ops",
-            "relational",
-            "holdings",
-            # r3-green modules last (freshest evidence)
+            # modules holding the bulk of the remaining r3-era rows
             "streaming_queries",
             "sketch_ops",
             "wave4_ops",
@@ -171,6 +160,18 @@ _MODULE_RANK = {
             "olap",
             "stats_ops",
             "wave6_ops",
+            # then the r4+-green families
+            "corpus_ops",
+            "analytics_ops",
+            "scale_ops",
+            "relational",
+            "holdings",
+            "llm_pipeline",
+            "curation",
+            "budget",
+            "core",
+            "filters",
+            "forecast_nested",
         )
     )
 }

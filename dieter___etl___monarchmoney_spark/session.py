@@ -58,7 +58,12 @@ def get_spark(
         # Python Data Source predicate pushdown (paged_json's
         # filterPushdown=true reader) — off upstream by default
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode the driver JVM IS the engine: an 8g heap under 32
+        # concurrent tasks GC-stalled multi-second pauses onto random
+        # bench queries (the r8 reproducibility audit); 24g on the
+        # 128 GiB box keeps full-registry runs out of GC pressure.
+        # Cluster deployments size driver/executor memory explicitly.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
