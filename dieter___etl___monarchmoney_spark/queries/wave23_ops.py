@@ -114,6 +114,13 @@ _NOISE_K = 5
 _NOISE_MIN_VOTES = 3
 _NOISE_BITS = 8  # LSH signature width for the candidate neighborhood
 _NOISE_RADIUS = 2  # multiprobe hamming radius
+#: bounded audit batch: the FIRST 100 sample stripes (vec_id % 25 == 0
+#: and vec_id < 2500). A QA pass audits a fixed-size batch, so total
+#: work is batch × neighborhood — LINEAR in corpus size — instead of
+#: (n/25) × neighborhood, which re-grows quadratically no matter how
+#: good the retrieval tier is. At sf0.01/sf0.1 every vec_id is under
+#: the bound, so the audited set is the full 1-in-25 sample there.
+_NOISE_MAX_QUERY_ID = 25 * 100
 
 
 def _noise_planes():
@@ -135,7 +142,7 @@ WITH s AS (
 q AS (
     SELECT vec_id AS query_id, embedding AS qv, label AS own_label,
            bucket AS qb
-    FROM s WHERE vec_id % 25 = 0
+    FROM s WHERE vec_id % 25 = 0 AND vec_id < {_NOISE_MAX_QUERY_ID}
 ),
 scored AS (
     SELECT q.query_id, q.own_label, s.vec_id, s.label,
@@ -177,9 +184,11 @@ ORDER BY vec_id
 @query("knn_label_noise_audit", _noise_sql())
 def q_knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise audit over the ANN retrieval tier: for a
-    deterministic 1-in-25 sample of vectors, the k={K} nearest
-    neighbors WITHIN the query's LSH multiprobe neighborhood (bucket
-    hamming distance ≤ {R} on a {B}-bit signature — the exact
+    deterministic BOUNDED audit batch (the first 100 stripes of the
+    1-in-25 sample — a QA pass audits a fixed-size batch, so total
+    work is batch × neighborhood, linear in corpus size), the k={K}
+    nearest neighbors WITHIN the query's LSH multiprobe neighborhood
+    (bucket hamming distance ≤ {R} on a {B}-bit signature — the exact
     candidate set ``lsh_ann_topk(multiprobe={R})`` retrieves) vote on
     the label; every audited vector reports its modal neighbor label
     and a ``suspect`` flag (modal ≠ own AND ≥ {V} votes) — the
@@ -210,7 +219,10 @@ def q_knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         m for m in range(1 << _NOISE_BITS) if bin(m).count("1") <= _NOISE_RADIUS
     ]
     probes = (
-        sig.filter(F.col("vec_id") % 25 == 0)
+        sig.filter(
+            (F.col("vec_id") % 25 == 0)
+            & (F.col("vec_id") < _NOISE_MAX_QUERY_ID)
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
