@@ -388,28 +388,45 @@ class FinanceWarehouse:
         rounded to 2dp like the reference (:1601).
 
         Id = content digest over ALL payload fields (incl. category and
-        notes) SALTED with a per-payload occurrence counter, not
+        notes) SALTED with a per-payload occurrence suffix, not
         hash(): Python str hashing is per-process randomized, so a
-        digestless id would break cross-run references. The counter
-        (count of existing rows sharing the digest prefix) makes a
-        byte-identical second create mint a DISTINCT deterministic id
-        — two same-priced purchases in one day both land, matching the
-        reference's always-fresh server-minted ids instead of silently
-        coalescing the second into the first (the pre-round-8
-        behavior, which was silent data loss on a plausible input).
-        The price: a blind client-side RETRY of an already-applied
-        create inserts a duplicate — exactly what replaying the
-        reference's POST against the live server does too; idempotent
-        re-runs should re-check state, not re-fire creates."""
+        digestless id would break cross-run references. The suffix
+        makes a byte-identical second create mint a DISTINCT
+        deterministic id — two same-priced purchases in one day both
+        land, matching the reference's always-fresh server-minted ids
+        instead of silently coalescing the second into the first (the
+        pre-round-8 behavior, which was silent data loss on a
+        plausible input). The suffix is 1 + the MAX numeric suffix
+        already present in this digest's id family, NOT a row count
+        (ADVICE r8): after deleting the unsuffixed id while -1
+        survives, a count-based salt would re-mint -1 and the insert's
+        anti-join would silently swallow it — the same loss class this
+        id scheme exists to prevent. The price: a blind client-side
+        RETRY of an already-applied create inserts a duplicate —
+        exactly what replaying the reference's POST against the live
+        server does too; idempotent re-runs should re-check state, not
+        re-fire creates."""
         txns = self.table("transactions")
         import hashlib
 
         key = f"{date}|{account_id}|{amount}|{merchant_name}|{category_id}|{notes}"
         digest = hashlib.md5(key.encode()).hexdigest()[:12]
         # occurrence salt: O(1)-ish point-prefix probe, never a scan of
-        # anything wider than this digest's id family
-        n_prior = txns.filter(F.col("id").startswith(f"manual-{digest}")).count()
-        new_id = f"manual-{digest}" if n_prior == 0 else f"manual-{digest}-{n_prior}"
+        # anything wider than this digest's id family; the unsuffixed
+        # id counts as suffix 0 so max+1 never collides with a survivor
+        prefix = f"manual-{digest}"
+        top = (
+            txns.filter(F.col("id").startswith(prefix))
+            .select(
+                F.max(
+                    F.when(F.col("id") == prefix, F.lit(0)).otherwise(
+                        F.regexp_extract(F.col("id"), r"-(\d+)$", 1).cast("int")
+                    )
+                ).alias("mx")
+            )
+            .collect()[0]["mx"]
+        )
+        new_id = prefix if top is None else f"{prefix}-{top + 1}"
         row = self.spark.createDataFrame(
             [(new_id, date, round(float(amount), 2), account_id, category_id,
               merchant_name, notes)],

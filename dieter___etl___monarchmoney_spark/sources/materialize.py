@@ -151,30 +151,57 @@ def shared_materialized(
     return spark.read.parquet(vdir)
 
 
-#: versions older than this (and not CURRENT) are prunable — longer
-#: than any reader session, so a pinned dir can't vanish mid-read
-_PRUNE_GRACE_SEC = 6 * 3600
+def _prune_grace_sec() -> int:
+    """Age below which a non-CURRENT version dir is never pruned.
+
+    OPERATIONAL CONTRACT: a reader pinned to a superseded version (it
+    resolved CURRENT, then a publisher swapped the pointer) keeps its
+    parquet dir for at least this long — any batch/interactive session
+    that might hold a pinned DataFrame longer MUST raise
+    ``SPARK_GRAFT_MATERIALIZE_GRACE_SEC`` accordingly; the grace is
+    the only thing standing between that reader and a mid-read delete
+    (ADVICE r8: 'longer than any session' is a bound the operator
+    enforces, not one the code can observe). Default is deliberately
+    generous (24 h); the belt-and-braces newest-survivor rule in
+    :func:`_prune_stale_versions` additionally protects the
+    immediately-previous version at ANY age."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_MATERIALIZE_GRACE_SEC", 24 * 3600))
+    except ValueError:
+        return 24 * 3600
 
 
 def _prune_stale_versions(root: str, keep: str) -> None:
     """Best-effort sweep of version dirs under ``root`` that are not
     ``keep`` (the dir CURRENT names) and whose mtime is older than the
-    grace period. Runs only after a successful pointer swap; every
+    grace period — EXCEPT the newest such dir: the immediately-previous
+    version is never pruned regardless of age, so a reader pinned
+    across an arbitrarily long session survives any single publish
+    (only a SECOND publish makes its dir eligible, and then only after
+    the grace). Runs only after a successful pointer swap; every
     failure is swallowed — pruning is hygiene, never correctness, and
     a racing publisher may have already removed the same dir."""
     import time
 
-    cutoff = time.time() - _PRUNE_GRACE_SEC
+    cutoff = time.time() - _prune_grace_sec()
     try:
         entries = os.listdir(root)
     except OSError:
         return
+    candidates = []
     for name in entries:
         if name == keep or not name.startswith("v_"):
             continue
         path = os.path.join(root, name)
         try:
-            if os.path.isdir(path) and os.stat(path).st_mtime < cutoff:
-                shutil.rmtree(path, ignore_errors=True)
+            if os.path.isdir(path):
+                candidates.append((os.stat(path).st_mtime, path))
         except OSError:
             continue
+    if not candidates:
+        return
+    candidates.sort()
+    # spare the newest non-CURRENT version unconditionally
+    for mtime, path in candidates[:-1]:
+        if mtime < cutoff:
+            shutil.rmtree(path, ignore_errors=True)

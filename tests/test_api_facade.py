@@ -174,6 +174,14 @@ def test_mutations_roundtrip(wh):
     wh.create_transaction_tag("vacation", "green")
     assert wh.table("tags").filter("name = 'vacation'").count() == 1
 
+    wh.create_transaction_category("g-exp", "Utilities")
+    assert wh.delete_transaction_categories(["cat-Utilities", "cat-Never"]) == [
+        True,
+        False,
+    ]
+    # refresh plumbing is a truthful no-op
+    assert wh.request_accounts_refresh_and_wait(["a1"]) is True
+
 
 def test_identical_creates_mint_distinct_ids(wh):
     """Two genuinely identical payloads (same-priced purchases in one
@@ -190,13 +198,29 @@ def test_identical_creates_mint_distinct_ids(wh):
     finally:
         wh.delete_transaction(id2)
         wh.delete_transaction(id1)
-    wh.create_transaction_category("g-exp", "Utilities")
-    assert wh.delete_transaction_categories(["cat-Utilities", "cat-Never"]) == [
-        True,
-        False,
-    ]
-    # refresh plumbing is a truthful no-op
-    assert wh.request_accounts_refresh_and_wait(["a1"]) is True
+
+
+def test_create_after_partial_delete_avoids_suffix_collision(wh):
+    """ADVICE r8: the occurrence salt must be max-suffix+1, not a row
+    count. Delete the unsuffixed id while -1 survives, then create the
+    identical payload again: a count-based salt (n_prior=1) would
+    re-mint -1, which the insert's anti-join silently swallows —
+    exactly the loss class the salting exists to prevent."""
+    id1 = wh.create_transaction("2024-03-04", "a1", 7.25, "Stand", "c1")
+    id2 = wh.create_transaction("2024-03-04", "a1", 7.25, "Stand", "c1")
+    id3 = None
+    try:
+        assert id2 == f"{id1}-1"
+        assert wh.delete_transaction(id1) is True  # -1 survives
+        id3 = wh.create_transaction("2024-03-04", "a1", 7.25, "Stand", "c1")
+        assert id3 == f"{id1}-2"  # NOT a re-mint of the surviving -1
+        for i in (id2, id3):
+            assert wh.get_transaction_details(i).count() == 1
+    finally:
+        for i in (id2, id3):
+            if i is not None:
+                wh.delete_transaction(i)
+
 
 def test_account_holdings_connection(wh):
     """S5 — holdings connection round trip over the warehouse

@@ -153,7 +153,7 @@ def test_stale_versions_pruned_after_publish(spark):
     young = os.path.join(root, "v_young_leftover")
     os.makedirs(old)
     os.makedirs(young)
-    past = time.time() - m._PRUNE_GRACE_SEC - 60
+    past = time.time() - m._prune_grace_sec() - 60
     os.utime(old, (past, past))
     try:
         out = shared_materialized(
@@ -164,5 +164,51 @@ def test_stale_versions_pruned_after_publish(spark):
         assert not os.path.exists(old), "stale leftover must be pruned"
         assert os.path.exists(young), "young dirs stay (reader grace)"
         assert current_table_dir(root) is not None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_previous_version_never_pruned(spark, monkeypatch):
+    """ADVICE r8: the immediately-previous version survives pruning at
+    ANY age — a reader pinned across one publish can never lose its
+    dir, no matter how long its session runs; only a SECOND publish
+    makes the dir eligible (and then only past the grace). Also pins
+    the env-var grace override."""
+    import time
+
+    from dieter___etl___monarchmoney_spark.sources import materialize as m
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_GRACE_SEC", "123")
+    assert m._prune_grace_sec() == 123
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_GRACE_SEC", "bogus")
+    assert m._prune_grace_sec() == 24 * 3600
+    monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE_GRACE_SEC")
+
+    tag = f"t_{uuid.uuid4().hex[:8]}"
+    root = cache_path(SF, tag, ("region",))
+    os.makedirs(root, exist_ok=True)
+    # the sole non-CURRENT dir: ancient, but it is the newest (and
+    # only) superseded version — must be spared unconditionally
+    prev = os.path.join(root, "v_previous_pin")
+    os.makedirs(prev)
+    ancient = time.time() - 10 * m._prune_grace_sec()
+    os.utime(prev, (ancient, ancient))
+    try:
+        out = shared_materialized(
+            spark, SF, tag, ("region",),
+            lambda: spark.range(4).withColumnRenamed("id", "v"),
+        )
+        assert out.count() == 4
+        assert os.path.exists(prev), "previous version must survive pruning"
+        # a second aged leftover makes the OLDER one prunable while the
+        # newest superseded dir still survives
+        older = os.path.join(root, "v_older_leftover")
+        os.makedirs(older)
+        os.utime(older, (ancient - 60, ancient - 60))
+        cur = current_table_dir(root)
+        m._prune_stale_versions(root, keep=os.path.basename(cur))
+        assert not os.path.exists(older)
+        assert os.path.exists(prev)
+        assert os.path.exists(cur)
     finally:
         shutil.rmtree(root, ignore_errors=True)
