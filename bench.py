@@ -16,6 +16,27 @@ auditable. The old `warmup_skip` set is gone — it timed exactly the
 heavy queries cold, which made BENCH_r07's tail unreproducible (+20%
 adjudicated as contention noise, not a plan regression).
 
+Round-9 additions (VERDICT r8 #2 — cross-BOX comparability, the one
+axis min-of-two can't absorb):
+
+* TIE-BREAK third pass: a query whose two passes disagree >1.5x got
+  at least one contention-poisoned pass; it immediately runs a third,
+  and the headline is the min of all three. Raw third passes are
+  archived in the `tiebreak` dict so every surviving outlier carries
+  the evidence that BOTH of its other passes were slow (i.e. the cost
+  is real on this box, not estimator failure).
+* CALIBRATION ANCHOR: a fixed registry-independent probe (groupBy-sum
+  over the lineitem fact — scan + hash-agg, the plan shape most of
+  the suite reduces to) is timed min-of-two FIRST (before any query)
+  and again LAST. The detail JSON carries `anchor_first_sec`,
+  `anchor_last_sec`, and `anchor_sec` (their min). Cross-run
+  comparison should normalize per-query times by the anchor ratio:
+  two boxes whose anchors differ 2x are expected to differ ~2x on
+  every query — divergence BEYOND the anchor ratio is what indicts a
+  plan. first-vs-last drift >1.3x additionally flags in-run
+  degradation (page-cache eviction, thermal) that per-query passes
+  can't see.
+
 Per-query history is archived per round: the detail JSON is written
 both to bench_detail.json (latest) and BENCH_DETAIL_r{N}.json, where N
 is inferred as 1 + the highest committed BENCH_r{N}.json — the file the
@@ -24,9 +45,9 @@ makes cross-round per-query diffs possible (r7's judge could not
 recover r6's semantic_dedup_clusters timing at all).
 
 Stdout contract: line 1 is the full detail JSON ({"metric", "value",
-"unit", "queries", "cold", "sf"}), and the LAST line is a short summary
-JSON without the per-query dicts — tail-truncation-proof for log
-collectors.
+"unit", "queries", "cold", "steady", "tiebreak", "anchor_*_sec",
+"sf"}), and the LAST line is a short summary JSON without the
+per-query dicts — tail-truncation-proof for log collectors.
 
 Each query is timed to full materialization (count on the result — the
 result sets are small aggregates/pages, so count ≈ collect cost without
@@ -61,17 +82,52 @@ def _round_number() -> int:
     return best + 1
 
 
+#: passes disagreeing by more than this trigger the tie-break third pass
+_TIEBREAK_RATIO = 1.5
+
+
+def _anchor_time(spark, sf_dir: str) -> float:
+    """Min-of-two timing of the fixed calibration probe: full-fact scan
+    + hash aggregate over lineitem, the plan shape the bulk of the
+    suite reduces to. Registry-independent on purpose — the window
+    rotation must never change what the anchor measures."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_extendedprice").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .count()
+        )
+        return time.perf_counter() - t0
+
+    return round(min(once(), once()), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # full-registry runs on local[32] need the big heap to avoid GC
+    # stalls (r8 reproducibility audit); the harness owns this tuning,
+    # not get_spark()'s library default (ADVICE r8). setdefault so an
+    # explicit caller override still wins.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = registry.load()
 
+    anchor_first = _anchor_time(spark, sf_dir)
+
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
+    tiebreak: dict[str, float] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).count()
@@ -79,9 +135,22 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).count()
         steady[name] = round(time.perf_counter() - t0, 4)
-    # headline = min of the two passes (additive-noise-robust; see
-    # module docstring), raw passes archived alongside
-    timings = {n: min(cold[n], steady[n]) for n in steady}
+        lo, hi = sorted((cold[name], steady[name]))
+        if hi > _TIEBREAK_RATIO * lo:
+            # one pass was contention-poisoned: immediately (cache
+            # still warm) run a third so the headline min rests on at
+            # least two agreeing observations
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            tiebreak[name] = round(time.perf_counter() - t0, 4)
+
+    anchor_last = _anchor_time(spark, sf_dir)
+
+    # headline = min of all passes (additive-noise-robust; see module
+    # docstring), raw passes archived alongside
+    timings = {
+        n: min(cold[n], steady[n], tiebreak.get(n, float("inf"))) for n in steady
+    }
 
     total = round(sum(timings.values()), 4)
     cold_total = round(sum(cold.values()), 4)
@@ -96,7 +165,11 @@ def main() -> None:
         "queries": timings,
         "cold": cold,
         "steady": steady,
+        "tiebreak": tiebreak,
         "cold_total_sec": cold_total,
+        "anchor_first_sec": anchor_first,
+        "anchor_last_sec": anchor_last,
+        "anchor_sec": min(anchor_first, anchor_last),
         "sf": sf,
     }
     print(json.dumps(detail))
@@ -115,6 +188,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "max_query_sec": max(timings.values()) if timings else 0.0,
                 "cold_total_sec": cold_total,
+                "anchor_sec": min(anchor_first, anchor_last),
+                "n_tiebreak": len(tiebreak),
                 "sf": sf,
             }
         )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import tempfile
 import time
@@ -102,6 +103,16 @@ QUERIES = (
     # (signatures + banding, linear in corpus) plus a component pass
     # over edge-touched vertices, never an n² shape
     "component_size_distribution",
+    # round 9 (VERDICT r8 #4 — unswept >1s bench queries): the Python
+    # UDTF lateral fan-out (stateless per-row — Arrow batches must
+    # scale with the doc count) and the paged-JSON connector round
+    # trips on the replicated-documents JSON fixture axis: the
+    # distributed sink re-exports the scaled corpus and the paged
+    # reader re-scans it, so both the part-file commit and the
+    # page-sliced scan must grow linearly with the payload
+    "udtf_chunk_explode",
+    "paged_source_roundtrip",
+    "paged_sink_roundtrip",
 )
 
 #: event-temporal operators measured on the REPLICATED EVENTS axis:
@@ -163,6 +174,15 @@ LINEITEM_QUERIES = (
     "quantile_binning_features",
     "copurchase_kcore",
     "budget_pipeline_full",
+    # round 9 (VERDICT r8 #4): the holdings connection — lineitem-
+    # derived transactions join the REPLICATED orders fact (o_orderkey
+    # shifted in lockstep with l_orderkey; o_custkey left alone so the
+    # fixed 8-account filter matches inside every replica), then
+    # cumulative position windows per (account, security). Security
+    # keys shift per replica, so window partitions multiply while each
+    # partition's history stays constant — linear growth, never a
+    # merged-timeline blow-up
+    "portfolio_holdings",
 )
 
 VOWELS = "aeiou"
@@ -237,6 +257,13 @@ def build_scaled_docs(spark, sf_dir: str, scale: int, out_dir: str) -> None:
     # lineitem: fresh order/part/supp keys, part keys in lockstep
     #   with the part catalog (same KEY_STRIDE) so category joins
     #   resolve per replica; baskets never merge
+    # orders: o_orderkey in lockstep with l_orderkey (round 9) so the
+    #   transactions←orders enrichment join RESOLVES inside every
+    #   replica — without it replicated lineitem rows silently drop
+    #   out of any star-join query and its sweep row under-measures;
+    #   o_custkey stays unshifted so customer-filtered queries match
+    #   per replica (per-customer volume grows, customer count doesn't
+    #   — the returning-customer 100 TB shape)
     plans = {
         "documents": ({"doc_id": KEY_STRIDE}, ("text",), ()),
         "part": ({"p_partkey": KEY_STRIDE}, ("p_name",), ()),
@@ -251,6 +278,7 @@ def build_scaled_docs(spark, sf_dir: str, scale: int, out_dir: str) -> None:
             (),
             (),
         ),
+        "orders": ({"o_orderkey": KEY_STRIDE}, (), ()),
     }
     for table, (shifted, rotated, rolled) in plans.items():
         src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -266,6 +294,9 @@ def main() -> None:
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
+    # same big-heap tuning as bench.py (GC stalls under 32 local
+    # threads) — harness-owned, not a get_spark() default (ADVICE r8)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark(app_name="scale-check")
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = registry.load()
