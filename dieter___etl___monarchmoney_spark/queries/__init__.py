@@ -64,111 +64,122 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave35_ops,
 )
 
-#: ROUND-8 ROTATION — evidence freshness (VERDICT r7 #4). All 271
-#: pre-round queries have green rows across r1–r7; the window re-proves
-#: (a) every query whose implementation changed THIS round after its
-#: last green row — the LSH-blocked kNN audit rewrite, the new
-#: tag-filtered pagination query (the one round-8 registry addition,
-#: within the ≤5 budget), the magic-byte multimodal fixture, the JVM
-#: transition-matrix swap, and transactions_filtered_page whose shared
-#: operator grew the tag parameter — then (b) the 41 queries whose
-#: freshest green row is round 2 (six rounds old). 5 + 41 + 2 flagship
-#: = one full window; after it lands no green row in the registry is
-#: older than r3.
+#: ROUND-9 ROTATION — evidence freshness (VERDICT r8 #1). All 272
+#: registered queries have green rows across r1–r8 (269 oracle-backed);
+#: the window re-proves (a) the one query whose implementation changed
+#: THIS round after its last green row — the incremental-degree k-core
+#: peel rewrite — then (b) the 37 queries whose freshest green row is
+#: round 3 (the oldest evidence, six rounds stale), then (c) the 10
+#: alphabetically-first queries of the round-4 cohort as fillers.
+#: 1 + 37 + 10 + 2 flagship = one full 50-slot window; after it lands
+#: no green row in the registry predates round 4.
 #: sessionize_tws_stream is NOT listed: google.protobuf is absent in
 #: this environment (no network, installs forbidden; re-checked at
-#: round-8 start), so it never registers — gate documented in README.
+#: round-9 start), so it never registers — gate documented in README.
 _PRIORITY = (
-    # (a) round-8 edits: code changed after the last green driver row
-    "knn_label_noise_audit",
-    "transactions_tag_filtered_page",
-    "multimodal_metadata",
-    "event_transition_matrix",
-    "transactions_filtered_page",
-    # (b) oldest-evidence re-confirms: last green row is round 2
-    "accounts_sorted_contract",
-    "asof_view_attribution",
-    "bm25_doc_ranking",
-    "budget_totals_rollup",
-    "cashflow_by_merchant",
-    "cashflow_cube",
-    "category_group_chain_join",
-    "cdc_latest_state",
-    "conversion_funnel",
-    "corpus_stats_by_lang",
-    "daily_aggregate_snapshots",
-    "daily_type_share",
-    "doc_fingerprints",
-    "duplicated_ngram_fraction",
-    "event_type_daily_pivot",
-    "ivf_ann_topk",
-    "json_field_extract",
-    "monthly_rollup_by_type",
-    "moving_average_7d",
-    "one_day_change",
-    "page_with_total_count",
-    "parent_child_self_join",
-    "part_metrics_unpivot",
-    "range_banded_join",
-    "recurring_forecast_diff",
-    "rollover_remaining",
-    "row_number_pagination",
-    "scd2_history",
-    "semantic_dedup_clusters",
-    "sequence_packing",
-    "skew_salted_cashflow",
-    "source_curation_report",
-    "streaming_daily_rollup",
-    "streaming_enriched_rollup",
-    "streaming_event_dedup",
-    "table_profile",
-    "token_length_histogram",
-    "top_k_transactions",
-    "transaction_point_lookup",
-    "watermark_replace_merge",
-    "weekly_retention_cohorts",
+    # (a) round-9 edits: code changed after the last green driver row
+    "copurchase_kcore",
+    # (b) oldest-evidence re-confirms: freshest green row is round 3
+    "bigram_lm_quality",
+    "bloom_incremental_dedup",
+    "budget_grouping_sets",
+    "cashflow_report_all",
+    "coalesce_candidates",
+    "containment_dedup_pairs",
+    "countmin_heavy_hitters",
+    "currency_clean_roundtrip",
+    "data_quality_expectations",
+    "date_functions_surface",
+    "document_search",
+    "embedding_quantization",
+    "event_trend_regression",
+    "fuzzy_entity_resolution",
+    "fuzzy_name_dedup",
+    "hll_daily_merge",
+    "hll_distinct_users",
+    "incremental_agg_merge",
+    "nested_flatten_roundtrip",
+    "paged_source_roundtrip",
+    "prefix_filter_jaccard",
+    "quality_decile_assignment",
+    "rolling_distinct_users_7d",
+    "series_correlation_matrix",
+    "soft_delete_toggle",
+    "source_keyness_g2",
+    "streaming_left_join",
+    "streaming_sliding_rollup",
+    "table_checksum",
+    "tri_state_flag_chain",
+    "user_activity_streaks",
+    "value_outliers_zscore",
+    "vocab_id_assignment",
+    "weekday_type_chi2",
+    "weighted_sample_race",
+    "winsorized_stats",
+    "zorder_layout_keys",
+    # (c) round-4-cohort fillers, oldest-first (alphabetical within
+    # the cohort, per VERDICT r8 #1)
+    "ann_cosine_topk",
+    "benford_digit_audit",
+    "bucketed_join_audit",
+    "calendar_gap_fill",
+    "compaction_bin_packing",
+    "cusum_changepoint",
+    "ewma_smoothing",
+    "ewma_stream",
+    "feature_hashing_vectors",
+    "forecast_revenue_change",
 )
 
 #: re-confirm a rotating flagship slice inside the window (VERDICT r2
 #: #6). These sit AFTER the stale/oldest-evidence block so that if the
 #: driver budget lands below 50 the casualties are the freshest-risk
-#: re-confirms. Round-8 slice: two r3-era pillars adjacent to this
-#: round's work — the event-temporal sessionization pillar and the
-#: salted two-phase kNN batch join (sibling of the rewritten audit).
+#: re-confirms. Round-9 slice: two pillars adjacent to this round's
+#: work — the co-purchase pair miner (it owns the edge CTE the
+#: rewritten k-core peel consumes, so a regression in shared edge
+#: generation surfaces here) and the holdings-connection pillar (gets
+#: its first scale-sweep row this round, VERDICT r8 #4).
 _FLAGSHIP = (
-    "sessionization",
-    "knn_batch_join",
+    "copurchase_frequent_pairs",
+    "portfolio_holdings",
 )
 
-#: queries added THIS round (round 8) — registry growth is frozen at
+#: queries added THIS round (round 9) — registry growth is frozen at
 #: ≤5 (VERDICT r5 #2); anything here rotates into _PRIORITY next round.
-#: (empty: the single round-8 addition runs inside the window.)
+#: (empty: round 9 adds no queries — VERDICT r8 #7.)
 _AFTER_WINDOW: tuple = ()
 
 #: remaining slots (past the explicit window) go to modules whose
-#: latest green rows are oldest — after the r8 window lands that means
-#: the r3-era modules lead the overflow tail.
+#: latest green rows are oldest — after the r9 window lands that means
+#: the modules holding the round-4-cohort remainder lead the overflow
+#: tail, then the round-5-green families.
 _MODULE_RANK = {
     f"{__name__}.{m}": i
     for i, m in enumerate(
         (
-            # modules holding the bulk of the remaining r3-era rows
-            "streaming_queries",
-            "sketch_ops",
+            # modules holding the bulk of the remaining r4-era rows
+            "olap2",
             "wave4_ops",
-            "wave5_ops",
             "olap",
-            "stats_ops",
             "wave6_ops",
-            # then the r4+-green families
+            "relational",
+            "wave7_ops",
+            "stats_ops",
+            "streaming_queries",
+            "llm_pipeline",
+            "wave5_ops",
             "corpus_ops",
+            # then the r5-green families
+            "wave11_ops",
+            "wave12_ops",
+            "wave10_ops",
+            "wave13_ops",
+            "wave9_ops",
+            "holdings",
+            "budget",
             "analytics_ops",
             "scale_ops",
-            "relational",
-            "holdings",
-            "llm_pipeline",
             "curation",
-            "budget",
             "core",
             "filters",
             "forecast_nested",
