@@ -17,6 +17,7 @@ Prints one JSON line per (scale, query) and a final summary of the
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
 import shutil
@@ -297,8 +298,6 @@ def main() -> None:
     # same big-heap tuning as bench.py (GC stalls under 32 local
     # threads) — harness-owned, not a get_spark() default (ADVICE r8)
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
-    spark = get_spark(app_name="scale-check")
-    spark.sparkContext.setLogLevel("ERROR")
     queries, _ = registry.load()
 
     all_queries = QUERIES + EVENT_QUERIES + EMBED_QUERIES + LINEITEM_QUERIES
@@ -306,6 +305,16 @@ def main() -> None:
     root = Path(tempfile.mkdtemp(prefix="scale_check_"))
     try:
         for scale in scales:
+            # FRESH session per scale (round 9): ~60 queries back to
+            # back accumulate localCheckpoint blocks and shuffle files
+            # in one JVM; by the tail of a 3-scale run the storage
+            # pressure poisoned BOTH passes of whichever heavy query
+            # ran late (pca_top_component measured a 10x "growth" that
+            # a clean session reproduces at ~1.8). Each scale now
+            # starts from an empty block manager, so per-scale numbers
+            # are comparable by construction.
+            spark = get_spark(app_name=f"scale-check-x{scale}")
+            spark.sparkContext.setLogLevel("ERROR")
             out = str(root / f"x{scale}")
             build_scaled_docs(spark, args.sf, scale, out)
             for name in all_queries:
@@ -313,9 +322,18 @@ def main() -> None:
                 # compaction) land multi-second hits on whichever query
                 # is running — additive noise, so the minimum is the
                 # robust growth measurement (same estimator bench.py
-                # uses; single-pass 4x ratios swung 2-25x run to run)
+                # uses; single-pass 4x ratios swung 2-25x run to run).
+                # Round 9: same tie-break as bench.py — when the two
+                # passes disagree >1.5x at least one was poisoned, so a
+                # third runs immediately; an r9 sweep measured the
+                # paged-source ratio at 5.3 from exactly one such pair
+                # (solo re-measurement: 2.27)
                 dts = []
                 for _ in range(2):
+                    t0 = time.time()
+                    n = queries[name](spark, out).count()
+                    dts.append(round(time.time() - t0, 2))
+                if max(dts) > 1.5 * min(dts):
                     t0 = time.time()
                     n = queries[name](spark, out).count()
                     dts.append(round(time.time() - t0, 2))
@@ -328,6 +346,11 @@ def main() -> None:
                     ),
                     flush=True,
                 )
+                # drop the query's DataFrame/localCheckpoint refs so the
+                # ContextCleaner unpersists their blocks before the next
+                # query is timed (see fresh-session note above)
+                gc.collect()
+            spark.stop()
         lo, hi = min(scales), max(scales)
         summary = {
             q: {
