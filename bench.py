@@ -56,6 +56,7 @@ driver transfer skew).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -143,6 +144,14 @@ def main() -> None:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             tiebreak[name] = round(time.perf_counter() - t0, 4)
+        # drop this query's DataFrame/localCheckpoint refs so the
+        # ContextCleaner unpersists their blocks before the next query
+        # is timed — 272 queries in one JVM otherwise accumulate enough
+        # storage pressure to systematically slow the late-alphabet
+        # tail (same contamination class scale_check.py fixed; a run
+        # without this measured paged_source_roundtrip at 12.9 s on
+        # BOTH passes where a clean session reproduces ~2 s)
+        gc.collect()
 
     anchor_last = _anchor_time(spark, sf_dir)
 
