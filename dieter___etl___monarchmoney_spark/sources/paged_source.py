@@ -49,7 +49,14 @@ class PagedJsonDataSource(DataSource):
     """``spark.read.format("paged_json")`` — options:
 
     - ``path``: JSON-lines file, one record per line (the "server");
-    - ``pageSize``: records per page / partition (default 500);
+    - ``pageSize``: records per page (default 500);
+    - ``maxPartitions``: cap on read tasks (default 200). Up to this
+      many pages map 1:1 onto InputPartitions; past it, CONSECUTIVE
+      pages pack into each task (a task fetches its pages serially,
+      exactly like the reference's loop, while tasks still run in
+      parallel). Without the cap a 100 TB connection at API page
+      granularity would plan millions of few-KB tasks and scheduler /
+      Python-worker overhead would dominate the scan;
     - ``filterPushdown``: "true" opts into server-side predicate
       pushdown. Opt-IN because Spark refuses any reader that merely
       IMPLEMENTS ``pushFilters`` while
@@ -92,6 +99,9 @@ class PagedJsonReader(DataSourceReader):
         if not self.path:
             raise ValueError("paged_json requires option 'path'")
         self.page_size = int(options.get("pagesize", DEFAULT_PAGE_SIZE))
+        self.max_partitions = int(options.get("maxpartitions", 200))
+        if self.max_partitions < 1:
+            raise ValueError("maxPartitions must be >= 1")
         # malformed-record policy: "fail" (default — a corrupt page is a
         # pipeline stop, the reference's behavior on a bad API payload)
         # or "drop" (skip the record; the count survives in task logs).
@@ -134,9 +144,19 @@ class PagedJsonReader(DataSourceReader):
         """Planning-time metadata pass (the reference's totalCount probe,
         monarchmoney.py:1436): counts records AND records the byte offset
         where each page starts, so every read task seeks straight to its
-        page. Total I/O across P pages is one planning pass + one page
-        per task — O(file), not the O(P²·page) a per-task prefix re-scan
-        would cost."""
+        first page. Total I/O across P pages is one planning pass + one
+        contiguous range per task — O(file), not the O(P²·page) a
+        per-task prefix re-scan would cost.
+
+        Task fan-out is bounded by ``maxPartitions``: past the cap,
+        ``ceil(P / maxPartitions)`` CONSECUTIVE pages pack into one
+        partition — consecutive pages are a contiguous byte range, so a
+        packed task is still a single seek + bounded read, and page
+        count (which grows with the table) stops dictating task count
+        (which should track the cluster). An r9 sweep measured the
+        per-page planning at 37 records/task dominating the 4x-scaled
+        scan — the pack is what keeps the connector linear-in-bytes
+        instead of linear-in-pages-times-task-overhead."""
         page_starts: list[int] = []
         n = 0
         pos = 0
@@ -149,9 +169,15 @@ class PagedJsonReader(DataSourceReader):
                 pos += len(line)
         if n == 0:
             return [PageRange(0, self.page_size, 0)]
+        pages = len(page_starts)
+        per_task = -(-pages // self.max_partitions)  # ceil
         return [
-            PageRange(i * self.page_size, self.page_size, start)
-            for i, start in enumerate(page_starts)
+            PageRange(
+                i * self.page_size,
+                per_task * self.page_size,
+                page_starts[i],
+            )
+            for i in range(0, pages, per_task)
         ]
 
     def read(self, partition: PageRange):

@@ -50,6 +50,38 @@ def test_pages_become_partitions(spark, payload):
     assert row["amount"] == 125.0
 
 
+def test_max_partitions_packs_consecutive_pages(spark, payload):
+    """Past the maxPartitions cap, consecutive pages pack into one task
+    (a contiguous byte range — one seek, several pages) so page count
+    stops dictating task count. 1234 records at 100/page = 13 pages;
+    maxPartitions=5 -> ceil(13/5)=3 pages/task -> 5 partitions — with
+    zero drops or duplicates at either page or pack boundaries."""
+    register(spark)
+    df = (
+        spark.read.format("paged_json")
+        .schema(SCHEMA)
+        .option("path", payload)
+        .option("pageSize", 100)
+        .option("maxPartitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1234
+    assert df.select("id").distinct().count() == 1234
+    # a record in the middle of a packed range survives with its values
+    row = df.filter(F.col("id") == "t0707").collect()[0]
+    assert row["amount"] == 707 / 4
+    with pytest.raises(Exception):
+        (
+            spark.read.format("paged_json")
+            .schema(SCHEMA)
+            .option("path", payload)
+            .option("maxPartitions", 0)
+            .load()
+            .count()
+        )
+
+
 def test_small_final_page_and_aggregate(spark, payload):
     register(spark)
     df = (
