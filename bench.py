@@ -86,6 +86,17 @@ def _round_number() -> int:
 #: passes disagreeing by more than this trigger the tie-break third pass
 _TIEBREAK_RATIO = 1.5
 
+_MEM_UNIT = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _mem_bytes(s: str) -> int:
+    """JVM memory string ('24g', '512m', bare bytes) -> bytes; 0 when
+    unparseable so a weird value warns rather than crashes the bench."""
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", str(s).strip().lower())
+    if not m:
+        return 0
+    return int(m.group(1)) * _MEM_UNIT.get(m.group(2), 1)
+
 
 def _anchor_time(spark, sf_dir: str) -> float:
     """Min-of-two timing of the fixed calibration probe: full-fact scan
@@ -122,6 +133,21 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # the env setdefault above only takes effect if THIS process
+    # launches the JVM; a pre-existing session (getOrCreate reuse —
+    # bench imported into a live interpreter) silently keeps its
+    # original heap and the GC-stall mitigation does not apply. Make
+    # that visible in the run log (stderr — stdout stays JSON-only).
+    live_mem = spark.sparkContext.getConf().get("spark.driver.memory", "1g")
+    want_mem = os.environ["SPARK_DRIVER_MEMORY"]
+    if _mem_bytes(live_mem) < _mem_bytes(want_mem):
+        print(
+            f"WARNING: reused SparkSession has spark.driver.memory="
+            f"{live_mem} < intended {want_mem}; full-registry timings "
+            f"may carry GC-stall noise (ADVICE r9)",
+            file=sys.stderr,
+            flush=True,
+        )
     queries, _ = registry.load()
 
     anchor_first = _anchor_time(spark, sf_dir)

@@ -405,7 +405,17 @@ class FinanceWarehouse:
         RETRY of an already-applied create inserts a duplicate —
         exactly what replaying the reference's POST against the live
         server does too; idempotent re-runs should re-check state, not
-        re-fire creates."""
+        re-fire creates.
+
+        SINGLE-WRITER ASSUMPTION (ADVICE r9): the probe-then-insert is
+        not atomic — two CONCURRENT byte-identical creates can both
+        read the same max suffix, mint the same id, and the second
+        insert's anti-join swallows it. That matches this facade's
+        scope (the reference client is a single asyncio session talking
+        to a server that owns id minting; this facade is the
+        single-session stand-in for both sides). Concurrent writers
+        need an external coordination layer — or verify post-insert
+        (recount the id family) and retry the probe-insert on a miss."""
         txns = self.table("transactions")
         import hashlib
 

@@ -64,125 +64,134 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave35_ops,
 )
 
-#: ROUND-9 ROTATION — evidence freshness (VERDICT r8 #1). All 272
-#: registered queries have green rows across r1–r8 (269 oracle-backed);
-#: the window re-proves (a) the one query whose implementation changed
-#: THIS round after its last green row — the incremental-degree k-core
-#: peel rewrite — then (b) the 37 queries whose freshest green row is
-#: round 3 (the oldest evidence, six rounds stale), then (c) the 10
-#: alphabetically-first queries of the round-4 cohort as fillers.
-#: 1 + 37 + 10 + 2 flagship = one full 50-slot window; after it lands
-#: no green row in the registry predates round 4.
+#: ROUND-10 ROTATION — evidence freshness (VERDICT r9 #3). 272
+#: registered queries, 268/269 oracle-backed green on their freshest
+#: check; the window re-proves (a) the queries whose code changed THIS
+#: round after their last driver row — the fixed paged connector read
+#: lane (the r9 red row: pushdown now gated on the live session's
+#: conf) and the k-core peel (per-round checkpoint slimming) — then
+#: (b) the full 30-query cohort whose freshest green row is round 4
+#: (the oldest evidence after the r9 window landed), then (c) the 16
+#: alphabetically-first queries of the round-5 cohort as fillers.
+#: 2 + 30 + 16 + 2 flagship = one full 50-slot window; after it lands
+#: no green row in the registry predates round 5.
 #: sessionize_tws_stream is NOT listed: google.protobuf is absent in
 #: this environment (no network, installs forbidden; re-checked at
-#: round-9 start), so it never registers — gate documented in README.
+#: round-10 start), so it never registers — gate documented in README.
 _PRIORITY = (
-    # (a) round-9 edits: code changed after the last green driver row
-    "copurchase_kcore",
-    # (b) oldest-evidence re-confirms: freshest green row is round 3
-    "bigram_lm_quality",
-    "bloom_incremental_dedup",
-    "budget_grouping_sets",
-    "cashflow_report_all",
-    "coalesce_candidates",
-    "containment_dedup_pairs",
-    "countmin_heavy_hitters",
-    "currency_clean_roundtrip",
-    "data_quality_expectations",
-    "date_functions_surface",
-    "document_search",
-    "embedding_quantization",
-    "event_trend_regression",
-    "fuzzy_entity_resolution",
-    "fuzzy_name_dedup",
-    "hll_daily_merge",
-    "hll_distinct_users",
-    "incremental_agg_merge",
-    "nested_flatten_roundtrip",
+    # (a) round-10 edits: code changed after the last driver row
     "paged_source_roundtrip",
-    "prefix_filter_jaccard",
-    "quality_decile_assignment",
-    "rolling_distinct_users_7d",
-    "series_correlation_matrix",
-    "soft_delete_toggle",
-    "source_keyness_g2",
-    "streaming_left_join",
-    "streaming_sliding_rollup",
-    "table_checksum",
-    "tri_state_flag_chain",
-    "user_activity_streaks",
-    "value_outliers_zscore",
-    "vocab_id_assignment",
-    "weekday_type_chi2",
-    "weighted_sample_race",
-    "winsorized_stats",
-    "zorder_layout_keys",
-    # (c) round-4-cohort fillers, oldest-first (alphabetical within
+    "copurchase_kcore",
+    # (b) the round-4 cohort: freshest green row is round 4
+    "full_outer_reconciliation",
+    "hard_negative_mining",
+    "hot_key_skew_profile",
+    "idle_customer_outreach",
+    "intra_doc_dedup",
+    "kmv_set_similarity",
+    "ks_two_sample",
+    "large_volume_customers",
+    "mad_outliers",
+    "mann_whitney_u",
+    "market_share_trend",
+    "order_priority_check",
+    "paged_sink_roundtrip",
+    "part_supplier_variety",
+    "pmi_collocations",
+    "promo_revenue_share",
+    "psi_value_drift",
+    "range_partition_plan",
+    "regional_revenue_rollup",
+    "retained_users_intersect",
+    "returned_items_ranking",
+    "seasonal_dow_decompose",
+    "sessionize_native_stream",
+    "small_quantity_revenue",
+    "source_divergence_matrix",
+    "source_quality_calibration",
+    "streaming_sink_roundtrip",
+    "temperature_mixture_weights",
+    "top_supplier_revenue",
+    "waiting_orders_suppliers",
+    # (c) round-5-cohort fillers, oldest-first (alphabetical within
     # the cohort, per VERDICT r8 #1)
-    "ann_cosine_topk",
-    "benford_digit_audit",
-    "bucketed_join_audit",
-    "calendar_gap_fill",
-    "compaction_bin_packing",
-    "cusum_changepoint",
-    "ewma_smoothing",
-    "ewma_stream",
-    "feature_hashing_vectors",
-    "forecast_revenue_change",
+    "arrow_udf_text_normalize",
+    "asof_last_signup",
+    "bitmap_distinct_users",
+    "bootstrap_mean_ci",
+    "budget_pipeline_full",
+    "cdc_changelog_apply",
+    "conversion_lag_quantiles",
+    "customer_balance_rank_surface",
+    "customer_order_distribution",
+    "disjunctive_promo_revenue",
+    "doc_length_band_filter",
+    "dominant_supplier_parts",
+    "dpp_top_days_rollup",
+    "embedding_range_audit",
+    "funnel_conversion_steps",
+    "hourly_value_acf",
 )
 
 #: re-confirm a rotating flagship slice inside the window (VERDICT r2
 #: #6). These sit AFTER the stale/oldest-evidence block so that if the
 #: driver budget lands below 50 the casualties are the freshest-risk
-#: re-confirms. Round-9 slice: two pillars adjacent to this round's
-#: work — the co-purchase pair miner (it owns the edge CTE the
-#: rewritten k-core peel consumes, so a regression in shared edge
-#: generation surfaces here) and the holdings-connection pillar (gets
-#: its first scale-sweep row this round, VERDICT r8 #4).
+#: re-confirms. Round-10 slice: two pillars adjacent to this round's
+#: work — the signed distributed prefix sum (its sweep ratio jumped
+#: 1.05 → 2.64 on unchanged code and is re-measured this round,
+#: VERDICT r9 #6: a fresh driver row re-proves correctness alongside)
+#: and the GraphQL live-transport connector (the bare-session fixture
+#: added this round exercises its foreign-session planning path).
 _FLAGSHIP = (
-    "copurchase_frequent_pairs",
-    "portfolio_holdings",
+    "signed_running_balance",
+    "graphql_source_roundtrip",
 )
 
-#: queries added THIS round (round 9) — registry growth is frozen at
+#: queries added THIS round (round 10) — registry growth is frozen at
 #: ≤5 (VERDICT r5 #2); anything here rotates into _PRIORITY next round.
-#: (empty: round 9 adds no queries — VERDICT r8 #7.)
+#: (empty: round 10 adds no queries — VERDICT r8 #7.)
 _AFTER_WINDOW: tuple = ()
 
 #: remaining slots (past the explicit window) go to modules whose
-#: latest green rows are oldest — after the r9 window lands that means
-#: the modules holding the round-4-cohort remainder lead the overflow
-#: tail, then the round-5-green families.
+#: latest green rows are oldest — after the r10 window lands that means
+#: the modules holding the round-5-cohort remainder lead the overflow
+#: tail (recomputed from the CORRECTNESS_r01–r09 union at round-10
+#: start, densest-oldest first), then the round-6-green families.
 _MODULE_RANK = {
     f"{__name__}.{m}": i
     for i, m in enumerate(
         (
-            # modules holding the bulk of the remaining r4-era rows
-            "olap2",
-            "wave4_ops",
+            # modules holding the bulk of the remaining r5-era rows
+            "wave11_ops",
+            "wave10_ops",
+            "streaming_queries",
+            "wave9_ops",
+            "wave17_ops",
+            "wave19_ops",
+            "wave12_ops",
+            "wave13_ops",
+            "wave14_ops",
+            "wave15_ops",
+            "wave16_ops",
+            "wave18_ops",
+            "wave21_ops",
+            "wave22_ops",
+            "wave23_ops",
+            "wave24_ops",
+            # then the r6-green families
+            "wave25_ops",
+            "wave29_ops",
+            "wave30_ops",
+            "wave26_ops",
+            "wave27_ops",
+            "wave28_ops",
+            "wave31_ops",
+            "wave32_ops",
+            "wave34_ops",
+            "wave33_ops",
             "olap",
             "wave6_ops",
-            "relational",
-            "wave7_ops",
-            "stats_ops",
-            "streaming_queries",
             "llm_pipeline",
-            "wave5_ops",
-            "corpus_ops",
-            # then the r5-green families
-            "wave11_ops",
-            "wave12_ops",
-            "wave10_ops",
-            "wave13_ops",
-            "wave9_ops",
-            "holdings",
-            "budget",
-            "analytics_ops",
-            "scale_ops",
-            "curation",
-            "core",
-            "filters",
-            "forecast_nested",
         )
     )
 }

@@ -224,10 +224,15 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round cost is one broadcast-joined scan plus two node-sized
     aggregates — that constant per-round overhead is what kept the 4x
     growth ratio at 2.12 (SCALECHECK_r8) when every per-round quantity
-    except the scan itself is sublinear in |E|. Per-round frames are
-    localCheckpoint-ed so lineage (and recompute cost) stays O(1) per
-    round instead of 3^rounds — the same truncation discipline as
-    neardup_clusters' label propagation. Degree parity with the
+    except the scan itself is sublinear in |E|. Lineage truncation
+    (round 10, VERDICT r9 #7): only the TWICE-consumed ``marked``
+    frame and the node-sized ``deg`` are localCheckpoint-ed per round;
+    the kept-edge frame is a plain filter over marked's checkpoint
+    (O(1) lineage depth anyway), so each round materializes the full
+    edge set ONCE instead of twice — that second full-edge write per
+    round was the bulk of the 2.15 → 3.16 s small-scale tax the r9
+    rewrite paid. Same truncation discipline as neardup_clusters'
+    label propagation. Degree parity with the
     re-aggregating oracle is exact: for every kept node, degrees over
     the kept edges equal the prior degree minus its dropped-incident
     count, and a node peeled to degree 0 is killed (0 < k) next round
@@ -256,11 +261,9 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-        edges = (
-            marked.filter(F.col("a_rm").isNull() & F.col("b_rm").isNull())
-            .select("part_a", "part_b")
-            .localCheckpoint(eager=False)
-        )
+        edges = marked.filter(
+            F.col("a_rm").isNull() & F.col("b_rm").isNull()
+        ).select("part_a", "part_b")
         delta = (
             marked.filter(F.col("a_rm").isNotNull() | F.col("b_rm").isNotNull())
             .select(F.explode(F.array("part_a", "part_b")).alias("node"))

@@ -164,9 +164,16 @@ def _prune_grace_sec() -> int:
     enforces, not one the code can observe). Default is deliberately
     generous (24 h); the belt-and-braces newest-survivor rule in
     :func:`_prune_stale_versions` additionally protects the
-    immediately-previous version at ANY age."""
+    immediately-previous version at ANY age.
+
+    A negative env value would put the cutoff in the FUTURE and sweep
+    every non-newest version immediately — silently voiding the grace
+    guarantee above — so the parsed value is clamped to >= 0 (ADVICE
+    r9); unparseable values fall back to the default."""
     try:
-        return int(os.environ.get("SPARK_GRAFT_MATERIALIZE_GRACE_SEC", 24 * 3600))
+        return max(
+            0, int(os.environ.get("SPARK_GRAFT_MATERIALIZE_GRACE_SEC", 24 * 3600))
+        )
     except ValueError:
         return 24 * 3600
 

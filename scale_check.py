@@ -189,6 +189,35 @@ LINEITEM_QUERIES = (
 VOWELS = "aeiou"
 
 
+def _kcore_sweep_variant(queries, spark, sf_dir: str):
+    """copurchase_kcore with k=2 ON THE SWEEP AXIS ONLY (VERDICT r9
+    #5). The registry query (k=3, driver-checked, oracle-backed) is
+    untouched; but on the replicated-lineitem axis the sf0.1 base
+    graph's 3-core is EMPTY (max co-purchase degree 6, 145 nodes of
+    degree >= 3, none surviving one peel) — so the k=3 sweep only ever
+    timed round-1 degree work plus no-op rounds over empty frames, and
+    its growth ratio said nothing about the multi-round peel. The
+    2-core survives (7 nodes / 4 edges per replica at sf0.1), kill
+    sets stay non-trivial through all four rounds, and replicas keep
+    it linear: rows = 7 x scale. Patch-build-restore is safe because
+    the DataFrame bakes the constant in at CONSTRUCTION (every
+    F.lit/filter referencing _KCORE_K runs while building the plan);
+    evaluation after restore replays the built plan."""
+    from dieter___etl___monarchmoney_spark.queries import wave27_ops as w
+
+    old = w._KCORE_K
+    w._KCORE_K = 2
+    try:
+        return queries["copurchase_kcore"](spark, sf_dir)
+    finally:
+        w._KCORE_K = old
+
+
+#: per-query sweep-axis variants: name -> fn(queries, spark, sf_dir).
+#: Used ONLY by this harness; registry queries and oracles unchanged.
+SWEEP_OVERRIDES = {"copurchase_kcore": _kcore_sweep_variant}
+
+
 #: one stride per id namespace — part and lineitem MUST share the part
 #: stride so each replica's category joins resolve within its own copy
 KEY_STRIDE = 100_000_000
@@ -314,43 +343,53 @@ def main() -> None:
             # starts from an empty block manager, so per-scale numbers
             # are comparable by construction.
             spark = get_spark(app_name=f"scale-check-x{scale}")
-            spark.sparkContext.setLogLevel("ERROR")
-            out = str(root / f"x{scale}")
-            build_scaled_docs(spark, args.sf, scale, out)
-            for name in all_queries:
-                # min of two timed passes: box stalls (GC, THP
-                # compaction) land multi-second hits on whichever query
-                # is running — additive noise, so the minimum is the
-                # robust growth measurement (same estimator bench.py
-                # uses; single-pass 4x ratios swung 2-25x run to run).
-                # Round 9: same tie-break as bench.py — when the two
-                # passes disagree >1.5x at least one was poisoned, so a
-                # third runs immediately; an r9 sweep measured the
-                # paged-source ratio at 5.3 from exactly one such pair
-                # (solo re-measurement: 2.27)
-                dts = []
-                for _ in range(2):
-                    t0 = time.time()
-                    n = queries[name](spark, out).count()
-                    dts.append(round(time.time() - t0, 2))
-                if max(dts) > 1.5 * min(dts):
-                    t0 = time.time()
-                    n = queries[name](spark, out).count()
-                    dts.append(round(time.time() - t0, 2))
-                dt = min(dts)
-                results[name][scale] = dt
-                print(
-                    json.dumps(
-                        {"scale": scale, "query": name, "sec": dt,
-                         "passes": dts, "rows": n}
-                    ),
-                    flush=True,
-                )
-                # drop the query's DataFrame/localCheckpoint refs so the
-                # ContextCleaner unpersists their blocks before the next
-                # query is timed (see fresh-session note above)
-                gc.collect()
-            spark.stop()
+            # try/finally (ADVICE r9): a failure in build_scaled_docs
+            # or any query must still stop this scale's session —
+            # otherwise the next scale's get_spark() getOrCreate-reuses
+            # the still-live contaminated JVM and the fresh-session-
+            # per-scale guarantee above silently evaporates.
+            try:
+                spark.sparkContext.setLogLevel("ERROR")
+                out = str(root / f"x{scale}")
+                build_scaled_docs(spark, args.sf, scale, out)
+                for name in all_queries:
+                    # min of two timed passes: box stalls (GC, THP
+                    # compaction) land multi-second hits on whichever query
+                    # is running — additive noise, so the minimum is the
+                    # robust growth measurement (same estimator bench.py
+                    # uses; single-pass 4x ratios swung 2-25x run to run).
+                    # Round 9: same tie-break as bench.py — when the two
+                    # passes disagree >1.5x at least one was poisoned, so a
+                    # third runs immediately; an r9 sweep measured the
+                    # paged-source ratio at 5.3 from exactly one such pair
+                    # (solo re-measurement: 2.27)
+                    run = SWEEP_OVERRIDES.get(
+                        name, lambda q, s, d: q[name](s, d)
+                    )
+                    dts = []
+                    for _ in range(2):
+                        t0 = time.time()
+                        n = run(queries, spark, out).count()
+                        dts.append(round(time.time() - t0, 2))
+                    if max(dts) > 1.5 * min(dts):
+                        t0 = time.time()
+                        n = run(queries, spark, out).count()
+                        dts.append(round(time.time() - t0, 2))
+                    dt = min(dts)
+                    results[name][scale] = dt
+                    print(
+                        json.dumps(
+                            {"scale": scale, "query": name, "sec": dt,
+                             "passes": dts, "rows": n}
+                        ),
+                        flush=True,
+                    )
+                    # drop the query's DataFrame/localCheckpoint refs so the
+                    # ContextCleaner unpersists their blocks before the next
+                    # query is timed (see fresh-session note above)
+                    gc.collect()
+            finally:
+                spark.stop()
         lo, hi = min(scales), max(scales)
         summary = {
             q: {

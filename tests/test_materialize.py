@@ -182,6 +182,10 @@ def test_previous_version_never_pruned(spark, monkeypatch):
     assert m._prune_grace_sec() == 123
     monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_GRACE_SEC", "bogus")
     assert m._prune_grace_sec() == 24 * 3600
+    # ADVICE r9: a negative value would put the cutoff in the future
+    # and prune every non-newest dir immediately — clamp to 0
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_GRACE_SEC", "-5")
+    assert m._prune_grace_sec() == 0
     monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE_GRACE_SEC")
 
     tag = f"t_{uuid.uuid4().hex[:8]}"
