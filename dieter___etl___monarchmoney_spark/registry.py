@@ -34,7 +34,14 @@ def query(name: str, sql: str | None = None):
     loop) those pins would otherwise accumulate into GC pressure that
     slows every later query. Clearing at ENTRY is safe: by the time
     query N+1 starts, query N's result has been materialized and
-    compared; at worst a re-collect recomputes."""
+    compared; at worst a re-collect recomputes.
+
+    LIBRARY CAVEAT: the entry-time ``clearCache()`` is a
+    driver-harness contract behavior. A caller composing registry
+    callables with their OWN cached tables will find those caches
+    dropped by every registry call — compose with the underlying
+    operator modules (operators/, functions/) instead, which never
+    touch session-global cache state."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         @functools.wraps(fn)  # _reorder() keys on the copied __module__

@@ -321,6 +321,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,2,4")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--queries",
+        default="",
+        help="comma-separated subset of the sweep surface to measure "
+        "(solo re-measurement per the protocol: a disputed ratio is "
+        "re-run alone on an idle box before adjudication)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -330,6 +337,12 @@ def main() -> None:
     queries, _ = registry.load()
 
     all_queries = QUERIES + EVENT_QUERIES + EMBED_QUERIES + LINEITEM_QUERIES
+    if args.queries:
+        wanted = [q.strip() for q in args.queries.split(",") if q.strip()]
+        unknown = [q for q in wanted if q not in all_queries]
+        if unknown:
+            raise SystemExit(f"not on the sweep surface: {unknown}")
+        all_queries = tuple(wanted)
     results: dict[str, dict[int, float]] = {q: {} for q in all_queries}
     root = Path(tempfile.mkdtemp(prefix="scale_check_"))
     try:
