@@ -106,3 +106,27 @@ def test_fk_audit_orphans_match_direct_count(spark):
         "orders->customer",
         "supplier->nation",
     }
+
+
+def test_sweep_kcore_variant_restores_constant_and_bakes_at_construction(spark):
+    """The scale_check k=2 sweep variant (VERDICT r9 #5) patches the
+    module constant only around PLAN CONSTRUCTION: the returned
+    DataFrame must evaluate with k=2 semantics even though the global
+    is already restored to 3 before any action runs — i.e. every
+    filter/literal referencing _KCORE_K bakes in while building, and
+    the registry query's k=3 semantics are untouched afterwards."""
+    import dieter___etl___monarchmoney_spark.queries.wave27_ops as w27
+    from scale_check import _kcore_sweep_variant
+
+    from dieter___etl___monarchmoney_spark import registry
+
+    queries, _ = registry.load()
+    assert w27._KCORE_K == 3
+    df = _kcore_sweep_variant(queries, spark, SF_ORACLE)
+    # restored BEFORE evaluation
+    assert w27._KCORE_K == 3
+    k2_rows = df.count()
+    k3_rows = queries["copurchase_kcore"](spark, SF_ORACLE).count()
+    # the 2-core strictly contains the 3-core, and on this graph the
+    # containment is proper — proving the two plans really differ
+    assert k2_rows > k3_rows > 0
