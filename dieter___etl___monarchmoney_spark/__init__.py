@@ -17,7 +17,7 @@ Design rules (SURVEY.md §7):
   are deterministic and oracle-checkable (SURVEY.md §7.5 float-vs-decimal).
 """
 
-from dieter___etl___monarchmoney_spark.session import get_spark
+from dieter___etl___monarchmoney_spark.session import get_spark, ship_package
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "ship_package"]
 __version__ = "0.1.0"

@@ -71,3 +71,45 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Make this package importable by the session's Python WORKERS via
+    ``SparkContext.addPyFile`` — for sessions whose executors don't
+    have the package installed (a cluster without a baked image, a
+    host harness whose cwd is outside the repo).
+
+    The two custom connectors don't need this (their ``register()``
+    ships classes by value through PySpark's vendored cloudpickle);
+    every OTHER Python lane — Arrow/Pandas UDFs, ``mapInPandas``,
+    ``applyInPandas(WithState)`` — pickles its closures BY REFERENCE,
+    so workers must import the package by name. ``get_spark()`` covers
+    local mode by exporting PYTHONPATH before the JVM launches; this
+    helper covers sessions built elsewhere: it zips the package
+    one-dir-up (so the archive root contains
+    ``dieter___etl___monarchmoney_spark/``) and registers the zip,
+    which Spark distributes and prepends to every worker's sys.path.
+
+    Returns the zip path. Idempotent per session: re-registering the
+    same file name is a no-op for Spark. The zip is rebuilt per call
+    into the session-local temp dir (cheap — source only), never into
+    the repo."""
+    import tempfile
+    import zipfile
+
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = os.path.join(
+        tempfile.gettempdir(),
+        f"{pkg_dir.name}-{__version_tag__}-pyfiles.zip",
+    )
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
+
+
+#: version tag for the shipped-zip filename — bump-on-release keeps a
+#: long-lived cluster from reusing a stale distributed copy (Spark
+#: dedupes addPyFile by file NAME).
+__version_tag__ = "0.1.0"

@@ -244,14 +244,28 @@ def register(spark) -> None:
     """Idempotent registration of the format with a session.
 
     The class ships to Python workers BY VALUE
-    (cloudpickle.register_pickle_by_value): a by-reference pickle would
-    require this package on every worker's import path, which a host
-    harness driving an arbitrary cwd/session may not provide."""
+    (register_pickle_by_value): a by-reference pickle would require
+    this package on every worker's import path, which a host harness
+    driving an arbitrary cwd/session may not provide. The registration
+    MUST target PySpark's VENDORED cloudpickle (``pyspark.cloudpickle``
+    — the module ``pyspark.serializers`` actually dumps with);
+    registering only the standalone ``cloudpickle`` package is a no-op
+    for Spark's serializer (found live: a bare session launched from a
+    cwd outside the repo failed worker-side with ModuleNotFoundError
+    despite the standalone registration). The standalone registration
+    is kept for any non-Spark pickle path."""
     import sys
 
-    import cloudpickle
+    mod = sys.modules[__name__]
+    from pyspark import cloudpickle as _spark_cloudpickle
 
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    _spark_cloudpickle.register_pickle_by_value(mod)
+    try:
+        import cloudpickle
+
+        cloudpickle.register_pickle_by_value(mod)
+    except ImportError:
+        pass  # standalone cloudpickle is optional; Spark uses vendored
     try:
         spark.dataSource.register(PagedJsonDataSource)
     except Exception as exc:  # already registered in this session

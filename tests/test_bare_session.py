@@ -106,12 +106,19 @@ print("RESULT:" + json.dumps(out))
 """
 
 
-def test_connector_queries_on_bare_subprocess_session():
+def test_connector_queries_on_bare_subprocess_session(tmp_path):
     """The faithful replica: a fresh interpreter + fresh JVM builds a
     bare SparkSession (no package confs at all) and runs the flagship
     ``entry()`` plus every connector-backed query, exactly as the
     grading driver does. Catches any dependency on get_spark()-only
-    state: runtime confs, PYTHONPATH exports, registered sources."""
+    state: runtime confs, PYTHONPATH exports, registered sources.
+
+    cwd is a NEUTRAL temp dir, not the repo: with cwd=repo the Python
+    workers can import the package via '' on sys.path and the test
+    cannot see a broken by-value shipping contract — exactly how the
+    standalone-vs-vendored cloudpickle registration no-op stayed
+    invisible (sources/paged_source.register docstring). From a
+    neutral cwd the connector classes MUST arrive by value."""
     script = _BARE_SCRIPT.format(
         repo=str(REPO), names=list(CONNECTOR_QUERIES), sf=SF_SMOKE
     )
@@ -125,7 +132,7 @@ def test_connector_queries_on_bare_subprocess_session():
         text=True,
         timeout=600,
         env=env,
-        cwd=str(REPO),
+        cwd=str(tmp_path),
     )
     assert proc.returncode == 0, (
         f"bare-session run failed\nstdout:\n{proc.stdout[-4000:]}\n"
@@ -137,3 +144,55 @@ def test_connector_queries_on_bare_subprocess_session():
     assert counts["entry"] >= 0
     for name in CONNECTOR_QUERIES:
         assert counts[name] > 0, f"{name} empty on bare session: {counts}"
+
+
+_SHIP_SCRIPT = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+os.environ.pop("PYTHONPATH", None)
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.appName("bare-ship-package")
+    .master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from dieter___etl___monarchmoney_spark import ship_package
+from dieter___etl___monarchmoney_spark import registry
+
+ship_package(spark)
+qs, _ = registry.load()
+# an Arrow-UDF lane: its closure pickles BY REFERENCE, so this count
+# only succeeds if the workers can import the package from the zip
+n = qs["arrow_udf_text_normalize"](spark, {sf!r}).count()
+spark.stop()
+print("RESULT:" + json.dumps({{"arrow_udf_text_normalize": n}}))
+"""
+
+
+def test_ship_package_enables_udf_lanes_on_bare_session(tmp_path):
+    """ship_package() must make the Arrow/Pandas-UDF lanes (by-REFERENCE
+    closures) work on a session whose workers can't otherwise import
+    the package: bare session, neutral cwd, no PYTHONPATH — the exact
+    setup where the full-registry replay failed every UDF query with
+    worker-side ModuleNotFoundError before the helper existed."""
+    script = _SHIP_SCRIPT.format(repo=str(REPO), sf=SF_SMOKE)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, (
+        f"ship_package bare run failed\nstdout:\n{proc.stdout[-3000:]}\n"
+        f"stderr:\n{proc.stderr[-3000:]}"
+    )
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
+    assert line, proc.stdout[-2000:]
+    counts = json.loads(line[-1][len("RESULT:"):])
+    assert counts["arrow_udf_text_normalize"] > 0
