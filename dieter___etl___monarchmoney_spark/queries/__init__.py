@@ -69,11 +69,12 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
 #: check; the window re-proves (a) the queries whose code changed THIS
 #: round after their last driver row — the fixed paged connector read
 #: lane (the r9 red row: pushdown now gated on the live session's
-#: conf) and the k-core peel (per-round checkpoint slimming) — then
+#: conf), the k-core peel (per-round checkpoint slimming), and the
+#: two fuzzy-match queries (bounded 3-arg levenshtein swap) — then
 #: (b) the full 30-query cohort whose freshest green row is round 4
-#: (the oldest evidence after the r9 window landed), then (c) the 16
+#: (the oldest evidence after the r9 window landed), then (c) the 14
 #: alphabetically-first queries of the round-5 cohort as fillers.
-#: 2 + 30 + 16 + 2 flagship = one full 50-slot window; after it lands
+#: 4 + 30 + 14 + 2 flagship = one full 50-slot window; after it lands
 #: no green row in the registry predates round 5.
 #: sessionize_tws_stream is NOT listed: google.protobuf is absent in
 #: this environment (no network, installs forbidden; re-checked at
@@ -82,6 +83,10 @@ _PRIORITY = (
     # (a) round-10 edits: code changed after the last driver row
     "paged_source_roundtrip",
     "copurchase_kcore",
+    # bounded 3-arg levenshtein swap (banded O(k*n) per pair) — values
+    # proven oracle-exact locally, re-proven on the driver here
+    "fuzzy_entity_resolution",
+    "fuzzy_name_dedup",
     # (b) the round-4 cohort: freshest green row is round 4
     "full_outer_reconciliation",
     "hard_negative_mining",
@@ -129,8 +134,6 @@ _PRIORITY = (
     "dominant_supplier_parts",
     "dpp_top_days_rollup",
     "embedding_range_audit",
-    "funnel_conversion_steps",
-    "hourly_value_acf",
 )
 
 #: re-confirm a rotating flagship slice inside the window (VERDICT r2
