@@ -300,3 +300,54 @@ def test_streaming_left_join_emits_unmatched_nulls(spark):
     assert len({r["purchase_id"] for r in unmatched}) == len(unmatched)
     assert len(matched) > 0 and len(unmatched) > 0
     assert len({r["purchase_id"] for r in rows}) == n_purchases
+
+
+def test_bounded_levenshtein_keepset_equals_unbounded(spark):
+    """The 3-arg banded levenshtein (round 10) must keep EXACTLY the
+    pairs the unbounded form kept and emit identical distances for
+    them: dist <= k  <=>  bounded(k) >= 0, with bounded(k) == dist on
+    every kept row. Pins the swap in fuzzy_name_dedup /
+    fuzzy_entity_resolution against any future semantic drift in the
+    threshold form (the -1 sentinel is the only difference)."""
+    from pyspark.sql import functions as F
+
+    pairs = [
+        ("same", "same"),
+        ("kitten", "sitten"),        # 1
+        ("kitten", "sittin"),        # 2
+        ("kitten", "sitting"),       # 3
+        ("abc", ""),                 # 3 (empty edge)
+        ("forest green", "forest grees"),  # 1
+        ("a" * 40, "a" * 38 + "bb"),       # 2, long strings
+        ("totally", "different"),    # far
+    ]
+    df = spark.createDataFrame(pairs, ["l", "r"])
+    for k in (2, 4):
+        rows = df.select(
+            F.levenshtein("l", "r").alias("d"),
+            F.levenshtein("l", "r", k).alias("dk"),
+        ).collect()
+        for row in rows:
+            if row.d <= k:
+                assert row.dk == row.d, (k, row)
+            else:
+                assert row.dk == -1, (k, row)
+
+
+def test_fuzzy_er_join_is_blocked_not_nested_loop(spark):
+    """The entity-resolution candidate join must plan as an EQUI join
+    on the (brand, first-token) block key — a predicate reorder that
+    drops the equi conjuncts would silently degrade to
+    BroadcastNestedLoopJoin/CartesianProduct (all-pairs over the
+    catalog: the exact n^2 the blocking exists to avoid)."""
+    from dieter___etl___monarchmoney_spark import registry
+
+    queries, _ = registry.load()
+    df = queries["fuzzy_entity_resolution"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
