@@ -196,3 +196,29 @@ def test_ship_package_enables_udf_lanes_on_bare_session(tmp_path):
     assert line, proc.stdout[-2000:]
     counts = json.loads(line[-1][len("RESULT:"):])
     assert counts["arrow_udf_text_normalize"] > 0
+
+
+def test_ship_package_zip_layout_and_idempotency(spark):
+    """The shipped zip must root at the package dir (workers prepend
+    the zip to sys.path, so `import dieter___etl___monarchmoney_spark`
+    resolves only if arcnames start with the package name), include
+    every .py, and re-shipping must be a same-name no-op Spark
+    tolerates."""
+    import zipfile
+
+    from dieter___etl___monarchmoney_spark import ship_package
+
+    path1 = ship_package(spark)
+    path2 = ship_package(spark)  # idempotent per session
+    assert path1 == path2
+    with zipfile.ZipFile(path1) as zf:
+        names = zf.namelist()
+    pkg = "dieter___etl___monarchmoney_spark/"
+    assert all(n.startswith(pkg) for n in names), names[:5]
+    assert f"{pkg}__init__.py" in names
+    assert f"{pkg}session.py" in names
+    assert f"{pkg}sources/paged_source.py" in names
+    src_count = sum(
+        1 for _ in (REPO / "dieter___etl___monarchmoney_spark").rglob("*.py")
+    )
+    assert len(names) == src_count
