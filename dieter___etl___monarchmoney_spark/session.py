@@ -90,26 +90,47 @@ def ship_package(spark: SparkSession) -> str:
     ``dieter___etl___monarchmoney_spark/``) and registers the zip,
     which Spark distributes and prepends to every worker's sys.path.
 
-    Returns the zip path. Idempotent per session: re-registering the
-    same file name is a no-op for Spark. The zip is rebuilt per call
-    into the session-local temp dir (cheap — source only), never into
-    the repo."""
+    Returns the zip path. The filename carries a CONTENT HASH of the
+    sources (ADVICE r10): Spark dedupes ``addPyFile`` by name, so a
+    hash-derived name makes re-shipping unchanged code an exact no-op
+    while changed code automatically gets a fresh name a long-lived
+    cluster will distribute — no manually-bumped version constant to
+    forget. The zip is built in a process-unique temp file and
+    ``os.replace``d into place (atomic on POSIX), so two concurrent
+    processes on one box can never distribute each other's
+    half-written archive; an already-present hash-named zip is reused
+    as-is (same content by construction)."""
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = Path(__file__).resolve().parent
+    files = sorted(pkg_dir.rglob("*.py"))
+    h = hashlib.sha256()
+    for py in files:
+        h.update(str(py.relative_to(pkg_dir.parent)).encode())
+        h.update(b"\0")
+        h.update(py.read_bytes())
+        h.update(b"\0")
     zip_path = os.path.join(
         tempfile.gettempdir(),
-        f"{pkg_dir.name}-{__version_tag__}-pyfiles.zip",
+        f"{pkg_dir.name}-{h.hexdigest()[:16]}-pyfiles.zip",
     )
-    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for py in sorted(pkg_dir.rglob("*.py")):
-            zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+    if not os.path.exists(zip_path):
+        fd, tmp = tempfile.mkstemp(
+            suffix=".zip", prefix=f"{pkg_dir.name}-", dir=tempfile.gettempdir()
+        )
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                with zipfile.ZipFile(fh, "w", zipfile.ZIP_DEFLATED) as zf:
+                    for py in files:
+                        zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+            os.replace(tmp, zip_path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
     spark.sparkContext.addPyFile(zip_path)
     return zip_path
-
-
-#: version tag for the shipped-zip filename — bump-on-release keeps a
-#: long-lived cluster from reusing a stale distributed copy (Spark
-#: dedupes addPyFile by file NAME).
-__version_tag__ = "0.1.0"

@@ -376,8 +376,11 @@ def main() -> None:
                     # third runs immediately; an r9 sweep measured the
                     # paged-source ratio at 5.3 from exactly one such pair
                     # (solo re-measurement: 2.27)
+                    # `_n=name` binds eagerly (ADVICE r10): a late-bound
+                    # `name` would silently time the wrong query if the
+                    # callables were ever collected before being run
                     run = SWEEP_OVERRIDES.get(
-                        name, lambda q, s, d: q[name](s, d)
+                        name, lambda q, s, d, _n=name: q[_n](s, d)
                     )
                     dts = []
                     for _ in range(2):

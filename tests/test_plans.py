@@ -198,13 +198,35 @@ def test_source_mixture_broadcasts_weights(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_quality_deciles_single_shuffle_no_global_sort(spark):
-    """Decile ranking partitions by language: one hash exchange, never a
-    rangepartitioning/global sort."""
+def test_quality_deciles_bucketed_rank_no_global_sort(spark):
+    """Decile ranking (round 11): the two-phase exact NTILE's ranking
+    window hash-partitions by (lang, bucket id) — parallelism
+    |langs| x num_buckets, never one task per language — and nothing
+    in the plan range-partitions / globally sorts the fact."""
+    import re
+
     plan = _plan(QUERIES["quality_decile_assignment"](spark, SF_ORACLE))
-    assert plan.count("Exchange (") == 1
-    assert "hashpartitioning(lang" in plan
+    assert re.search(r"hashpartitioning\(lang#\d+, __egr_bkt#\d+", plan), plan[-2000:]
     assert "rangepartitioning" not in plan
+
+
+def test_calibration_and_lift_rank_windows_bucketed(spark):
+    """source_quality_calibration / decile_lift_table share the
+    two-phase NTILE: their ranking windows carry the synthetic bucket
+    id in the partition key (VERDICT r10 #1 'plan test pinning >group
+    count tasks in the ranking stage')."""
+    import re
+
+    plan = _plan(QUERIES["source_quality_calibration"](spark, SF_ORACLE))
+    assert re.search(r"hashpartitioning\(source#\d+, __egr_bkt#\d+", plan), plan[-2000:]
+    # the only range partitioning is the final ORDER BY over the 20-row
+    # result — never the fact (a fact-side rangepartitioning would sort
+    # on (source, q), which would carry the q column)
+    assert not re.search(r"rangepartitioning\([^)]*q#", plan)
+    plan = _plan(QUERIES["decile_lift_table"](spark, SF_ORACLE))
+    assert re.search(r"hashpartitioning\(c_mktsegment#\d+, __egr_bkt#\d+", plan), (
+        plan[-2000:]
+    )
 
 
 def test_moving_average_aggregates_before_window(spark):
