@@ -54,6 +54,32 @@ def _key_col(key_col: str | Column) -> Column:
     return F.col(key_col) if isinstance(key_col, str) else key_col
 
 
+def _bucketize(
+    df: DataFrame, group_cols: list[str], key: Column, num_buckets: int
+) -> DataFrame:
+    """Append the explicit ``_BKT`` bucket-id column: K-bounded
+    per-group ``percentile_approx`` edges of the numeric key (one
+    map-side-combined aggregate, |groups| rows), broadcast back, bucket
+    = #edges strictly below the key. Equal keys always share a bucket;
+    NULL keys land in bucket 0 (NULL > e is false), matching ASC NULLS
+    FIRST / DESC NULLS LAST within-cell order. The coalesce guards the
+    all-null-key group, whose edge array is NULL (size(NULL) would null
+    the join key and silently drop its rows). Deterministic — the
+    sketch never depends on physical partitioning."""
+    cuts = [i / num_buckets for i in range(1, num_buckets)]
+    edges = df.groupBy(*group_cols).agg(
+        F.percentile_approx(
+            key, F.array(*[F.lit(c) for c in cuts]), F.lit(10_000)
+        ).alias(_EDGES)
+    )
+    return df.join(F.broadcast(edges), group_cols).withColumn(
+        _BKT,
+        F.coalesce(
+            F.size(F.filter(F.col(_EDGES), lambda e: key > e)), F.lit(0)
+        ).cast("int"),
+    )
+
+
 def exact_group_rank(
     df: DataFrame,
     group_cols: list[str],
@@ -101,26 +127,8 @@ def exact_group_rank(
     order_key = key.asc() if ascending else key.desc()
     ties = [F.col(c) for c in tie_cols]
 
-    # 1. K-bounded per-group edge probe: one map-side-combined
-    # aggregate, |groups| rows out.
-    cuts = [i / num_buckets for i in range(1, num_buckets)]
-    edges = df.groupBy(*group_cols).agg(
-        F.percentile_approx(
-            key, F.array(*[F.lit(c) for c in cuts]), F.lit(10_000)
-        ).alias(_EDGES)
-    )
-
-    # 2. Explicit bucket id: #edges strictly below the key. Equal keys
-    # share a bucket; NULL keys land in bucket 0 (NULL > e is false),
-    # matching ASC NULLS FIRST / DESC NULLS LAST within-cell order.
-    # coalesce guards the all-null-key group, whose edge array is NULL
-    # (size(NULL) would null the join key and silently drop its rows)
-    bucketed = df.join(F.broadcast(edges), group_cols).withColumn(
-        _BKT,
-        F.coalesce(
-            F.size(F.filter(F.col(_EDGES), lambda e: key > e)), F.lit(0)
-        ).cast("int"),
-    )
+    # 1-2. Explicit bucket id from K-bounded per-group edges.
+    bucketed = _bucketize(df, group_cols, key, num_buckets)
 
     # 3. K-bounded cell counts -> per-cell rank offsets + group sizes.
     # Offsets cumulate in RANK order: ascending bucket ids for ASC,
@@ -204,3 +212,68 @@ def exact_group_ntile(
         f"+ 1 END"
     )
     return ranked.withColumn(out_col, tile.cast("int")).drop(_RNK, _N)
+
+
+def exact_group_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    tie_cols: list[str],
+    value_col: str,
+    out_col: str,
+    *,
+    inclusive: bool = True,
+    num_buckets: int = 32,
+    persist_input: bool = True,
+) -> DataFrame:
+    """Append ``out_col`` = the exact per-group running sum of
+    ``value_col`` over the ascending (key_col, *tie_cols) order —
+    ``SUM(v) OVER (PARTITION BY g ORDER BY key, ties ROWS UNBOUNDED
+    PRECEDING [AND -1 when inclusive=False])`` — with the same
+    |groups| x ``num_buckets`` cell parallelism as
+    :func:`exact_group_rank` instead of one task per group. This is
+    ``operators/prefix.py``'s partial-then-offset scan, per group, with
+    the offsets kept distributed (a K-bounded broadcast table) rather
+    than driver-materialized. ``(key_col, *tie_cols)`` must be a unique
+    total order within each group; ``key_col`` must be numeric (it cuts
+    the buckets). Same determinism and persist contract as
+    exact_group_rank (the bucket offsets are per-cell SUMS here, so for
+    float value columns the add order follows the deterministic
+    buckets; exact types are bucketing-independent)."""
+    if persist_input:
+        df = df.persist()
+    key = _key_col(key_col)
+    ties = [F.col(c) for c in tie_cols]
+    value = F.col(value_col)
+
+    bucketed = _bucketize(df, group_cols, key, num_buckets)
+
+    # K-bounded per-cell value sums -> exclusive cumulative offsets.
+    sums = bucketed.groupBy(*group_cols, _BKT).agg(F.sum(value).alias("__egr_s"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(_BKT).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        *group_cols,
+        _BKT,
+        F.sum("__egr_s").over(w_off).alias(_OFF),
+    )
+
+    # Local running sum within the (group, bucket) cell + offset add.
+    frame_end = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy(*group_cols, _BKT)
+        .orderBy(key.asc(), *ties)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    local = F.sum(value).over(w_local)
+    return (
+        bucketed.join(F.broadcast(offsets), [*group_cols, _BKT])
+        .withColumn(
+            out_col,
+            F.coalesce(F.col(_OFF), F.lit(0)) + F.coalesce(local, F.lit(0)),
+        )
+        .drop(_EDGES, _BKT, _OFF)
+    )

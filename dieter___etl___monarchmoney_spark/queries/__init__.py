@@ -67,26 +67,29 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
 #: ROUND-11 ROTATION — evidence freshness (VERDICT r10 #3). 272
 #: registered queries, 269/269 oracle-backed green on their freshest
 #: check; the window re-proves (a) the queries whose plan-affecting
-#: code changed THIS round after their last driver row — the three
-#: per-group NTILE queries now on the two-phase exact rank
-#: (operators/rank.py: the single-task-per-group decile sort was the
-#: one stage whose parallelism did not grow with data, VERDICT r10
-#: #1) — then (b) the full 29-query cohort whose freshest green row
+#: code changed THIS round after their last driver row — the five
+#: per-group window queries now on the two-phase exact
+#: rank/NTILE/prefix-sum (operators/rank.py: the single-task-per-group
+#: sort was the one stage whose parallelism did not grow with data,
+#: VERDICT r10 #1, fixed as a CLASS across the measured surface) —
+#: then (b) the full 29-query cohort whose freshest green row
 #: is round 5 (the oldest evidence after the r10 window landed), then
-#: (c) the 16 alphabetically-first queries of the round-6 cohort as
+#: (c) the 14 alphabetically-first queries of the round-6 cohort as
 #: fillers (decile_lift_table already sits in (a)).
-#: 3 + 29 + 16 + 2 flagship = one full 50-slot window; after it lands
+#: 5 + 29 + 14 + 2 flagship = one full 50-slot window; after it lands
 #: no green row in the registry predates round 6.
 #: sessionize_tws_stream is NOT listed: google.protobuf is absent in
 #: this environment (no network, installs forbidden; re-checked at
 #: round-11 start), so it never registers — gate documented in README.
 _PRIORITY = (
-    # (a) round-11 edits: the two-phase exact NTILE swap — values
-    # proven oracle-exact locally (hash-exact at sf0.01), re-proven on
-    # the driver here
+    # (a) round-11 edits: the two-phase exact NTILE / grouped-rank /
+    # grouped-prefix-sum swaps — values proven oracle-exact locally
+    # (hash-exact at sf0.01), re-proven on the driver here
     "source_quality_calibration",
     "quality_decile_assignment",
     "decile_lift_table",
+    "doc_length_band_filter",
+    "sequence_packing",
     # (b) the round-5 cohort: freshest green row is round 5
     "funnel_conversion_steps",
     "hourly_value_acf",
@@ -133,8 +136,6 @@ _PRIORITY = (
     "holt_linear_forecast",
     "interarrival_burstiness",
     "join_fanout_profile",
-    "kaplan_meier_churn",
-    "kendall_tau_daily",
 )
 
 #: re-confirm a rotating flagship slice inside the window (VERDICT r2

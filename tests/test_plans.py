@@ -229,6 +229,21 @@ def test_calibration_and_lift_rank_windows_bucketed(spark):
     )
 
 
+def test_band_filter_and_packing_windows_bucketed(spark):
+    """doc_length_band_filter (grouped exact rank) and sequence_packing
+    (grouped two-phase prefix sum) carry the bucket id in their window
+    partition keys — the round-11 class fix applied beyond the NTILE
+    trio."""
+    import re
+
+    plan = _plan(QUERIES["doc_length_band_filter"](spark, SF_ORACLE))
+    assert re.search(r"hashpartitioning\(source#\d+, __egr_bkt#\d+", plan), (
+        plan[-2000:]
+    )
+    plan = _plan(QUERIES["sequence_packing"](spark, SF_ORACLE))
+    assert re.search(r"hashpartitioning\(lang#\d+, __egr_bkt#\d+", plan), plan[-2000:]
+
+
 def test_moving_average_aggregates_before_window(spark):
     """The 7-day range-frame window runs over the DAILY aggregate (O(days)
     rows), never the raw event stream: the plan's Window sits above a

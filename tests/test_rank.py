@@ -103,6 +103,33 @@ def test_rank_is_exact_rownumber(spark):
     assert bad_n.count() == 0
 
 
+def test_group_prefix_sum_matches_window(spark):
+    """exact_group_prefix_sum == the per-group cumulative window, both
+    inclusive and exclusive frames, including signed values."""
+    from dieter___etl___monarchmoney_spark.operators.rank import (
+        exact_group_prefix_sum,
+    )
+
+    df = _synthetic(spark, n=2_011).withColumn(
+        "v", (F.pmod(F.xxhash64("rid", F.lit(2)), F.lit(41)) - 17).cast("long")
+    )
+    for inclusive in (True, False):
+        frame_end = 0 if inclusive else -1
+        w = (
+            Window.partitionBy("g")
+            .orderBy("key", "rid")
+            .rowsBetween(Window.unboundedPreceding, frame_end)
+        )
+        want = df.select(
+            "rid", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("want")
+        )
+        got = exact_group_prefix_sum(
+            df, ["g"], "key", ["rid"], "v", "got", inclusive=inclusive
+        ).select("rid", "got")
+        diff = got.join(want, "rid").filter(F.col("got") != F.col("want"))
+        assert diff.count() == 0
+
+
 def test_ranking_stage_parallelism_not_capped_at_group_count(spark):
     """The scale contract: the ranking window's hash partition key
     includes the bucket id, so the one data shuffle spreads
