@@ -30,7 +30,10 @@ This module applies the same partial-then-offset decomposition
 NTILE(k) is then pure integer arithmetic on (rank, group size),
 reproducing Spark/DuckDB's NTILE contract exactly: with n = |group|,
 the first ``n % k`` tiles hold ``n div k + 1`` rows, the rest
-``n div k`` (empty tiles when n < k).
+``n div k`` (empty tiles when n < k). The same decomposition with
+per-cell SUM offsets instead of COUNT offsets gives the grouped
+running sum (:func:`exact_group_prefix_sum`) — the per-group form of
+``operators/prefix.py``.
 
 Reference analog: the reference computes per-group quantile cuts
 serially in pandas (``qcut``-style over the sorted frame); this
@@ -44,7 +47,6 @@ from pyspark.sql import functions as F
 
 _BKT = "__egr_bkt"
 _EDGES = "__egr_edges"
-_LOCAL = "__egr_local"
 _OFF = "__egr_off"
 _RNK = "__egr_rnk"
 _N = "__egr_n"
@@ -104,8 +106,8 @@ def exact_group_rank(
     Determinism: bucket edges come from ``percentile_approx`` (a
     deterministic sketch), and equal keys always share a bucket, so
     the output is a pure function of the data — no dependence on
-    physical partitioning, no persist required even though the plan
-    scans the input twice (once for cell counts, once for ranking).
+    physical partitioning, no persist required for CORRECTNESS even
+    though the plan reads the input three times.
 
     Degenerate groups (one dominant key value) collapse into one fat
     bucket — the same behavior as the plain window, never worse.
