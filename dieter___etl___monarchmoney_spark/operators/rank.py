@@ -56,25 +56,45 @@ def _key_col(key_col: str | Column) -> Column:
     return F.col(key_col) if isinstance(key_col, str) else key_col
 
 
+def _nullsafe_broadcast_join(
+    df: DataFrame, small: DataFrame, on_cols: list[str]
+) -> DataFrame:
+    """Inner broadcast join on ``on_cols`` with NULL-SAFE equality, so
+    a NULL group key forms its own group instead of silently dropping
+    its rows (``GROUP BY`` puts NULLs in one group and a window
+    ``PARTITION BY`` keeps them as a partition — a plain equi-join back
+    would lose them). Keeps all of ``df``'s columns plus ``small``'s
+    non-key columns."""
+    d, s = df.alias("__egr_l"), small.alias("__egr_r")
+    cond = None
+    for c in on_cols:
+        piece = F.col(f"__egr_l.{c}").eqNullSafe(F.col(f"__egr_r.{c}"))
+        cond = piece if cond is None else (cond & piece)
+    extra = [f"__egr_r.{c}" for c in small.columns if c not in on_cols]
+    return d.join(F.broadcast(s), cond).select("__egr_l.*", *extra)
+
+
 def _bucketize(
     df: DataFrame, group_cols: list[str], key: Column, num_buckets: int
 ) -> DataFrame:
     """Append the explicit ``_BKT`` bucket-id column: K-bounded
     per-group ``percentile_approx`` edges of the numeric key (one
-    map-side-combined aggregate, |groups| rows), broadcast back, bucket
-    = #edges strictly below the key. Equal keys always share a bucket;
-    NULL keys land in bucket 0 (NULL > e is false), matching ASC NULLS
-    FIRST / DESC NULLS LAST within-cell order. The coalesce guards the
-    all-null-key group, whose edge array is NULL (size(NULL) would null
-    the join key and silently drop its rows). Deterministic — the
-    sketch never depends on physical partitioning."""
+    map-side-combined aggregate, |groups| rows), broadcast back
+    (null-safely — NULL group keys rank as their own group, matching
+    the window form), bucket = #edges strictly below the key. Equal
+    keys always share a bucket; NULL keys land in bucket 0 (NULL > e
+    is false), matching ASC NULLS FIRST / DESC NULLS LAST within-cell
+    order. The coalesce guards the all-null-key group, whose edge
+    array is NULL (size(NULL) would null the bucket id and drop its
+    rows at the offsets join). Deterministic — the sketch never
+    depends on physical partitioning."""
     cuts = [i / num_buckets for i in range(1, num_buckets)]
     edges = df.groupBy(*group_cols).agg(
         F.percentile_approx(
             key, F.array(*[F.lit(c) for c in cuts]), F.lit(10_000)
         ).alias(_EDGES)
     )
-    return df.join(F.broadcast(edges), group_cols).withColumn(
+    return _nullsafe_broadcast_join(df, edges, group_cols).withColumn(
         _BKT,
         F.coalesce(
             F.size(F.filter(F.col(_EDGES), lambda e: key > e)), F.lit(0)
@@ -157,7 +177,7 @@ def exact_group_rank(
     # data shuffle hash-distributes |groups| x num_buckets cells.
     w_local = Window.partitionBy(*group_cols, _BKT).orderBy(order_key, *ties)
     ranked = (
-        bucketed.join(F.broadcast(offsets), [*group_cols, _BKT])
+        _nullsafe_broadcast_join(bucketed, offsets, [*group_cols, _BKT])
         .withColumn(rank_col, F.col(_OFF) + F.row_number().over(w_local))
         .drop(_EDGES, _BKT, _OFF)
     )
@@ -191,6 +211,10 @@ def exact_group_ntile(
     directions — while the ranking stage parallelism is
     |groups| x num_buckets instead of |groups|.
     """
+    # k is interpolated into a SQL expression — reject anything that
+    # is not a plain positive int (bool is an int subclass; exclude it)
+    if not isinstance(k, int) or isinstance(k, bool) or k < 1:
+        raise ValueError(f"exact_group_ntile: k must be a positive int, got {k!r}")
     ranked = exact_group_rank(
         df,
         group_cols,
@@ -272,7 +296,7 @@ def exact_group_prefix_sum(
     )
     local = F.sum(value).over(w_local)
     return (
-        bucketed.join(F.broadcast(offsets), [*group_cols, _BKT])
+        _nullsafe_broadcast_join(bucketed, offsets, [*group_cols, _BKT])
         .withColumn(
             out_col,
             F.coalesce(F.col(_OFF), F.lit(0)) + F.coalesce(local, F.lit(0)),

@@ -103,6 +103,31 @@ def test_rank_is_exact_rownumber(spark):
     assert bad_n.count() == 0
 
 
+def test_null_group_keys_rank_as_their_own_group(spark):
+    """A NULL group key is one group to GROUP BY / PARTITION BY; the
+    bucket-edge joins are null-safe so its rows must neither drop nor
+    mis-rank (the naive equi-join-back would silently lose them)."""
+    df = _synthetic(spark, n=601).withColumn(
+        "g", F.when(F.col("g") == 0, F.lit(None)).otherwise(F.col("g"))
+    )
+    got = exact_group_ntile(df, ["g"], "key", ["rid"], 10, out_col="got").select(
+        "rid", "got"
+    )
+    want = _expected_ntile(df, 10, True)
+    assert got.count() == df.count()  # no rows lost
+    diff = got.join(want, "rid").filter(F.col("got") != F.col("want"))
+    assert diff.count() == 0
+
+
+def test_ntile_rejects_non_int_k(spark):
+    import pytest
+
+    df = _synthetic(spark, n=20)
+    for bad in ("10", 0, -1, True, 2.5):
+        with pytest.raises(ValueError):
+            exact_group_ntile(df, ["g"], "key", ["rid"], bad, out_col="t")
+
+
 def test_group_prefix_sum_matches_window(spark):
     """exact_group_prefix_sum == the per-group cumulative window, both
     inclusive and exclusive frames, including signed values."""
