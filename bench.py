@@ -33,9 +33,12 @@ axis min-of-two can't absorb):
   comparison should normalize per-query times by the anchor ratio:
   two boxes whose anchors differ 2x are expected to differ ~2x on
   every query — divergence BEYOND the anchor ratio is what indicts a
-  plan. first-vs-last drift >1.3x additionally flags in-run
-  degradation (page-cache eviction, thermal) that per-query passes
-  can't see.
+  plan. NOTE on first-vs-last (round 11, with the lengthened probe):
+  anchor_first consistently runs ~1.5-1.8x anchor_last because the
+  FIRST probe still pays page-cache/JIT warm-up the 272-query body
+  then amortizes — that direction is benign and expected; the in-run
+  DEGRADATION flag is the opposite direction (anchor_last >>
+  anchor_first: eviction, thermal). The headline anchor is the min.
 
 Per-query history is archived per round: the detail JSON is written
 both to bench_detail.json (latest) and BENCH_DETAIL_r{N}.json, where N
