@@ -72,6 +72,9 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 from dieter___etl___monarchmoney_spark import registry  # noqa: E402
+from dieter___etl___monarchmoney_spark.operators.rank import (  # noqa: E402
+    release_pins as _release_rank_pins,
+)
 from dieter___etl___monarchmoney_spark.session import get_spark  # noqa: E402
 
 
@@ -201,7 +204,13 @@ def main() -> None:
         # storage pressure to systematically slow the late-alphabet
         # tail (same contamination class scale_check.py fixed; a run
         # without this measured paged_source_roundtrip at 12.9 s on
-        # BOTH passes where a clean session reproduces ~2 s)
+        # BOTH passes where a clean session reproduces ~2 s). Explicit
+        # persist() pins are NOT ContextCleaner-collectable (the
+        # CacheManager holds them by logical plan) — the grouped-rank
+        # operators expose a release hook for exactly this loop
+        # (ADVICE r11 #2); released AFTER both timed passes so the
+        # steady pass keeps its warm-cache semantics.
+        _release_rank_pins()
         gc.collect()
 
     anchor_last = _anchor_time(spark, sf_dir)

@@ -13,11 +13,22 @@ This module applies the same partial-then-offset decomposition
 (per group):
 
 1. cut K-bounded per-group bucket edges of the numeric order key with
-   one ``percentile_approx`` aggregate (deterministic sketch — never
-   the RangePartitioner's sampled boundaries, so both passes over the
-   data see the SAME buckets with no persist/pin needed);
+   one ``percentile_approx`` aggregate, and PIN them by collecting the
+   |groups|-row edge table to the driver and re-emitting it as a local
+   relation (the ``operators/prefix.py`` collect-boundaries-to-literals
+   pattern). The pin is a CORRECTNESS requirement, not an optimization:
+   the edge table feeds two plan branches (cell counts → offsets, and
+   the ranking join), and Spark evaluates an un-pinned aggregate
+   independently per branch (measured: ``ReusedExchange: 0``, the edge
+   aggregate appearing once per consumer). ``percentile_approx``'s GK
+   sketch is only merge-order-independent while every group stays under
+   the accuracy threshold (~10k samples); past it, two evaluations can
+   disagree on edges and a row would land in different buckets for the
+   count pass and the rank pass — silently corrupting global ranks.
+   Collected literals make both branches share one edge set by
+   construction, at any scale;
 2. assign every row an EXPLICIT bucket-id column by broadcast-joining
-   the |groups|-row edge table (equal keys always share a bucket, so
+   the pinned edge table (equal keys always share a bucket, so
    tie-breaking stays within one cell);
 3. rank locally inside each (group, bucket) cell — the ranking
    window's partition key now has |groups| x num_buckets cells, so the
@@ -44,12 +55,42 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
 
 _BKT = "__egr_bkt"
 _EDGES = "__egr_edges"
 _OFF = "__egr_off"
 _RNK = "__egr_rnk"
 _N = "__egr_n"
+
+#: inputs pinned by ``persist_input=True``, in pin order. The returned
+#: DataFrame lazily reads the pin, so the operator itself can never
+#: release it — but a harness that times many queries in one session
+#: (bench.py, scale_check.py) must, or the MEMORY_AND_DISK blocks
+#: accumulate across hundreds of queries (memory LRU-evicts; DISK
+#: blocks live until session end) and the leftover cache pressure
+#: skews later queries' timings. Call :func:`release_pins` after the
+#: consuming action completes.
+_PINS: list[DataFrame] = []
+
+
+def release_pins() -> int:
+    """Unpersist every input pinned by ``persist_input=True`` since the
+    last call, returning how many were released. Safe to call any time
+    AFTER the actions consuming the returned DataFrames have run
+    (unpersisting earlier is still correct — Spark recomputes — it just
+    forfeits the pin's read-once economy)."""
+    n = 0
+    while _PINS:
+        _PINS.pop().unpersist()
+        n += 1
+    return n
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PINS.append(df)
+    return df
 
 
 def _key_col(key_col: str | Column) -> Column:
@@ -79,22 +120,32 @@ def _bucketize(
 ) -> DataFrame:
     """Append the explicit ``_BKT`` bucket-id column: K-bounded
     per-group ``percentile_approx`` edges of the numeric key (one
-    map-side-combined aggregate, |groups| rows), broadcast back
-    (null-safely — NULL group keys rank as their own group, matching
-    the window form), bucket = #edges strictly below the key. Equal
-    keys always share a bucket; NULL keys land in bucket 0 (NULL > e
-    is false), matching ASC NULLS FIRST / DESC NULLS LAST within-cell
-    order. The coalesce guards the all-null-key group, whose edge
-    array is NULL (size(NULL) would null the bucket id and drop its
-    rows at the offsets join). Deterministic — the sketch never
-    depends on physical partitioning."""
+    map-side-combined aggregate, |groups| rows), PINNED by collecting
+    to the driver and re-emitting as a local relation, then broadcast
+    back (null-safely — NULL group keys rank as their own group,
+    matching the window form), bucket = #edges strictly below the key.
+    Equal keys always share a bucket; NULL keys land in bucket 0
+    (NULL > e is false), matching ASC NULLS FIRST / DESC NULLS LAST
+    within-cell order. The coalesce guards the all-null-key group,
+    whose edge array is NULL (size(NULL) would null the bucket id and
+    drop its rows at the offsets join).
+
+    The collect is the correctness pin (module docstring): the bucket
+    id feeds BOTH the offsets branch and the ranking branch, and an
+    un-pinned edge aggregate is re-evaluated per branch (exchange
+    reuse is an optimization, not a guarantee) — past the GK sketch's
+    compression threshold the two evaluations could cut different
+    edges and desynchronize bucket ids between the passes. It is
+    K-bounded by the module's low-cardinality-groups contract:
+    |groups| rows x ≤(num_buckets-1) key values."""
     cuts = [i / num_buckets for i in range(1, num_buckets)]
     edges = df.groupBy(*group_cols).agg(
         F.percentile_approx(
             key, F.array(*[F.lit(c) for c in cuts]), F.lit(10_000)
         ).alias(_EDGES)
     )
-    return _nullsafe_broadcast_join(df, edges, group_cols).withColumn(
+    pinned = df.sparkSession.createDataFrame(edges.collect(), edges.schema)
+    return _nullsafe_broadcast_join(df, pinned, group_cols).withColumn(
         _BKT,
         F.coalesce(
             F.size(F.filter(F.col(_EDGES), lambda e: key > e)), F.lit(0)
@@ -123,11 +174,12 @@ def exact_group_rank(
     With ``n_col`` set, the group size is appended too (free: it rides
     the same K-bounded cell-count table).
 
-    Determinism: bucket edges come from ``percentile_approx`` (a
-    deterministic sketch), and equal keys always share a bucket, so
-    the output is a pure function of the data — no dependence on
-    physical partitioning, no persist required for CORRECTNESS even
-    though the plan reads the input three times.
+    Determinism: the bucket edges are collected ONCE and re-emitted as
+    driver-side literals (module docstring — the pin that keeps the
+    count pass and the rank pass on one edge set at any scale), equal
+    keys always share a bucket, and ``(key, *ties)`` uniqueness fixes
+    the within-cell order, so the output is a pure function of the
+    data — no dependence on physical partitioning.
 
     Degenerate groups (one dominant key value) collapse into one fat
     bucket — the same behavior as the plain window, never worse.
@@ -136,15 +188,16 @@ def exact_group_rank(
     ranking), so by default the input is pinned with ``persist()`` —
     callers pass narrow (group, key, ties) projections, and the pin
     keeps an expensive upstream (a scoring expression, a join) from
-    being recomputed per pass. Same pin discipline as
-    ``operators/prefix.py``: deliberately not released here (the
-    returned DataFrame still reads it; Spark evicts LRU under
-    pressure). Pass ``persist_input=False`` when the input is already
-    cached or when re-scanning pushed-down parquet beats caching at
-    the deployment's scale.
+    being recomputed per pass. The returned DataFrame still reads the
+    pin, so it is NOT released here; harnesses that run many queries
+    in one session call :func:`release_pins` after each consuming
+    action (bench.py does) so DISK-tier blocks never accumulate. Pass
+    ``persist_input=False`` when the input is already cached or when
+    re-scanning pushed-down parquet beats caching at the deployment's
+    scale.
     """
     if persist_input:
-        df = df.persist()
+        df = _pin(df)
     key = _key_col(key_col)
     order_key = key.asc() if ascending else key.desc()
     ties = [F.col(c) for c in tie_cols]
@@ -262,12 +315,30 @@ def exact_group_prefix_sum(
     the offsets kept distributed (a K-bounded broadcast table) rather
     than driver-materialized. ``(key_col, *tie_cols)`` must be a unique
     total order within each group; ``key_col`` must be numeric (it cuts
-    the buckets). Same determinism and persist contract as
-    exact_group_rank (the bucket offsets are per-cell SUMS here, so for
-    float value columns the add order follows the deterministic
-    buckets; exact types are bucketing-independent)."""
+    the buckets). Same pinned-edges determinism and persist contract
+    as :func:`exact_group_rank`.
+
+    ``value_col`` must be an EXACT type (integral or decimal): the
+    cell-offset decomposition adds partial sums in bucket order, not
+    the window's sequential row order, so a float/double value column
+    could diverge from the window form in the last ulps — hash-
+    divergence bait for an oracle-checked caller. Floats are rejected;
+    quantize to decimal first (``functions/money.py``'s pattern).
+    NULL values are ignored exactly like ``SUM`` ignores them, and a
+    row whose whole frame is empty or all-NULL yields NULL — value-
+    identical to the plain window (callers wanting 0 coalesce, as SQL
+    would)."""
+    vtype = df.schema[value_col].dataType
+    if isinstance(vtype, (FloatType, DoubleType)):
+        raise TypeError(
+            f"exact_group_prefix_sum: value column {value_col!r} is "
+            f"{vtype.simpleString()} — the cell-offset add order differs "
+            f"from the window's sequential order, so float sums could "
+            f"diverge in the last ulps. Quantize to decimal first "
+            f"(see functions/money.py) or use an integral column."
+        )
     if persist_input:
-        df = df.persist()
+        df = _pin(df)
     key = _key_col(key_col)
     ties = [F.col(c) for c in tie_cols]
     value = F.col(value_col)
@@ -295,11 +366,19 @@ def exact_group_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, frame_end)
     )
     local = F.sum(value).over(w_local)
+    # Window-exact NULL semantics: SUM over an empty / all-NULL frame
+    # is NULL. The offset is NULL iff every preceding cell's sum is
+    # NULL or absent, and the local sum is NULL iff the in-cell frame
+    # is empty or all-NULL — so the frame as a whole is empty/all-NULL
+    # exactly when BOTH are NULL. Otherwise the NULL side contributes
+    # 0, matching SUM's ignore-nulls accumulation.
     return (
         _nullsafe_broadcast_join(bucketed, offsets, [*group_cols, _BKT])
         .withColumn(
             out_col,
-            F.coalesce(F.col(_OFF), F.lit(0)) + F.coalesce(local, F.lit(0)),
+            F.when(F.col(_OFF).isNull() & local.isNull(), F.lit(None)).otherwise(
+                F.coalesce(F.col(_OFF), F.lit(0)) + F.coalesce(local, F.lit(0))
+            ),
         )
         .drop(_EDGES, _BKT, _OFF)
     )

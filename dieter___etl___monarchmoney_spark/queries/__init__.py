@@ -64,139 +64,128 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave35_ops,
 )
 
-#: ROUND-11 ROTATION — evidence freshness (VERDICT r10 #3). 272
+#: ROUND-12 ROTATION — evidence freshness (VERDICT r11 #3). 272
 #: registered queries, 269/269 oracle-backed green on their freshest
 #: check; the window re-proves (a) the queries whose plan-affecting
-#: code changed THIS round after their last driver row — the five
-#: per-group window queries now on the two-phase exact
-#: rank/NTILE/prefix-sum (operators/rank.py: the single-task-per-group
-#: sort was the one stage whose parallelism did not grow with data,
-#: VERDICT r10 #1, fixed as a CLASS across the measured surface) —
-#: then (b) the full 29-query cohort whose freshest green row
-#: is round 5 (the oldest evidence after the r10 window landed), then
-#: (c) the 14 alphabetically-first queries of the round-6 cohort as
-#: fillers (decile_lift_table already sits in (a)).
-#: 5 + 29 + 14 + 2 flagship = one full 50-slot window; after it lands
-#: no green row in the registry predates round 6.
+#: code changed THIS round after their last green row — the five
+#: grouped-rank-family queries again, because operators/rank.py now
+#: PINS its percentile_approx bucket-edge table by collecting it to
+#: driver literals (VERDICT r11 #1: the un-pinned edge aggregate was
+#: re-evaluated per plan branch, a silent at-scale bucket-desync
+#: hazard) and exact_group_prefix_sum gained window-exact NULL
+#: semantics + a float-value guard — then (b) the full 30-query cohort
+#: whose freshest green row is round 6 (the oldest evidence after the
+#: r11 window landed), then (c) the 13 alphabetically-first queries of
+#: the round-7 cohort as fillers.
+#: 5 + 30 + 13 + 2 flagship = one full 50-slot window; after it lands
+#: no green row in the registry predates round 7.
 #: sessionize_tws_stream is NOT listed: google.protobuf is absent in
 #: this environment (no network, installs forbidden; re-checked at
-#: round-11 start), so it never registers — gate documented in README.
+#: round-12 start), so it never registers — gate documented in README.
 _PRIORITY = (
-    # (a) round-11 edits: the two-phase exact NTILE / grouped-rank /
-    # grouped-prefix-sum swaps — values proven oracle-exact locally
-    # (hash-exact at sf0.01), re-proven on the driver here
+    # (a) round-12 edits: rank.py edge pinning + prefix-sum NULL/float
+    # contract — values re-proven oracle-exact locally (hash-exact at
+    # sf0.01 after the change), re-proven on the driver here
     "source_quality_calibration",
     "quality_decile_assignment",
     "decile_lift_table",
     "doc_length_band_filter",
     "sequence_packing",
-    # (b) the round-5 cohort: freshest green row is round 5
-    "funnel_conversion_steps",
-    "hourly_value_acf",
-    "important_part_stock",
-    "label_centroid_similarity",
-    "lateral_best_line_per_order",
-    "linkpred_adamic_adar",
-    "logreg_train_weights",
-    "max_duplicated_span",
-    "merge_on_read_view",
-    "min_cost_supplier",
-    "nation_trade_flows",
-    "observed_scan_metrics",
-    "order_lines_hof_profile",
-    "parameterized_sql_filter",
-    "penny_exact_allocation",
-    "pit_training_features",
-    "product_type_profit",
-    "recursive_referral_depth",
-    "returnflag_quantity_iqr",
-    "sampled_revenue_estimate",
-    "scd2_temporal_join",
-    "schema_evolution_merge_read",
-    "seasonal_naive_backtest",
-    "session_dwell_metrics",
-    "ship_delay_mode_counts",
-    "streaming_full_outer_join",
-    "streaming_upsert_foreachbatch",
-    "variant_props_rollup",
-    "xml_roundtrip_extract",
-    # (c) round-6-cohort fillers, oldest-first (alphabetical within
+    # (b) the round-6 cohort: freshest green row is round 6
+    # (recomputed from CORRECTNESS_r01–r11 at round-12 start)
+    "kaplan_meier_churn",
+    "kendall_tau_daily",
+    "kfold_leakage_audit",
+    "linear_touch_attribution",
+    "minhash_lsh_candidates",
+    "naive_bayes_lang_confusion",
+    "oov_rate_by_source",
+    "partition_checksum_diff",
+    "percentile_bridge_exact",
+    "pq_adc_topk",
+    "pricing_summary_report",
+    "quantile_binning_features",
+    "reciprocal_rank_fusion",
+    "retention_policy_prune",
+    "revenue_gini_by_nation",
+    "sequence_packing_plan",
+    "set_cover_greedy_selection",
+    "shipping_priority_topk",
+    "simhash_hamming_pairs",
+    "spearman_daily_correlation",
+    "stratified_split_audit",
+    "target_encoding_loo",
+    "tfidf_cosine_pairs",
+    "theil_sen_trend",
+    "token_entropy_by_source",
+    "topn_with_others_rollup",
+    "trigram_substring_search",
+    "udtf_chunk_explode",
+    "weighted_median_by_segment",
+    "window_rank_surface",
+    # (c) round-7-cohort fillers, oldest-first (alphabetical within
     # the cohort, per VERDICT r8 #1)
-    "asof_nearest_tolerance",
-    "bitemporal_as_of_as_at",
-    "cumulative_distinct_users",
-    "dataset_card_stats",
-    "decision_stump_split",
-    "duplicate_invoice_pairs",
-    "error_burst_islands",
-    "event_path_trigrams",
-    "fk_integrity_audit",
-    "grouping_id_rollup_report",
-    "hierarchy_share_report",
-    "holt_linear_forecast",
-    "interarrival_burstiness",
-    "join_fanout_profile",
+    "account_enrichment_join",
+    "ann_lsh_topk",
+    "ann_recall_audit",
+    "boilerplate_segment_audit",
+    "bpe_encode_corpus",
+    "bpe_merge_rules",
+    "cashflow_by_category_group",
+    "cashflow_summary",
+    "chunk_sliding_windows",
+    "component_size_distribution",
+    "decontamination_overlap",
+    "dedup_exact_groups",
+    "dedup_survivors",
 )
 
 #: re-confirm a rotating flagship slice inside the window (VERDICT r2
 #: #6). These sit AFTER the stale/oldest-evidence block so that if the
 #: driver budget lands below 50 the casualties are the freshest-risk
-#: re-confirms. Round-11 slice: two quality-family pillars adjacent to
-#: this round's decile work, both on this round's 8x sweep surface
-#: (VERDICT r10 #6) — the skyline curation chain and the per-language
-#: Pareto frontier — so their fresh driver rows land alongside their
-#: 1x/4x/8x growth evidence.
+#: re-confirms. Round-12 slice: the per-language Pareto frontier (its
+#: 4x→8x doubling step is this round's one prescribed sweep
+#: re-adjudication, VERDICT r11 #6 — the fresh driver row lands
+#: alongside that evidence) and the signed running balance, whose
+#: operators/prefix.py collect-boundaries-to-literals pattern is
+#: exactly what this round's rank.py fix adopts.
 _FLAGSHIP = (
-    "corpus_curation",
     "pareto_quality_frontier",
+    "signed_running_balance",
 )
 
-#: queries added THIS round (round 11) — registry growth is frozen at
+#: queries added THIS round (round 12) — registry growth is frozen at
 #: ≤5 (VERDICT r5 #2); anything here rotates into _PRIORITY next round.
-#: (empty: round 11 adds no queries — VERDICT r8 #7.)
+#: (empty: round 12 adds no queries — VERDICT r8 #7.)
 _AFTER_WINDOW: tuple = ()
 
 #: remaining slots (past the explicit window) go to modules whose
-#: latest green rows are oldest — after the r11 window lands that means
-#: the modules holding the round-6-cohort remainder lead the overflow
-#: tail (recomputed from the CORRECTNESS_r01–r10 union at round-11
-#: start, densest-remainder first), then the round-7-green families.
+#: latest green rows are oldest — after the r12 window lands that means
+#: the modules holding the round-7-cohort remainder lead the overflow
+#: tail (recomputed from the CORRECTNESS_r01–r11 union at round-12
+#: start, densest-remainder first), then the round-8-green families.
 _MODULE_RANK = {
     f"{__name__}.{m}": i
     for i, m in enumerate(
         (
-            # modules holding the bulk of the remaining r6-era rows
-            # (density of r6-cohort queries NOT in the r11 window)
-            "wave25_ops",
-            "wave28_ops",
-            "wave27_ops",
-            "wave29_ops",
-            "wave26_ops",
-            "wave30_ops",
-            "wave32_ops",
-            "wave33_ops",
-            "wave31_ops",
-            "olap",
-            "wave6_ops",
+            # modules holding the bulk of the remaining r7-era rows
+            # (density of r7-cohort queries NOT in the r12 window)
             "llm_pipeline",
-            # then the r7-green families
-            "wave34_ops",
-            "wave11_ops",
-            "wave10_ops",
-            "streaming_queries",
-            "wave9_ops",
-            "wave17_ops",
-            "wave19_ops",
-            "wave12_ops",
-            "wave13_ops",
-            "wave14_ops",
+            "curation",
+            "analytics_ops",
+            "corpus_ops",
+            "budget",
+            "wave4_ops",
             "wave15_ops",
+            # then the r8-green families
+            "relational",
+            "scale_ops",
+            "streaming_queries",
+            "core",
+            "filters",
+            "forecast_nested",
             "wave16_ops",
-            "wave18_ops",
-            "wave21_ops",
-            "wave22_ops",
             "wave23_ops",
-            "wave24_ops",
         )
     )
 }

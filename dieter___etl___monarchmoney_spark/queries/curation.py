@@ -372,7 +372,9 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__cum_before",
         inclusive=False,
     )
-    cum_before = F.col("__cum_before")
+    # the exclusive frame is empty on each language's first doc — the
+    # operator is window-exact (NULL there), the oracle COALESCEs to 0
+    cum_before = F.coalesce(F.col("__cum_before"), F.lit(0))
     return cum.select(
         "doc_id",
         "lang",

@@ -130,7 +130,9 @@ def test_ntile_rejects_non_int_k(spark):
 
 def test_group_prefix_sum_matches_window(spark):
     """exact_group_prefix_sum == the per-group cumulative window, both
-    inclusive and exclusive frames, including signed values."""
+    inclusive and exclusive frames, including signed values — compared
+    NULL-safely: the exclusive frame's first row is NULL (SUM over an
+    empty frame), never 0 (ADVICE r11)."""
     from dieter___etl___monarchmoney_spark.operators.rank import (
         exact_group_prefix_sum,
     )
@@ -145,14 +147,151 @@ def test_group_prefix_sum_matches_window(spark):
             .orderBy("key", "rid")
             .rowsBetween(Window.unboundedPreceding, frame_end)
         )
-        want = df.select(
-            "rid", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("want")
-        )
+        want = df.select("rid", F.sum("v").over(w).alias("want"))
         got = exact_group_prefix_sum(
             df, ["g"], "key", ["rid"], "v", "got", inclusive=inclusive
         ).select("rid", "got")
+        diff = got.join(want, "rid").filter(
+            ~F.col("got").eqNullSafe(F.col("want"))
+        )
+        assert diff.count() == 0
+
+
+def test_group_prefix_sum_null_values_window_exact(spark):
+    """NULL value rows are ignored like SUM ignores them, and a row
+    whose whole preceding frame holds only NULLs yields NULL — the
+    plain-window answer, not a coalesced 0 (ADVICE r11 #3). The NULLs
+    are planted at each group's head so the exclusive frame of the
+    first non-null rows is genuinely all-NULL."""
+    from dieter___etl___monarchmoney_spark.operators.rank import (
+        exact_group_prefix_sum,
+    )
+
+    df = _synthetic(spark, n=997).withColumn(
+        "v",
+        F.when(
+            F.col("key") < 2.0, F.lit(None).cast("long")
+        ).otherwise((F.pmod(F.xxhash64("rid", F.lit(3)), F.lit(23)) - 9).cast("long")),
+    )
+    for inclusive in (True, False):
+        frame_end = 0 if inclusive else -1
+        w = (
+            Window.partitionBy("g")
+            .orderBy("key", "rid")
+            .rowsBetween(Window.unboundedPreceding, frame_end)
+        )
+        want = df.select("rid", F.sum("v").over(w).alias("want"))
+        got = exact_group_prefix_sum(
+            df, ["g"], "key", ["rid"], "v", "got", inclusive=inclusive
+        ).select("rid", "got")
+        # the planted all-NULL head must actually produce NULL outputs
+        assert got.filter(F.col("got").isNull()).count() > 0
+        diff = got.join(want, "rid").filter(
+            ~F.col("got").eqNullSafe(F.col("want"))
+        )
+        assert diff.count() == 0
+
+
+def test_group_prefix_sum_rejects_float_values(spark):
+    """Float/double value columns are rejected: the cell-offset add
+    order differs from the window's sequential order, so float sums
+    could diverge in the last ulps (VERDICT r11 #5). Decimals and
+    integers pass the gate."""
+    import pytest
+
+    from dieter___etl___monarchmoney_spark.operators.rank import (
+        exact_group_prefix_sum,
+    )
+
+    df = _synthetic(spark, n=50).withColumn("v", F.col("key") * 2.0)
+    with pytest.raises(TypeError, match="value column"):
+        exact_group_prefix_sum(df, ["g"], "key", ["rid"], "v", "out")
+    dec = df.withColumn("v", F.col("v").cast("decimal(18,6)"))
+    out = exact_group_prefix_sum(dec, ["g"], "key", ["rid"], "v", "out")
+    assert out.count() == 50
+
+
+def test_bucket_edges_pinned_as_literals(spark):
+    """VERDICT r11 #1: the percentile_approx edge table feeds BOTH the
+    cell-count branch and the ranking branch, and an un-pinned lazy
+    aggregate is re-evaluated per branch (measured ReusedExchange: 0) —
+    past the GK sketch's compression threshold the two evaluations
+    could cut different edges and corrupt ranks. The fix collects the
+    K-bounded edges ONCE and re-emits them as a local relation, so the
+    executed plan of the returned DataFrame must contain NO
+    percentile_approx at all — the edge values are literals by the
+    time any consumer sees them."""
+    df = _synthetic(spark, n=1_201)
+    out = exact_group_rank(df, ["g"], "key", ["rid"], rank_col="r")
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" not in plan
+    # the edge table enters the plan as driver-materialized data
+    assert (
+        "Scan ExistingRDD" in plan
+        or "LocalTableScan" in plan
+        or "LocalRelation" in plan
+    )
+
+
+def test_rank_exact_with_exchange_reuse_disabled(spark):
+    """Bucket-id agreement between the count branch and the rank
+    branch must NOT depend on Spark's exchange/broadcast reuse deduping
+    the edge subtree (an optimization, not a guarantee). With reuse
+    forced off, every branch evaluates independently — ranks must
+    still be the exact per-group permutation 1..n and match the plain
+    window."""
+    reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = _synthetic(spark, n=1_783)
+        w = Window.partitionBy("g").orderBy(F.col("key").asc(), F.col("rid"))
+        want = df.select("rid", F.row_number().over(w).alias("want"))
+        got = exact_group_rank(
+            df, ["g"], "key", ["rid"], rank_col="got"
+        ).select("rid", "got")
         diff = got.join(want, "rid").filter(F.col("got") != F.col("want"))
         assert diff.count() == 0
+        # and per group the ranks are a gap-free 1..n permutation
+        per_g = (
+            got.join(df.select("rid", "g"), "rid")
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("got").alias("d"),
+                F.min("got").alias("lo"),
+                F.max("got").alias("hi"),
+            )
+            .filter(
+                (F.col("d") != F.col("n"))
+                | (F.col("lo") != 1)
+                | (F.col("hi") != F.col("n"))
+            )
+        )
+        assert per_g.count() == 0
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", reuse)
+
+
+def test_release_pins_releases_everything(spark):
+    """persist_input pins accumulate across queries in one session
+    unless released (ADVICE r11 #2): release_pins() unpersists every
+    pin since the last call and reports the count; a second call is a
+    no-op."""
+    from dieter___etl___monarchmoney_spark.operators.rank import release_pins
+
+    release_pins()  # drain pins left by earlier tests in this session
+    jsc = spark.sparkContext._jsc.sc()
+    base = len(jsc.getRDDStorageInfo())
+    df = _synthetic(spark, n=101)
+    exact_group_rank(df, ["g"], "key", ["rid"], rank_col="r").count()
+    exact_group_ntile(df, ["g"], "key", ["rid"], 4, out_col="t").count()
+    assert len(jsc.getRDDStorageInfo()) > base  # pins are live
+    assert release_pins() >= 2
+    assert release_pins() == 0
+    # the storage layer really let go of OUR blocks (other modules'
+    # session-lived caches, if any, are untouched)
+    assert len(jsc.getRDDStorageInfo()) <= base
 
 
 def test_ranking_stage_parallelism_not_capped_at_group_count(spark):
