@@ -119,6 +119,34 @@ def test_null_group_keys_rank_as_their_own_group(spark):
     assert diff.count() == 0
 
 
+def test_rank_empty_input(spark):
+    """Empty input: the collected edge table is empty and the operator
+    returns an empty frame with the rank column — no crash in the
+    createDataFrame([], schema) path."""
+    df = _synthetic(spark, n=10).filter(F.col("rid") < 0)
+    out = exact_group_rank(df, ["g"], "key", ["rid"], rank_col="r")
+    assert out.count() == 0
+    assert "r" in out.columns
+
+
+def test_all_null_order_key_group(spark):
+    """A group whose ORDER key is entirely NULL: its percentile_approx
+    edge array is NULL, the coalesce pins its rows to bucket 0, and
+    ranking falls through to the tie-break — matching the plain window
+    (NULLS FIRST, then rid)."""
+    df = _synthetic(spark, n=301).withColumn(
+        "key", F.when(F.col("g") == 1, F.lit(None)).otherwise(F.col("key"))
+    )
+    w = Window.partitionBy("g").orderBy(F.col("key").asc(), F.col("rid"))
+    want = df.select("rid", F.row_number().over(w).alias("want"))
+    got = exact_group_rank(df, ["g"], "key", ["rid"], rank_col="got").select(
+        "rid", "got"
+    )
+    assert got.count() == df.count()  # the NULL-key group keeps its rows
+    diff = got.join(want, "rid").filter(F.col("got") != F.col("want"))
+    assert diff.count() == 0
+
+
 def test_ntile_rejects_non_int_k(spark):
     import pytest
 
