@@ -70,7 +70,13 @@ _N = "__egr_n"
 #: accumulate across hundreds of queries (memory LRU-evicts; DISK
 #: blocks live until session end) and the leftover cache pressure
 #: skews later queries' timings. Call :func:`release_pins` after the
-#: consuming action completes.
+#: consuming action completes. The refs are deliberately STRONG: a
+#: Spark SQL ``persist()`` registers the plan in the JVM CacheManager,
+#: which holds it until an explicit ``unpersist()`` / ``clearCache()``
+#: — dropping the Python wrapper never frees the blocks (ContextCleaner
+#: only reclaims raw RDDs/broadcasts whose JVM refs die, not
+#: CacheManager entries), so a weak registry's entries would die with
+#: the operator's local variable and make the hook a silent no-op.
 _PINS: list[DataFrame] = []
 
 
@@ -79,11 +85,19 @@ def release_pins() -> int:
     last call, returning how many were released. Safe to call any time
     AFTER the actions consuming the returned DataFrames have run
     (unpersisting earlier is still correct — Spark recomputes — it just
-    forfeits the pin's read-once economy)."""
+    forfeits the pin's read-once economy), and safe across session
+    restarts: a pin left over from a stopped SparkSession is discarded,
+    never raised — a cleanup hook must not kill the sweep loop that
+    calls it between fresh-session scales."""
     n = 0
     while _PINS:
-        _PINS.pop().unpersist()
-        n += 1
+        try:
+            _PINS.pop().unpersist()
+            n += 1
+        except Exception:
+            # stopped session / dead JVM handle — the blocks are gone
+            # with the session; nothing to release
+            continue
     return n
 
 

@@ -322,6 +322,25 @@ def test_release_pins_releases_everything(spark):
     assert len(jsc.getRDDStorageInfo()) <= base
 
 
+def test_release_pins_survives_stale_session_pins(spark):
+    """scale_check runs a FRESH session per scale: a pin orphaned by a
+    mid-loop failure outlives its session, and the next scale's cleanup
+    call must discard it, not crash the sweep."""
+    from dieter___etl___monarchmoney_spark.operators import rank as rank_mod
+
+    class _StalePin:
+        def unpersist(self):
+            raise RuntimeError("Cannot call methods on a stopped SparkContext")
+
+    rank_mod.release_pins()
+    rank_mod._PINS.append(_StalePin())
+    df = _synthetic(spark, n=59)
+    exact_group_rank(df, ["g"], "key", ["rid"], rank_col="r").count()
+    # one live pin released, the stale one swallowed
+    assert rank_mod.release_pins() == 1
+    assert rank_mod._PINS == []
+
+
 def test_ranking_stage_parallelism_not_capped_at_group_count(spark):
     """The scale contract: the ranking window's hash partition key
     includes the bucket id, so the one data shuffle spreads
