@@ -1,0 +1,108 @@
+"""Registry-WIDE plan invariants (round 12). test_plans.py pins the
+plan shapes of individual flagship queries; this module sweeps every
+registered query and enforces the two join-strategy invariants the
+100 TB design cannot survive losing:
+
+1. **No CartesianProduct, ever.** An unconstrained cartesian join is
+   quadratic in data size — fine at sf0.001, fatal at the target
+   scale. No query is allowed one; there is no allowlist.
+
+2. **BroadcastNestedLoopJoin only via the sanctioned pattern.** BNLJ
+   is O(left x right); it is only scale-safe when one side is a
+   BOUNDED broadcast. Every sanctioned site in the repo is one of:
+   ``crossJoin(F.broadcast(<global aggregate>))`` — a one-row total /
+   threshold / normalizing constant fanned onto a distributed frame
+   (the correct Spark idiom for "divide by the global sum" without a
+   shuffle) — or a tiny dim-grid cross (days x types spine). The
+   allowlist below names every query whose plan legally contains a
+   BNLJ; set equality (not subset) is asserted both ways, so a new
+   accidental BNLJ fails loudly AND a stale allowlist entry (the
+   pattern was refactored away) must be removed rather than rot.
+
+The sweep is plan-only (nothing is executed; explain at sf0.001), so
+it covers all 272 queries in one test at about the cost of a single
+heavy query run."""
+
+from __future__ import annotations
+
+from dieter___etl___monarchmoney_spark import registry
+from dieter___etl___monarchmoney_spark.operators.rank import release_pins
+from tests.conftest import SF_SMOKE
+
+QUERIES, _ = registry.load()
+
+#: every query whose plan legally contains a BroadcastNestedLoopJoin —
+#: each is crossJoin(F.broadcast(one-row global aggregate)) or a tiny
+#: bounded grid; verified by source read at round 12 (the 3 crossJoin
+#: sites without an explicit broadcast() are days-x-types /
+#: one-row-x-one-row spines that Spark broadcasts itself)
+BNLJ_ONE_ROW_BROADCAST = {
+    "bigram_lm_quality",
+    "bm25_doc_ranking",
+    "bootstrap_mean_ci",
+    "calendar_gap_fill",
+    "compaction_bin_packing",
+    "component_size_distribution",
+    "cusum_changepoint",
+    "dataset_card_stats",
+    "decision_stump_split",
+    "funnel_conversion_steps",
+    "hard_negative_mining",
+    "hot_key_skew_profile",
+    "hourly_value_acf",
+    "idle_customer_outreach",
+    "important_part_stock",
+    "incremental_agg_merge",
+    "kaplan_meier_churn",
+    "kmv_set_similarity",
+    "knn_batch_join",
+    "naive_bayes_lang_confusion",
+    "page_with_total_count",
+    "percentile_bridge_exact",
+    "pmi_collocations",
+    "psi_value_drift",
+    "reciprocal_rank_fusion",
+    "source_keyness_g2",
+    "source_quality_calibration",
+    "table_profile",
+    "temperature_mixture_weights",
+    "tfidf_cosine_pairs",
+    "vocab_id_assignment",
+    "weekday_type_chi2",
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_no_cartesian_and_bnlj_only_where_sanctioned(spark):
+    cartesian: list[str] = []
+    bnlj: set[str] = set()
+    for name in sorted(QUERIES):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in plan:
+            bnlj.add(name)
+        release_pins()  # plan building registers pins; drop them
+    assert not cartesian, (
+        f"CartesianProduct in {cartesian} — quadratic at scale, banned "
+        f"registry-wide; rewrite as an equi/broadcast join"
+    )
+    rogue = bnlj - BNLJ_ONE_ROW_BROADCAST
+    assert not rogue, (
+        f"unsanctioned BroadcastNestedLoopJoin in {sorted(rogue)} — "
+        f"BNLJ is only scale-safe as crossJoin(broadcast(<one-row "
+        f"aggregate>)); verify the broadcast side is bounded, then add "
+        f"the query to BNLJ_ONE_ROW_BROADCAST with that justification"
+    )
+    stale = BNLJ_ONE_ROW_BROADCAST - bnlj
+    assert not stale, (
+        f"stale BNLJ allowlist entries {sorted(stale)} — the plan no "
+        f"longer contains a BNLJ; remove them so the list stays honest"
+    )
