@@ -19,6 +19,17 @@ registered query and enforces the two join-strategy invariants the
    accidental BNLJ fails loudly AND a stale allowlist entry (the
    pattern was refactored away) must be removed rather than rot.
 
+3. **No row-at-a-time Python UDFs, anywhere.** ``BatchEvalPython``
+   (pickled per-row Python evaluation) is the 10-100x slow lane the
+   repo's SURVEY §2.10 parity claim bans; this makes the claim an
+   executable registry-wide fact. Arrow-batched Python lanes
+   (``ArrowEvalPython``, ``MapInPandas``) are legal ONLY in the
+   sanctioned queries that exist to exercise them — two-way set
+   equality again. (``MapPartitionsRDD at applySchemaToPythonRDD``
+   lineage is NOT flagged: that is the plan footprint of
+   ``createDataFrame`` over driver-collected K-bounded literals — the
+   prefix.py/rank.py boundary pattern — not an executor Python lane.)
+
 The sweep is plan-only (nothing is executed; explain at sf0.001), so
 it covers all 272 queries in one test at about the cost of a single
 heavy query run."""
@@ -72,6 +83,19 @@ BNLJ_ONE_ROW_BROADCAST = {
 }
 
 
+#: queries whose plans legally contain an Arrow-batched Python lane —
+#: the sanctioned §2.10 exercisers (source read, round 12): the two
+#: Arrow scalar/UDTF lanes and the four multimodal mapInPandas stubs
+ARROW_LANE_QUERIES = {
+    "arrow_udf_text_normalize",  # ArrowEvalPython — wave16_ops.py
+    "udtf_chunk_explode",  # ArrowEvalPython — UDTF lane
+    "multimodal_decode_fake",  # MapInPandas — operators/multimodal.py
+    "multimodal_feature_extract",  # MapInPandas
+    "multimodal_frame_sample",  # MapInPandas
+    "multimodal_resize",  # MapInPandas
+}
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -83,13 +107,29 @@ def _plan(df) -> str:
 def test_no_cartesian_and_bnlj_only_where_sanctioned(spark):
     cartesian: list[str] = []
     bnlj: set[str] = set()
+    row_at_a_time: list[str] = []
+    arrow: set[str] = set()
     for name in sorted(QUERIES):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         if "CartesianProduct" in plan:
             cartesian.append(name)
         if "BroadcastNestedLoopJoin" in plan:
             bnlj.add(name)
+        if "BatchEvalPython" in plan:
+            row_at_a_time.append(name)
+        if "ArrowEvalPython" in plan or "MapInPandas" in plan:
+            arrow.add(name)
         release_pins()  # plan building registers pins; drop them
+    assert not row_at_a_time, (
+        f"row-at-a-time Python UDF (BatchEvalPython) in {row_at_a_time}"
+        f" — banned registry-wide (SURVEY §2.10); use built-in "
+        f"functions or an Arrow-batched lane"
+    )
+    assert arrow == ARROW_LANE_QUERIES, (
+        f"Arrow Python-lane drift: unexpected={sorted(arrow - ARROW_LANE_QUERIES)} "
+        f"stale={sorted(ARROW_LANE_QUERIES - arrow)} — Python lanes are "
+        f"legal only in the sanctioned §2.10 exercisers"
+    )
     assert not cartesian, (
         f"CartesianProduct in {cartesian} — quadratic at scale, banned "
         f"registry-wide; rewrite as an equi/broadcast join"
