@@ -158,6 +158,9 @@ def main() -> None:
             mismatches.append(name)
 
     rnd = _round_number()
+    # subset / re-runs must not clobber the committed full-registry
+    # report: SPARK_GRAFT_DETERMINISM_OUT overrides the output path
+    out_override = os.environ.get("SPARK_GRAFT_DETERMINISM_OUT")
     report = {
         "metric": "layout_determinism",
         "sf": sf,
@@ -168,7 +171,9 @@ def main() -> None:
         "mismatches": mismatches,
         "queries": detail,
     }
-    out_path = REPO / f"DETERMINISM_r{rnd:02d}.json"
+    out_path = (
+        Path(out_override) if out_override else REPO / f"DETERMINISM_r{rnd:02d}.json"
+    )
     out_path.write_text(json.dumps(report, indent=1, sort_keys=True) + "\n")
     summary = {
         "metric": "layout_determinism",
