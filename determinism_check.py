@@ -143,10 +143,15 @@ def main() -> None:
 
     detail: dict[str, dict] = {}
     mismatches: list[str] = []
+    errors: list[str] = []
     for name in sorted(queries):
         ra, ha = pass_a[name]
         rb, hb = pass_b[name]
-        ok = ra == rb and ha == hb
+        # an ERROR result can never count as a match — two passes
+        # failing with the SAME message would otherwise hash-agree and
+        # silently hide a broken query from the audit
+        errored = ra < 0 or rb < 0
+        ok = not errored and ra == rb and ha == hb
         detail[name] = {
             "match": ok,
             "rows_a": ra,
@@ -154,7 +159,9 @@ def main() -> None:
             "hash_a": ha,
             "hash_b": hb,
         }
-        if not ok:
+        if errored:
+            errors.append(name)
+        elif not ok:
             mismatches.append(name)
 
     rnd = _round_number()
@@ -169,6 +176,8 @@ def main() -> None:
         "queries_total": len(detail),
         "mismatch_count": len(mismatches),
         "mismatches": mismatches,
+        "error_count": len(errors),
+        "errors": errors,
         "queries": detail,
     }
     out_path = (
@@ -181,6 +190,8 @@ def main() -> None:
         "queries_total": len(detail),
         "mismatch_count": len(mismatches),
         "mismatches": mismatches,
+        "error_count": len(errors),
+        "errors": errors,
         "detail_file": out_path.name,
     }
     print(json.dumps(summary), flush=True)

@@ -43,10 +43,14 @@ from tests.conftest import SF_SMOKE
 QUERIES, _ = registry.load()
 
 #: every query whose plan legally contains a BroadcastNestedLoopJoin —
-#: each is crossJoin(F.broadcast(one-row global aggregate)) or a tiny
-#: bounded grid; verified by source read at round 12 (the 3 crossJoin
-#: sites without an explicit broadcast() are days-x-types /
-#: one-row-x-one-row spines that Spark broadcasts itself)
+#: each is one of three bounded-broadcast flavors, verified by source
+#: read at round 12: (1) crossJoin(F.broadcast(<one-row global
+#: aggregate>)) — totals/thresholds/normalizers; (2) a non-equi join
+#: against a broadcast batch bounded BY CONSTRUCTION (knn_batch_join's
+#: 8-row query batch, hard_negative_mining's anchor batch); (3) a tiny
+#: dim-grid cross (days x types spine; the 3 crossJoin sites without
+#: an explicit broadcast() hint are these — Spark broadcasts them
+#: itself)
 BNLJ_ONE_ROW_BROADCAST = {
     "bigram_lm_quality",
     "bm25_doc_ranking",
