@@ -19,7 +19,16 @@ registered query and enforces the two join-strategy invariants the
    accidental BNLJ fails loudly AND a stale allowlist entry (the
    pattern was refactored away) must be removed rather than rot.
 
-3. **No row-at-a-time Python UDFs, anywhere.** ``BatchEvalPython``
+3. **No single-partition funnel stages.** ``Exchange
+   SinglePartition`` routes the whole upstream through ONE task — the
+   shape the round-11 grouped-rank rewrite eliminated (the old
+   per-group NTILE window) and the classic way a query that works at
+   sf0.1 dies at 100 TB. Swept at round 12: zero occurrences across
+   all 272 plans (global top-k plans as TakeOrderedAndProject, global
+   sorts as range partitioning, global aggregates as partial+final —
+   none need a single-partition exchange); pinned so none sneaks back.
+
+4. **No row-at-a-time Python UDFs, anywhere.** ``BatchEvalPython``
    (pickled per-row Python evaluation) is the 10-100x slow lane the
    repo's SURVEY §2.10 parity claim bans; this makes the claim an
    executable registry-wide fact. Arrow-batched Python lanes
@@ -113,17 +122,25 @@ def test_no_cartesian_and_bnlj_only_where_sanctioned(spark):
     bnlj: set[str] = set()
     row_at_a_time: list[str] = []
     arrow: set[str] = set()
+    single_part: list[str] = []
     for name in sorted(QUERIES):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         if "CartesianProduct" in plan:
             cartesian.append(name)
         if "BroadcastNestedLoopJoin" in plan:
             bnlj.add(name)
+        if "Exchange SinglePartition" in plan:
+            single_part.append(name)
         if "BatchEvalPython" in plan:
             row_at_a_time.append(name)
         if "ArrowEvalPython" in plan or "MapInPandas" in plan:
             arrow.add(name)
         release_pins()  # plan building registers pins; drop them
+    assert not single_part, (
+        f"Exchange SinglePartition in {single_part} — a one-task funnel "
+        f"stage (the pre-r11 grouped-NTILE shape); use two-phase top-k, "
+        f"range partitioning, or the bucketed rank operators instead"
+    )
     assert not row_at_a_time, (
         f"row-at-a-time Python UDF (BatchEvalPython) in {row_at_a_time}"
         f" — banned registry-wide (SURVEY §2.10); use built-in "
