@@ -206,10 +206,14 @@ def main() -> None:
         # without this measured paged_source_roundtrip at 12.9 s on
         # BOTH passes where a clean session reproduces ~2 s). Explicit
         # persist() pins are NOT ContextCleaner-collectable (the
-        # CacheManager holds them by logical plan) — the grouped-rank
-        # operators expose a release hook for exactly this loop
-        # (ADVICE r11 #2); released AFTER both timed passes so the
-        # steady pass keeps its warm-cache semantics.
+        # CacheManager holds them by logical plan); the registry's
+        # @query wrapper clears the CacheManager at the ENTRY of every
+        # registered callable (registry.py), so query-internal pins
+        # never outlive the next registry call — each timed pass
+        # therefore starts cache-clean and rebuilds its own pins. The
+        # grouped-rank release hook (ADVICE r11 #2) covers the one gap
+        # the entry-clear can't: the LAST query's pins, which would
+        # otherwise still be resident while anchor_last is timed.
         _release_rank_pins()
         gc.collect()
 
