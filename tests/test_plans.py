@@ -762,12 +762,26 @@ def test_disjunctive_derivations_reach_both_scans(spark):
 
 def test_important_part_stock_reuses_fact_shuffle(spark):
     """Q11 shape: the global total must RE-REDUCE the per-part
-    aggregate, not rescan the fact — after AQE finalizes, the second
-    branch reads the first branch's shuffle via ReusedExchange."""
-    df = QUERIES["important_part_stock"](spark, SF_ORACLE)
-    df.collect()  # AQE finalizes exchange reuse at execution
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan
+    aggregate, not rescan the fact — the second branch reads the
+    first branch's shuffle via ReusedExchange.
+
+    Checked at PLAN time with AQE off: the non-adaptive
+    ReuseExchangeAndSubquery rule is deterministic on canonicalized
+    subtrees, whereas AQE's stage-cache reuse is opportunistic — two
+    equivalent stages submitted concurrently can both run when the
+    box is loaded (observed round 12: the executed-plan form of this
+    assertion flaked exactly once, under a concurrent full-suite +
+    plan-sweep load, and reproduces green solo). The property worth
+    pinning is that the two branches CANONICALIZE to one exchange;
+    whether AQE's cache wins its race is a perf detail the plans
+    must not depend on for correctness."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(QUERIES["important_part_stock"](spark, SF_ORACLE))
+        assert "ReusedExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
 
 def test_nation_trade_flows_broadcasts_all_dims(spark):
