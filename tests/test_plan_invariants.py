@@ -57,9 +57,9 @@ QUERIES, _ = registry.load()
 #: aggregate>)) — totals/thresholds/normalizers; (2) a non-equi join
 #: against a broadcast batch bounded BY CONSTRUCTION (knn_batch_join's
 #: 8-row query batch, hard_negative_mining's anchor batch); (3) a tiny
-#: dim-grid cross (days x types spine; the 3 crossJoin sites without
-#: an explicit broadcast() hint are these — Spark broadcasts them
-#: itself)
+#: dim-grid cross (days x types spine; the 2 crossJoin call sites
+#: without an explicit broadcast() hint are these — Spark broadcasts
+#: them itself)
 BNLJ_ONE_ROW_BROADCAST = {
     "bigram_lm_quality",
     "bm25_doc_ranking",
