@@ -58,11 +58,31 @@ def test_config_axes_differ_on_every_key():
 def test_all_conf_keys_are_runtime_settable(spark):
     # spark.conf.set raises AnalysisException on a static conf — every
     # audit key must accept a runtime set AND read back the new value,
-    # on both the A and B sides
-    for conf in (dc._CONF_B, dc._CONF_A):  # end on A = session default
-        for k, v in conf.items():
-            old = spark.conf.get(k, None)
-            spark.conf.set(k, v)
-            assert spark.conf.get(k) == v, k
-            if old is not None:
-                spark.conf.set(k, old)
+    # on both the A and B sides.
+    #
+    # Restore discipline: capture every key's EFFECTIVE value up
+    # front and restore it unconditionally in a finally. The first
+    # version restored per-key only when get(k, None) was non-None —
+    # but for keys the session never set explicitly that returns
+    # None, the restore was skipped, and the NEXT loop's "old" was
+    # the adversarial B value, so the shared session ended with
+    # exchange.reuse=false and 1 MiB file splits: two unrelated plan
+    # tests (ReuseExchange rule, DPP's reuse-based subquery
+    # broadcast) failed suite-wide while passing solo.
+    originals = {}
+    for k in dc._CONF_A:
+        try:
+            originals[k] = spark.conf.get(k)  # effective value
+        except Exception:  # noqa: BLE001 — defined-default-less key
+            originals[k] = None
+    try:
+        for conf in (dc._CONF_B, dc._CONF_A):
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+                assert spark.conf.get(k) == v, k
+    finally:
+        for k, v in originals.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
