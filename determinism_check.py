@@ -34,7 +34,12 @@ leak into pass B through reused DataFrames).
 
 Stdout: one JSON line {"metric": "layout_determinism", "queries_total",
 "mismatches": [names...], "sf"}; per-query detail lands in
-DETERMINISM_r{N}.json (same round inference as bench.py).
+DETERMINISM_r{N}.json (round inference shared with bench.py). A
+subset run (SPARK_GRAFT_ONLY) auto-suffixes its output file with
+"_subset" unless SPARK_GRAFT_DETERMINISM_OUT names one explicitly, so
+it can never clobber the committed full-registry report. Exit status
+is non-zero when any query mismatches or errors, so scripted gates
+(`python determinism_check.py && ...`) actually gate.
 """
 
 from __future__ import annotations
@@ -55,6 +60,8 @@ for p in (str(REPO), str(REPO / "tests")):
 
 from oracle_utils import normalize  # noqa: E402  (tests/oracle_utils.py)
 
+from bench import _round_number  # noqa: E402  — shared round inference
+
 from dieter___etl___monarchmoney_spark import registry  # noqa: E402
 from dieter___etl___monarchmoney_spark.operators.rank import (  # noqa: E402
     release_pins as _release_rank_pins,
@@ -68,7 +75,7 @@ _CONF_A = {
     "spark.sql.exchange.reuse": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.files.openCostInBytes": "4194304",
-    "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    "spark.sql.autoBroadcastJoinThreshold": "67108864",
 }
 _CONF_B = {
     "spark.sql.shuffle.partitions": "7",
@@ -80,22 +87,15 @@ _CONF_B = {
 }
 
 
-def _round_number() -> int:
-    best = 0
-    for p in REPO.glob("BENCH_r*.json"):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
-        if m:
-            best = max(best, int(m.group(1)))
-    return best + 1
-
-
 def _value_hash(pdf) -> tuple[int, str]:
-    """(row_count, md5 over the driver-normalized frame). String
-    rendering goes through repr of the normalized cells — floats are
-    already rounded by normalize(), so the hash has exactly the
-    oracle compare's FP sensitivity."""
+    """(row_count, md5 over the driver-normalized frame). Rendering is
+    JSON (orient="values"), NOT CSV: CSV collapses None and "" into
+    the same empty field, which would hide a null-vs-empty-string
+    layout drift the oracle compare (assert_frame_equal) distinguishes.
+    Floats are already rounded by normalize(), so FP sensitivity
+    matches the oracle compare's."""
     norm = normalize(pdf)
-    payload = norm.to_csv(index=False).encode()
+    payload = norm.to_json(orient="values", date_format="iso").encode()
     return len(norm), hashlib.md5(payload).hexdigest()
 
 
@@ -130,16 +130,42 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_ONLY")
     if only:
         keep = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = sorted(keep - set(queries))
+        if unknown:
+            # a typo must not yield a green empty/partial audit
+            print(
+                f"ERROR: SPARK_GRAFT_ONLY names not in the registry: "
+                f"{unknown}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         queries = {n: q for n, q in queries.items() if n in keep}
 
-    for k, v in _CONF_A.items():
-        spark.conf.set(k, v)
-    pass_a = _run_pass(spark, queries, sf_dir, "A")
-    for k, v in _CONF_B.items():
-        spark.conf.set(k, v)
-    pass_b = _run_pass(spark, queries, sf_dir, "B")
-    for k, v in _CONF_A.items():  # leave the session as we found it
-        spark.conf.set(k, v)
+    # capture the session's EFFECTIVE conf values up front and restore
+    # them unconditionally — the same discipline whose absence in the
+    # test-side conf probe leaked exchange.reuse=false suite-wide
+    # (SCALE.md round-12 adjudication); "restore _CONF_A" would leave
+    # a getOrCreate-shared session at 10 MiB broadcast / 32 shuffle
+    # partitions instead of whatever the caller configured
+    originals: dict[str, str | None] = {}
+    for k in _CONF_A:
+        try:
+            originals[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — key with no default
+            originals[k] = None
+    try:
+        for k, v in _CONF_A.items():
+            spark.conf.set(k, v)
+        pass_a = _run_pass(spark, queries, sf_dir, "A")
+        for k, v in _CONF_B.items():
+            spark.conf.set(k, v)
+        pass_b = _run_pass(spark, queries, sf_dir, "B")
+    finally:
+        for k, v in originals.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
     detail: dict[str, dict] = {}
     mismatches: list[str] = []
@@ -180,9 +206,13 @@ def main() -> None:
         "errors": errors,
         "queries": detail,
     }
-    out_path = (
-        Path(out_override) if out_override else REPO / f"DETERMINISM_r{rnd:02d}.json"
-    )
+    if out_override:
+        out_path = Path(out_override)
+    elif only:
+        # never let a subset run clobber the committed full report
+        out_path = REPO / f"DETERMINISM_r{rnd:02d}_subset.json"
+    else:
+        out_path = REPO / f"DETERMINISM_r{rnd:02d}.json"
     out_path.write_text(json.dumps(report, indent=1, sort_keys=True) + "\n")
     summary = {
         "metric": "layout_determinism",
@@ -195,6 +225,8 @@ def main() -> None:
         "detail_file": out_path.name,
     }
     print(json.dumps(summary), flush=True)
+    if mismatches or errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,16 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def formatted_plan(df) -> str:
+    """The formatted physical-plan explain string — shared by every
+    plan-shape suite so they all assert against one rendering."""
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)

@@ -1,7 +1,7 @@
 """Registry-WIDE plan invariants (round 12). test_plans.py pins the
 plan shapes of individual flagship queries; this module sweeps every
-registered query and enforces the two join-strategy invariants the
-100 TB design cannot survive losing:
+registered query and enforces the plan invariants the 100 TB design
+cannot survive losing:
 
 1. **No CartesianProduct, ever.** An unconstrained cartesian join is
    quadratic in data size — fine at sf0.001, fatal at the target
@@ -47,7 +47,7 @@ from __future__ import annotations
 
 from dieter___etl___monarchmoney_spark import registry
 from dieter___etl___monarchmoney_spark.operators.rank import release_pins
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, formatted_plan as _plan
 
 QUERIES, _ = registry.load()
 
@@ -107,14 +107,6 @@ ARROW_LANE_QUERIES = {
     "multimodal_frame_sample",  # MapInPandas
     "multimodal_resize",  # MapInPandas
 }
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
 
 
 def test_no_cartesian_and_bnlj_only_where_sanctioned(spark):

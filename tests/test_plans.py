@@ -8,17 +8,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dieter___etl___monarchmoney_spark import registry
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, formatted_plan as _plan
 
 QUERIES, _ = registry.load()
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
 
 
 def test_filtered_page_pushes_predicates(spark):
