@@ -55,6 +55,20 @@ def test_config_axes_differ_on_every_key():
         assert dc._CONF_A[k] != dc._CONF_B[k], k
 
 
+def test_config_a_matches_the_deployed_session(spark):
+    # config A claims to be "driver-like"; its broadcast threshold and
+    # AQE setting must track what the session factory actually deploys
+    # (a 10 MiB-vs-64 MiB drift here left the broadcast-vs-shuffle
+    # determinism axis unexercised at the deployed layout — caught in
+    # the round-12 self-review)
+    assert dc._CONF_A["spark.sql.autoBroadcastJoinThreshold"] == spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold"
+    )
+    assert dc._CONF_A["spark.sql.adaptive.enabled"] == spark.conf.get(
+        "spark.sql.adaptive.enabled"
+    )
+
+
 def test_all_conf_keys_are_runtime_settable(spark):
     # spark.conf.set raises AnalysisException on a static conf — every
     # audit key must accept a runtime set AND read back the new value,
