@@ -91,11 +91,15 @@ def distributed_prefix_sum(
     ``sortWithinPartitions(order_cols)`` write emits globally sorted
     output without another shuffle.
 
-    Determinism: bucket boundaries come from ``percentile_approx``
-    (deterministic sketch), not the RangePartitioner's random
-    reservoir — for exact types (int/bigint/decimal) the output is
-    bucketing-independent anyway; for double value columns the
-    floating ADD ORDER follows the (deterministic) buckets.
+    Determinism: the ``percentile_approx`` boundary probe is evaluated
+    ONCE and collected to driver literals before any consumer exists,
+    so nothing rests on the GK sketch's merge-order behavior (the
+    at-scale hazard operators/rank.py documents) — and unlike the
+    RangePartitioner's random reservoir, re-running the probe on the
+    same data reproduces the same cuts below the sketch's compression
+    threshold. For exact value types (int/bigint/decimal) the output
+    is bucketing-independent anyway; for double value columns the
+    floating ADD ORDER follows the collected (fixed) buckets.
     """
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     keys = [F.col(c) for c in order_cols]
