@@ -27,15 +27,26 @@ WATERMARK_KEY = "last_run_utc"
 def read_watermark(spark: SparkSession, control_path: str) -> dt.datetime | None:
     """T1 — read the control table's watermark (Control!B2 analog,
     MonarchMoneyMain-v3.py:1218-1225). Control is a tiny key/value
-    parquet table (FIXTURES.md §9)."""
-    try:
-        rows = (
-            spark.read.parquet(control_path)
-            .filter(F.col("key") == WATERMARK_KEY)
-            .collect()
-        )
-    except Exception:
+    parquet table (FIXTURES.md §9).
+
+    Absence is an EXISTENCE check, never an exception catch — the same
+    doctrine :func:`run_incremental_load` applies to the sink probe: a
+    missing control table legitimately means "first run, backfill",
+    but a transient read failure on an EXISTING control (corrupt
+    footer, storage hiccup, permissions) must surface. Swallowed, it
+    would silently reclassify an up-to-date deployment as never-run
+    and trigger a full multi-year re-extract — at 100 TB that is the
+    difference between reloading one day and reloading the table."""
+    from dieter___etl___monarchmoney_spark.sources.sinks import _hadoop_fs
+
+    fs, target, _ = _hadoop_fs(spark, control_path)
+    if not fs.exists(target):
         return None
+    rows = (
+        spark.read.parquet(control_path)
+        .filter(F.col("key") == WATERMARK_KEY)
+        .collect()
+    )
     if not rows or rows[0]["value"] in (None, ""):
         return None
     return dt.datetime.fromisoformat(rows[0]["value"])

@@ -31,6 +31,20 @@ def test_watermark_roundtrip(spark, tmp_path):
     assert read_watermark(spark, ctl) is None  # blank value -> backfill
 
 
+def test_corrupt_existing_control_raises_not_backfills(spark, tmp_path):
+    # absence is an existence check, never an exception catch: a
+    # transient/corrupt read on an EXISTING control must surface — the
+    # swallowed form silently reclassified an up-to-date deployment as
+    # never-run and triggered a full multi-year re-extract
+    import pytest
+
+    ctl = tmp_path / "control"
+    ctl.mkdir()
+    (ctl / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        read_watermark(spark, str(ctl))
+
+
 def test_derive_window_policies():
     wm = dt.datetime(2024, 2, 10, 8, 30)
     # normal: start-of-day of the watermark (MonarchMoneyMain-v3.py:1250-1258)
