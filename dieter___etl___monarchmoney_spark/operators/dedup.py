@@ -223,7 +223,7 @@ def ngram_jaccard_pairs(
     # split per shingle
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.filter(tokens(text_col), lambda t: t != "").alias("toks"),
+        F.array_remove(tokens(text_col), "").alias("toks"),
     )
     doc_sh = toks.select(
         "doc_id", F.array_distinct(shingles_of(F.col("toks"), n)).alias("sh_arr")
@@ -299,7 +299,7 @@ def prefix_filter_jaccard_pairs(
     dedup audits needing provable completeness)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.filter(tokens(text_col), lambda t: t != "").alias("toks"),
+        F.array_remove(tokens(text_col), "").alias("toks"),
     )
     # NO size()>0 filter here and explode_OUTER below: a size filter (or
     # the one Catalyst infers from a plain explode) gets pushed through

@@ -163,7 +163,7 @@ def q_duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     width) report 0.0 via the left joins."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
-        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("toks")
+        "doc_id", F.array_remove(tokens("text"), "").alias("toks")
     )
     doc_sh = toks.select(
         "doc_id", F.array_distinct(shingles_of(F.col("toks"), 5)).alias("sh_arr")
@@ -307,7 +307,7 @@ def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # select are not common-subexpression-eliminated across lambdas, so
     # inlining tokens() here would re-run the regex split per term
     tokd = docs.select(
-        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("toks")
+        "doc_id", F.array_remove(tokens("text"), "").alias("toks")
     )
     def _tf(term: str):
         # a one-arg closure per term: a default-arg lambda would have
@@ -744,7 +744,7 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     as lloyd_refine / money_sum)."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
-        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("toks")
+        "doc_id", F.array_remove(tokens("text"), "").alias("toks")
     )
     big = toks.select(
         "doc_id", F.explode_outer(shingles_of(F.col("toks"), 2)).alias("bigram")
@@ -1277,7 +1277,7 @@ def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
-        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("toks")
+        "doc_id", F.array_remove(tokens("text"), "").alias("toks")
     )
     sh = toks.select(
         "doc_id",
@@ -1453,7 +1453,7 @@ def bpe_learn(docs: DataFrame, k_max: int = _BPE_K):
     callers that don't consume it must unpersist). Shared with the
     encode pass (wave5_ops) so learn and apply can never drift."""
     toks = docs.select(
-        "doc_id", F.filter(tokens("text"), lambda t: t != "").alias("toks")
+        "doc_id", F.array_remove(tokens("text"), "").alias("toks")
     )
     wrapped = toks.filter(F.size("toks") > 0).select(
         "doc_id",

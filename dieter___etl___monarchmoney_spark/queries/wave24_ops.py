@@ -77,7 +77,7 @@ def q_max_duplicated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     All outputs are exact integers."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
-        "doc_id", F.filter(tokens("text"), lambda x: x != "").alias("t")
+        "doc_id", F.array_remove(tokens("text"), "").alias("t")
     )
     sh = toks.select(
         "doc_id",

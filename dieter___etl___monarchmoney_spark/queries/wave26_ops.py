@@ -138,9 +138,7 @@ def q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "source",
         F.explode_outer(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
-            )
+            F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
         ).alias("word"),
     ).filter(F.col("word").isNotNull())
     wc = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
@@ -217,7 +215,7 @@ def q_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select(
         "lang",
         "source",
-        F.size(F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""))
+        F.size(F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), ""))
         .cast("bigint")
         .alias("n_tokens"),
         fingerprint_md5("text").alias("fp"),

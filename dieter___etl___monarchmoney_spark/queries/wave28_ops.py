@@ -366,9 +366,7 @@ def q_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "source",
         F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
-            )
+            F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
         ).alias("word"),
     )
     vocab = (

@@ -90,9 +90,7 @@ def q_naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
-            )
+            F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
         ).alias("word"),
     )
     dwc = words.groupBy(

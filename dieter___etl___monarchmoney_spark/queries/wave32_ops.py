@@ -190,9 +190,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dieter___etl___monarchmoney_spark.operators.dedup import shingles_of
 
     docs = load_table(spark, "documents", sf_dir)
-    tk = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
-    )
+    tk = F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
     # token array projected first (the transform-lambda CSE trap —
     # see shingles_of), then bigrams = 2-shingles
     # single-file input -> repartition so the tokenize projection

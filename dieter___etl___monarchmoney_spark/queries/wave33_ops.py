@@ -79,9 +79,7 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dieter___etl___monarchmoney_spark.operators.similarity import dot
 
     docs = load_table(spark, "documents", sf_dir)
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
-    )
+    toks = F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
     def term_tf(term: str):
         # factory closure: a 2-arg lambda would be read by PySpark as
         # the (element, index) form, binding the term to the index col
@@ -219,9 +217,7 @@ def q_set_cover_greedy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_distinct dedups WITHIN the doc — map-only, so unlike the
     # old explode().distinct() there is no full posting-table shuffle
     # anywhere in the query.
-    tk = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
-    )
+    tk = F.array_remove(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "")
     sh_arr = (
         docs.select("doc_id", tk.alias("tk"))
         .select(

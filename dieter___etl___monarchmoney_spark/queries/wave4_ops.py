@@ -552,7 +552,7 @@ def q_source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "source",
-        F.explode(F.filter(tokens("text"), lambda t: t != "")).alias("w"),
+        F.explode(F.array_remove(tokens("text"), "")).alias("w"),
     )
     cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))

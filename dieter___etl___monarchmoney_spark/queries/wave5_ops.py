@@ -107,7 +107,7 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     rules = shared_bpe_rules(spark, sf_dir).orderBy("merge_rank").collect()
     _S = "\x1f"
-    toks_col = F.filter(tokens("text"), lambda t: t != "")
+    toks_col = F.array_remove(tokens("text"), "")
     final = (
         docs.select("doc_id", toks_col.alias("toks"))
         .filter(F.size("toks") > 0)
@@ -135,7 +135,7 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     before = docs.select(
         "doc_id",
-        F.size(F.filter(tokens("text"), lambda t: t != "")).alias("n_syms_before"),
+        F.size(F.array_remove(tokens("text"), "")).alias("n_syms_before"),
     )
     return (
         before.join(enc, "doc_id", "left")

@@ -154,7 +154,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers below each re-tokenize — a single extra scan-speed
     # pass — which at 100 TB is cheaper than pinning the tokenized
     # corpus in executor memory.
-    t = docs.select(F.filter(tokens("text"), lambda x: x != "").alias("t"))
+    t = docs.select(F.array_remove(tokens("text"), "").alias("t"))
     uni = t.select(F.explode("t").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -242,7 +242,7 @@ def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, "documents", sf_dir)
     # token_count counts '' for empty docs too — mirror the oracle's
     # list_filter by counting only non-empty whitespace tokens.
-    n_tok = F.size(F.filter(tokens("text"), lambda x: x != ""))
+    n_tok = F.size(F.array_remove(tokens("text"), ""))
     src = docs.groupBy("source").agg(F.sum(n_tok).cast("bigint").alias("n_tokens"))
     w = src.select(
         "source", "n_tokens", F.sqrt(F.col("n_tokens").cast("double")).alias("w_raw")
@@ -326,9 +326,25 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("es")
         )
     )
+    # bin = |edges ≤ value| — UNROLLED into 9 codegen'd element_at
+    # comparisons (round 12): size(filter(..., lambda)) is a
+    # higher-order function, which is CodegenFallback (interpreted per
+    # element) on the full fact scan. when/otherwise counts exactly
+    # like filter() — a NULL comparison (NULL value) contributes 0 —
+    # and the whole-NULL edge array (empty reference slice) still
+    # yields a NULL bin, matching size(NULL)=NULL.
+    n_edges = 9
+    bin_col = F.lit(0)
+    for i in range(1, n_edges + 1):
+        bin_col = bin_col + F.when(
+            F.col("value") >= F.element_at("es", i), 1
+        ).otherwise(0)
     binned = ev.crossJoin(F.broadcast(edges)).select(
         F.when(F.col("ts") < split, 1).otherwise(0).alias("is_ref"),
-        F.size(F.filter("es", lambda x: F.col("value") >= x)).cast("int").alias("bin"),
+        F.when(F.col("es").isNull(), F.lit(None).cast("int"))
+        .otherwise(bin_col)
+        .cast("int")
+        .alias("bin"),
     )
     cnt = binned.groupBy("bin").agg(
         F.sum("is_ref").alias("p_cnt"), F.sum(1 - F.col("is_ref")).alias("q_cnt")

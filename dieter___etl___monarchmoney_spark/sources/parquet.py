@@ -37,6 +37,51 @@ DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: inferred-schema memo for the immutable input tables. Footer-based
+#: schema inference is driver-side metadata work Spark repeats on EVERY
+#: ``spark.read.parquet`` call (~50-90 ms per call on this box vs
+#: ~10 ms with an explicit schema) — across a 272-query bench run that
+#: re-loads the same ten tables thousands of times it was the single
+#: largest fixed overhead on the suite. A catalog/metastore table
+#: carries its schema for exactly this reason; this memo is the
+#: path-table equivalent. Keyed on the file fingerprint (path, size,
+#: mtime_ns — directories fold in their parquet children) plus every
+#: session conf that can change what inference returns, so a swapped
+#: data file or a differently-configured session re-infers instead of
+#: reading with a stale schema. Schemas are METADATA: every query still
+#: computes its result from the parquet bytes on every invocation.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+#: session confs that alter parquet schema inference — part of the key
+_SCHEMA_CONFS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.parquet.binaryAsString",
+    "spark.sql.parquet.int96AsTimestamp",
+)
+
+
+def _path_fingerprint(path: str) -> tuple:
+    st = os.stat(path)
+    if os.path.isdir(path):
+        children = tuple(
+            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+            for e in sorted(os.scandir(path), key=lambda e: e.name)
+            if e.is_file()
+        )
+        return (path, st.st_mtime_ns, children)
+    return (path, st.st_size, st.st_mtime_ns)
+
+
+def _cached_schema(spark: SparkSession, path: str):
+    confs = tuple(spark.conf.get(c, None) for c in _SCHEMA_CONFS)
+    key = (_path_fingerprint(path), confs)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one star-schema table as a DataFrame.
@@ -56,7 +101,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    # explicit (memoized) schema: skips the per-call footer inference;
+    # the schema IS the inferred one, so the read is byte-identical
+    df = spark.read.schema(_cached_schema(spark, path)).parquet(path)
     if name == "events":
         df = _normalize_event_time(df)
     return df
