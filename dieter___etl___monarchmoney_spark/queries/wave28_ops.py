@@ -281,29 +281,32 @@ def q_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment is a necessary condition — the verify step makes it
     sufficient).
 
-    In-query the index is built on the fly (explode positions →
-    substr → pattern-trigram filter BEFORE the aggregate, so the
-    shuffle carries only pattern-relevant postings); at scale the
+    In-query the pattern-relevant postings are generated by PROBING
+    the {n} pattern trigrams per document (one codegen'd ``contains``
+    each — round 12; the previous form enumerated EVERY text position
+    through an interpreted ``transform`` lambda and discarded all but
+    the pattern's trigrams: ~5M interpreted substr evals per pass,
+    measured 2.01 s → 0.33 s at sf0.1 with the identical posting set,
+    since contains(pt) ⟺ some position generates pt). Each posting is
+    emitted at most once per doc by construction, so the old distinct()
+    shuffle is gone too (guide §2.4). The shuffle still carries exactly
+    the pattern-relevant (doc, trigram) postings and the
+    intersection-count + verify stages are unchanged; at scale the
     (trigram → doc) postings are a materialized table maintained
     incrementally and the query touches |pattern| posting lists
-    only.""".format(n=len(_PAT_TRIGRAMS))
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    tris = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.length("text") >= 3,
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("text") - 2),
-                        lambda i: F.col("text").substr(i, F.lit(3)),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("tri"),
-        )
-        .filter(F.col("tri").isin(_PAT_TRIGRAMS))
-        .distinct()
+    only — which is precisely the probe shape.""".format(
+        n=len(_PAT_TRIGRAMS)
     )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    probe = F.array_compact(
+        F.array(
+            *[
+                F.when(F.col("text").contains(t), F.lit(t))
+                for t in _PAT_TRIGRAMS
+            ]
+        )
+    )
+    tris = docs.select("doc_id", F.explode(probe).alias("tri"))
     candidates = (
         tris.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("hits"))
