@@ -13,20 +13,27 @@ This module applies the same partial-then-offset decomposition
 (per group):
 
 1. cut K-bounded per-group bucket edges of the numeric order key with
-   one ``percentile_approx`` aggregate, and PIN them by collecting the
-   |groups|-row edge table to the driver and re-emitting it as a local
-   relation (the ``operators/prefix.py`` collect-boundaries-to-literals
-   pattern). The pin is a CORRECTNESS requirement, not an optimization:
-   the edge table feeds two plan branches (cell counts → offsets, and
-   the ranking join), and Spark evaluates an un-pinned aggregate
-   independently per branch (measured: ``ReusedExchange: 0``, the edge
-   aggregate appearing once per consumer). ``percentile_approx``'s GK
-   sketch is only merge-order-independent while every group stays under
-   the accuracy threshold (~10k samples); past it, two evaluations can
-   disagree on edges and a row would land in different buckets for the
-   count pass and the rank pass — silently corrupting global ranks.
-   Collected literals make both branches share one edge set by
-   construction, at any scale;
+   one ``percentile_approx`` aggregate, and PIN them with an eager
+   ``localCheckpoint`` — ONE materialization whose blocks both plan
+   branches read, with the lineage truncated so a re-evaluation is
+   impossible by construction. The pin is a CORRECTNESS requirement,
+   not an optimization: the edge table feeds two plan branches (cell
+   counts → offsets, and the ranking join), and Spark evaluates an
+   un-pinned aggregate independently per branch (measured:
+   ``ReusedExchange: 0``, the edge aggregate appearing once per
+   consumer). ``percentile_approx``'s GK sketch is only
+   merge-order-independent while every group stays under the accuracy
+   threshold (~10k samples); past it, two evaluations can disagree on
+   edges and a row would land in different buckets for the count pass
+   and the rank pass — silently corrupting global ranks. The truncated
+   lineage makes both branches share one edge set at any scale; block
+   loss (executor death) fails the job LOUDLY instead of silently
+   recomputing a possibly different edge set (round 13 — previously the
+   pin collected the edges to the driver and re-emitted them as a local
+   relation, which carried the same guarantee at a measured +0.25 s/call
+   driver-constant: the collect deserialization + createDataFrame
+   re-emit py4j round-trips, removed by keeping the blocks on the
+   executors);
 2. assign every row an EXPLICIT bucket-id column by broadcast-joining
    the pinned edge table (equal keys always share a bucket, so
    tie-breaking stays within one cell);
@@ -81,11 +88,15 @@ _PINS: list[DataFrame] = []
 
 
 def release_pins() -> int:
-    """Unpersist every input pinned by ``persist_input=True`` since the
-    last call, returning how many were released. Safe to call any time
-    AFTER the actions consuming the returned DataFrames have run
-    (unpersisting earlier is still correct — Spark recomputes — it just
-    forfeits the pin's read-once economy), and safe across session
+    """Unpersist every pin registered since the last call — the
+    ``persist_input=True`` input pins AND the checkpointed edge pins —
+    returning how many were released. Call it AFTER the actions
+    consuming the returned DataFrames have run: releasing an INPUT pin
+    early is still correct (Spark recomputes, forfeiting the read-once
+    economy), but releasing an EDGE pin early drops checkpointed
+    blocks whose lineage is truncated, so a later action on the same
+    returned frame fails LOUDLY ("checkpoint block not found") — never
+    silently wrong; rebuild the frame instead. Safe across session
     restarts: a pin left over from a stopped SparkSession is discarded,
     never raised — a cleanup hook must not kill the sweep loop that
     calls it between fresh-session scales."""
@@ -105,6 +116,26 @@ def _pin(df: DataFrame) -> DataFrame:
     df = df.persist()
     _PINS.append(df)
     return df
+
+
+class _EdgePin:
+    """Deterministic releaser for a localCheckpointed edge frame. The
+    checkpoint's blocks are NOT CacheManager entries —
+    ``DataFrame.unpersist()`` is a silent no-op on them — and the
+    ContextCleaner only reclaims them after both the Python wrapper and
+    the JVM Dataset have been garbage collected, which is asynchronous.
+    A harness timing hundreds of queries in one JVM needs deterministic
+    release, so this unpersists the checkpointed RDD itself (the
+    ``LogicalRDD`` the eager localCheckpoint leaves as the frame's
+    entire plan)."""
+
+    __slots__ = ("_df",)
+
+    def __init__(self, df: DataFrame) -> None:
+        self._df = df
+
+    def unpersist(self) -> None:
+        self._df._jdf.queryExecution().analyzed().rdd().unpersist(False)
 
 
 def _key_col(key_col: str | Column) -> Column:
@@ -129,28 +160,45 @@ def _nullsafe_broadcast_join(
     return d.join(F.broadcast(s), cond).select("__egr_l.*", *extra)
 
 
+def _pin_edges(edges: DataFrame) -> DataFrame:
+    """The correctness pin (module docstring): materialize the
+    K-bounded edge table ONCE, eagerly, with its lineage truncated —
+    every consumer reads the same checkpointed blocks and a
+    re-evaluation of the ``percentile_approx`` aggregate is impossible
+    by construction (block loss fails loudly, it never silently
+    recomputes). Chosen over the two alternatives by a round-13
+    interleaved A/B across the five rank-family queries (min-of-4,
+    one warm JVM, results proven identical): collect+createDataFrame
+    re-emit 5.25 s, persist()+count() 4.55 s (and its cache miss would
+    silently recompute — the exact hazard the pin exists to close),
+    localCheckpoint 4.00 s."""
+    pinned = edges.localCheckpoint(eager=True)
+    _PINS.append(_EdgePin(pinned))
+    return pinned
+
+
 def _bucketize(
     df: DataFrame, group_cols: list[str], key: Column, num_buckets: int
 ) -> DataFrame:
     """Append the explicit ``_BKT`` bucket-id column: K-bounded
     per-group ``percentile_approx`` edges of the numeric key (one
-    map-side-combined aggregate, |groups| rows), PINNED by collecting
-    to the driver and re-emitting as a local relation, then broadcast
-    back (null-safely — NULL group keys rank as their own group,
-    matching the window form), bucket = #edges strictly below the key.
-    Equal keys always share a bucket; NULL keys land in bucket 0
-    (NULL > e is false), matching ASC NULLS FIRST / DESC NULLS LAST
-    within-cell order. The coalesce guards the all-null-key group,
-    whose edge array is NULL (size(NULL) would null the bucket id and
-    drop its rows at the offsets join).
+    map-side-combined aggregate, |groups| rows), PINNED by an eager
+    lineage-truncating ``localCheckpoint`` (:func:`_pin_edges`), then
+    broadcast back (null-safely — NULL group keys rank as their own
+    group, matching the window form), bucket = #edges strictly below
+    the key. Equal keys always share a bucket; NULL keys land in
+    bucket 0 (NULL > e is false), matching ASC NULLS FIRST / DESC
+    NULLS LAST within-cell order. The coalesce guards the all-null-key
+    group, whose edge array is NULL (size(NULL) would null the bucket
+    id and drop its rows at the offsets join).
 
-    The collect is the correctness pin (module docstring): the bucket
-    id feeds BOTH the offsets branch and the ranking branch, and an
-    un-pinned edge aggregate is re-evaluated per branch (exchange
-    reuse is an optimization, not a guarantee) — past the GK sketch's
-    compression threshold the two evaluations could cut different
-    edges and desynchronize bucket ids between the passes. It is
-    K-bounded by the module's low-cardinality-groups contract:
+    The pin is the correctness requirement (module docstring): the
+    bucket id feeds BOTH the offsets branch and the ranking branch,
+    and an un-pinned edge aggregate is re-evaluated per branch
+    (exchange reuse is an optimization, not a guarantee) — past the GK
+    sketch's compression threshold the two evaluations could cut
+    different edges and desynchronize bucket ids between the passes.
+    It is K-bounded by the module's low-cardinality-groups contract:
     |groups| rows x ≤(num_buckets-1) key values."""
     cuts = [i / num_buckets for i in range(1, num_buckets)]
     edges = df.groupBy(*group_cols).agg(
@@ -158,7 +206,7 @@ def _bucketize(
             key, F.array(*[F.lit(c) for c in cuts]), F.lit(10_000)
         ).alias(_EDGES)
     )
-    pinned = df.sparkSession.createDataFrame(edges.collect(), edges.schema)
+    pinned = _pin_edges(edges)
     return _nullsafe_broadcast_join(df, pinned, group_cols).withColumn(
         _BKT,
         F.coalesce(
@@ -188,9 +236,10 @@ def exact_group_rank(
     With ``n_col`` set, the group size is appended too (free: it rides
     the same K-bounded cell-count table).
 
-    Determinism: the bucket edges are collected ONCE and re-emitted as
-    driver-side literals (module docstring — the pin that keeps the
-    count pass and the rank pass on one edge set at any scale), equal
+    Determinism: the bucket edges are materialized ONCE behind a
+    lineage-truncating checkpoint (module docstring — the pin that
+    keeps the count pass and the rank pass on one edge set at any
+    scale), equal
     keys always share a bucket, and ``(key, *ties)`` uniqueness fixes
     the within-cell order, so the output is a pure function of the
     data — no dependence on physical partitioning.

@@ -244,11 +244,13 @@ def test_bucket_edges_pinned_as_literals(spark):
     cell-count branch and the ranking branch, and an un-pinned lazy
     aggregate is re-evaluated per branch (measured ReusedExchange: 0) —
     past the GK sketch's compression threshold the two evaluations
-    could cut different edges and corrupt ranks. The fix collects the
-    K-bounded edges ONCE and re-emits them as a local relation, so the
-    executed plan of the returned DataFrame must contain NO
-    percentile_approx at all — the edge values are literals by the
-    time any consumer sees them."""
+    could cut different edges and corrupt ranks. The fix materializes
+    the K-bounded edges ONCE behind a lineage-truncating eager
+    localCheckpoint (round 13; previously a driver collect + local
+    relation re-emit — same guarantee, +0.25 s/call of py4j constant),
+    so the executed plan of the returned DataFrame must contain NO
+    percentile_approx at all — the edge values are checkpointed data
+    by the time any consumer sees them."""
     df = _synthetic(spark, n=1_201)
     out = exact_group_rank(df, ["g"], "key", ["rid"], rank_col="r")
     out.count()
@@ -336,8 +338,9 @@ def test_release_pins_survives_stale_session_pins(spark):
     rank_mod._PINS.append(_StalePin())
     df = _synthetic(spark, n=59)
     exact_group_rank(df, ["g"], "key", ["rid"], rank_col="r").count()
-    # one live pin released, the stale one swallowed
-    assert rank_mod.release_pins() == 1
+    # both live pins (input persist + edge checkpoint) released, the
+    # stale one swallowed
+    assert rank_mod.release_pins() == 2
     assert rank_mod._PINS == []
 
 
