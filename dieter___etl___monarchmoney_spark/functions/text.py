@@ -37,8 +37,11 @@ def tokens(col: Column | str) -> Column:
     ``['']`` — one empty token, count 1 — because ``split('')`` returns
     a single empty element in BOTH engines. Callers that must treat
     blank docs as zero-token (quality scoring, token budgeting) filter
-    blanks first or ``F.filter(tokens(c), t -> t != '')``, which several
-    queries (sequence_packing) already do."""
+    blanks first or use ``F.array_remove(tokens(c), '')`` — the
+    codegen'd form the round-12 sweep standardized on; the
+    ``F.filter(..., t -> t != '')`` lambda is semantically identical
+    but evaluates interpreted (higher-order functions are
+    CodegenFallback), which measurably slows full-corpus scans."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.lower(F.trim(c)), r"\s+")
 

@@ -10,9 +10,9 @@ two-phase form here is the textbook distributed scan:
    aggregate — boundary rows, never data rows), then range-partition
    on that bucket id — the ONE data shuffle — and compute an ordinary
    per-bucket running sum;
-2. collect the per-bucket totals (K-bounded driver materialization:
-   ≤ num_ranges rows), prefix-sum them on the driver, and broadcast
-   the cumulative offsets back;
+2. prefix-sum the per-bucket totals into cumulative offsets — a
+   K-bounded (≤ num_ranges rows) single-partition window, scalar-sized
+   work that stays in-engine — and broadcast them back;
 3. each row's global prefix = its local prefix + its bucket's offset —
    a map-side add, no further shuffle.
 
@@ -23,7 +23,8 @@ partitioning by ``spark_partition_id()`` instead would force a second
 full-data hash shuffle (RangePartitioning on the sort keys does not
 satisfy a clustering requirement on the synthetic pid column).
 
-Total cost: one range shuffle + two scalar-sized driver reads, versus
+Total cost: one range shuffle + one scalar-sized driver read (the
+boundary probe), versus
 the naive plan's full sort into a single task. This is the same
 partial-then-offset decomposition Spark itself uses for
 ``zipWithIndex``.
@@ -35,19 +36,11 @@ snapshot deltas); this operator is that semantic at cluster scale.
 
 from __future__ import annotations
 
-import decimal
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DateType,
-    DecimalType,
-    DoubleType,
-    FloatType,
-    IntegerType,
     NumericType,
-    StructField,
-    StructType,
     TimestampNTZType,
     TimestampType,
 )
@@ -150,32 +143,32 @@ def distributed_prefix_sum(
     # non-monotone and its max overstates the bucket total.
     totals_df = local.groupBy(_PID).agg(F.sum(value).alias("t"))
     t_type = totals_df.schema["t"].dataType
-    totals = {
-        r[_PID]: r["t"] for r in totals_df.collect()
-    }  # K-bounded: ≤ num_ranges rows
-    if isinstance(t_type, DecimalType):
-        zero = decimal.Decimal(0)
-    elif isinstance(t_type, (DoubleType, FloatType)):
-        zero = 0.0
-    else:
-        zero = 0
-    offsets, running = [], zero
-    for pid in range(n_buckets):
-        offsets.append((pid, running))
-        t = totals.get(pid)
-        if t is not None:
-            running = running + t
-    spark = df.sparkSession
-    # Offset column carries the aggregate's own type (bigint for
-    # integral inputs, double/decimal otherwise) so the map-side add
-    # below neither truncates nor raises on non-integral value columns.
-    off_schema = StructType(
-        [
-            StructField(_PID, IntegerType(), False),
-            StructField("__prefix_off", t_type, True),
-        ]
+    # Cumulative offsets stay IN-ENGINE (round 13; previously the
+    # totals collected to the driver and re-emitted via
+    # createDataFrame): an exclusive running sum over the K-bounded
+    # totals — a single-partition window over ≤ num_ranges rows, which
+    # is exactly the scalar-sized work a driver loop did, minus the two
+    # py4j round-trips (collect + re-emit). Interleaved A/B min-of-5:
+    # signed_running_balance 1.18 → 0.85 s, sequence_packing_plan
+    # 0.77 → 0.54 s, results identical. The window accumulates in
+    # ascending _PID order — the identical left-to-right add sequence
+    # the driver loop used, so double value columns keep bit-identical
+    # offsets; missing (empty) pids contribute nothing either way.
+    # Consistency: `local` is pinned above, so the totals the offsets
+    # derive from and the rows they join back to read one evaluation;
+    # a cache-miss recompute re-derives the same totals because the
+    # bucket ids are literal-pinned bounds and the per-bucket window
+    # order is the unique (order_cols) total order.
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    off_df = totals_df.select(
+        F.col(_PID),
+        # the offset carries the aggregate's own type (bigint for
+        # integral inputs, double/decimal otherwise) so the map-side
+        # add below neither truncates nor raises
+        F.coalesce(F.sum("t").over(w_off), F.lit(0).cast(t_type)).alias(
+            "__prefix_off"
+        ),
     )
-    off_df = spark.createDataFrame(offsets, off_schema)
     return (
         local.join(F.broadcast(off_df), _PID)
         .withColumn(out_col, F.col(_LOCAL) + F.col("__prefix_off"))

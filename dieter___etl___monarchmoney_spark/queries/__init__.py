@@ -64,106 +64,111 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
     wave35_ops,
 )
 
-#: ROUND-12 ROTATION — evidence freshness (VERDICT r11 #3). 272
-#: registered queries, 269/269 oracle-backed green on their freshest
-#: check; the window re-proves (a) the queries whose plan-affecting
-#: code changed THIS round after their last green row — the five
-#: grouped-rank-family queries again, because operators/rank.py now
-#: PINS its percentile_approx bucket-edge table by collecting it to
-#: driver literals (VERDICT r11 #1: the un-pinned edge aggregate was
-#: re-evaluated per plan branch, a silent at-scale bucket-desync
-#: hazard) and exact_group_prefix_sum gained window-exact NULL
-#: semantics + a float-value guard — then (b) the full 30-query cohort
-#: whose freshest green row is round 6 (the oldest evidence after the
-#: r11 window landed), then (c) the 13 alphabetically-first queries of
-#: the round-7 cohort as fillers.
-#: 5 + 30 + 13 + 2 flagship = one full 50-slot window; after it lands
-#: no green row in the registry predates round 7.
+#: ROUND-13 ROTATION — evidence freshness (VERDICT r12 #8: rotate to
+#: the next-oldest cohort; every query edited in round 13 re-enters).
+#: 272 registered queries, 269 oracle-backed; the window re-proves
+#: (a) the 11 queries whose plan-affecting code changed THIS round —
+#: the five grouped-rank-family queries (operators/rank.py now pins
+#: its bucket-edge table with an eager lineage-truncating
+#: localCheckpoint instead of the driver collect), the two
+#: distributed-prefix-sum queries (operators/prefix.py computes its
+#: cumulative offsets in-engine instead of collect+re-emit),
+#: pq_adc_topk (persisted subspace frame + single fused Lloyd-mean
+#: job), simhash_hamming_pairs (hamming verify moved before the pair
+#: dedup), quantile_binning_features (size-gated distributed edge
+#: ranks + closed-form edge predicate), and ann_recall_audit (probe
+#: threads now adopt the parent job group) — then (b) the full
+#: 34-query cohort whose freshest green row is round 7, then (c) the
+#: 3 alphabetically-first round-8 queries as fillers. 11 + 37 + 2
+#: flagship = one full 50-slot window; after it lands no green row in
+#: the registry predates round 8. The three rows-only sketch queries
+#: (approx_distinct_validation, approx_vocab_sketch,
+#: percentile_sketch_validation) have no oracle row to refresh and
+#: stay out, as in every prior window.
 #: sessionize_tws_stream is NOT listed: google.protobuf is absent in
 #: this environment (no network, installs forbidden; re-checked at
-#: round-12 start), so it never registers — gate documented in README.
+#: round-13 start), so it never registers — gate documented in README.
 _PRIORITY = (
-    # (a) round-12 edits: rank.py edge pinning + prefix-sum NULL/float
-    # contract — values re-proven oracle-exact locally (hash-exact at
-    # sf0.01 after the change), re-proven on the driver here
+    # (a) round-13 edits — values re-proven oracle-exact locally
+    # (hash-exact at sf0.01 after each change), re-proven on the
+    # driver here
     "source_quality_calibration",
     "quality_decile_assignment",
     "decile_lift_table",
     "doc_length_band_filter",
     "sequence_packing",
-    # (b) the round-6 cohort: freshest green row is round 6
-    # (recomputed from CORRECTNESS_r01–r11 at round-12 start)
-    "kaplan_meier_churn",
-    "kendall_tau_daily",
-    "kfold_leakage_audit",
-    "linear_touch_attribution",
-    "minhash_lsh_candidates",
-    "naive_bayes_lang_confusion",
-    "oov_rate_by_source",
-    "partition_checksum_diff",
-    "percentile_bridge_exact",
     "pq_adc_topk",
-    "pricing_summary_report",
-    "quantile_binning_features",
-    "reciprocal_rank_fusion",
-    "retention_policy_prune",
-    "revenue_gini_by_nation",
-    "sequence_packing_plan",
-    "set_cover_greedy_selection",
-    "shipping_priority_topk",
     "simhash_hamming_pairs",
-    "spearman_daily_correlation",
-    "stratified_split_audit",
-    "target_encoding_loo",
-    "tfidf_cosine_pairs",
-    "theil_sen_trend",
-    "token_entropy_by_source",
-    "topn_with_others_rollup",
-    "trigram_substring_search",
-    "udtf_chunk_explode",
-    "weighted_median_by_segment",
-    "window_rank_surface",
-    # (c) round-7-cohort fillers, oldest-first (alphabetical within
-    # the cohort, per VERDICT r8 #1)
-    "account_enrichment_join",
-    "ann_lsh_topk",
+    "quantile_binning_features",
     "ann_recall_audit",
-    "boilerplate_segment_audit",
-    "bpe_encode_corpus",
-    "bpe_merge_rules",
-    "cashflow_by_category_group",
-    "cashflow_summary",
-    "chunk_sliding_windows",
-    "component_size_distribution",
-    "decontamination_overlap",
-    "dedup_exact_groups",
-    "dedup_survivors",
+    "signed_running_balance",
+    "sequence_packing_plan",
+    # (b) the round-7 cohort: freshest green row is round 7
+    # (recomputed from CORRECTNESS_r01-r12 at round-13 start)
+    "dedup_token_multiset",
+    "distinct_token_stats",
+    "dup_graph_pagerank",
+    "embedding_centroids_by_label",
+    "embedding_neardup_pairs",
+    "exact_dedup_removed",
+    "global_shuffle_assignment",
+    "incremental_dedup",
+    "language_balanced_sample",
+    "minhash_error_audit",
+    "monthly_merchant_dense_rank",
+    "multimodal_decode_fake",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "neardup_clusters",
+    "nearest_centroid_confusion",
+    "ngram_jaccard_pairs",
+    "pca_top_component",
+    "percentile_stats_by_lang",
+    "pii_redaction_audit",
+    "pipeline_stage_funnel",
+    "reconciliation_audit",
+    "running_total_by_category",
+    "simhash_buckets",
+    "similarity_graph_triangles",
+    "source_mixture_sample",
+    "term_relevance_topk",
+    "text_language_id",
+    "text_quality_scores",
+    "text_repetition_scores",
+    "text_token_stats",
+    "train_val_test_split",
+    "transactions_summary",
+    # (c) round-8-cohort fillers, oldest-first (alphabetical within
+    # the cohort, per VERDICT r8 #1)
+    "accounts_sorted_contract",
+    "asof_view_attribution",
+    "bm25_doc_ranking",
 )
 
 #: re-confirm a rotating flagship slice inside the window (VERDICT r2
 #: #6). These sit AFTER the stale/oldest-evidence block so that if the
 #: driver budget lands below 50 the casualties are the freshest-risk
-#: re-confirms. Round-12 slice: the per-language Pareto frontier (its
-#: 4x→8x doubling step is this round's one prescribed sweep
-#: re-adjudication, VERDICT r11 #6 — the fresh driver row lands
-#: alongside that evidence) and the signed running balance, whose
-#: operators/prefix.py collect-boundaries-to-literals pattern is
-#: exactly what this round's rank.py fix adopts.
+#: re-confirms. Round-13 slice: semantic_dedup_clusters (this round\'s
+#: blocked-pair-family audit adjudicated its verify-dot form by
+#: measurement — the fresh driver row lands alongside that evidence)
+#: and trigram_substring_search (round 12\'s headline restructure,
+#: re-confirmed one round later).
 _FLAGSHIP = (
-    "pareto_quality_frontier",
-    "signed_running_balance",
+    "semantic_dedup_clusters",
+    "trigram_substring_search",
 )
 
-#: queries added THIS round (round 12) — registry growth is frozen at
+#: queries added THIS round (round 13) — registry growth is frozen at
 #: ≤5 (VERDICT r5 #2); anything here rotates into _PRIORITY next round.
-#: (empty: round 12 adds no queries — VERDICT r8 #7.)
+#: (empty: round 13 is an optimization round — no new queries.)
 _AFTER_WINDOW: tuple = ()
 
 #: remaining slots (past the explicit window) go to modules whose
-#: latest green rows are oldest — after the r12 window lands that means
-#: the modules holding the round-7-cohort remainder lead the overflow
-#: tail (recomputed from the CORRECTNESS_r01–r11 union at round-12
-#: start, densest-remainder first), then the round-8-green families.
+#: latest green rows are oldest — after the r13 window lands the r7
+#: cohort is fully refreshed, so the round-8-green families lead the
+#: overflow tail (ranking kept from r12: the same modules hold the
+#: densest r8-era remainders).
 _MODULE_RANK = {
     f"{__name__}.{m}": i
     for i, m in enumerate(

@@ -944,7 +944,29 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks the rest), so no eager count() is needed before fan-out.
     scored = lsh_scored_candidates(vectors, qv, bits=6).persist()
     try:
+        # jobs submitted from pool threads do not inherit the driver
+        # thread's job group / description (thread-local in pinned-thread
+        # mode), which breaks per-query job accounting
+        # (statusTracker().getJobIdsForGroup) and job-group cancellation
+        # for these probes (ADVICE r12 #3) — copy the parent's
+        # properties into each worker before its action runs.
+        sc = spark.sparkContext
+        parent_props = {
+            k: sc.getLocalProperty(k)
+            for k in (
+                "spark.jobGroup.id",
+                "spark.job.description",
+                "spark.job.interruptOnCancel",
+            )
+        }
+
+        def _adopt_props():
+            for k, v in parent_props.items():
+                if v is not None:
+                    sc.setLocalProperty(k, v)
+
         def _topk(df):
+            _adopt_props()
             return {
                 r[0]
                 for r in df.orderBy(
@@ -956,6 +978,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
 
         def _ivf():
+            _adopt_props()
             return {
                 r[0]
                 for r in ivf_ann_topk(vectors, qv, k=10).select("vec_id").collect()

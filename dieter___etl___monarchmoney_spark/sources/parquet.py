@@ -53,23 +53,37 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _SCHEMA_CACHE: dict[tuple, object] = {}
 
 #: session confs that alter parquet schema inference — part of the key
+#: (ADVICE r12 #1: mergeSchema changes which footers contribute to the
+#: inferred schema and the fieldId confs change how columns resolve, so
+#: a session toggling either must re-infer, not reuse a memo made under
+#: the other setting)
 _SCHEMA_CONFS = (
     "spark.sql.legacy.parquet.nanosAsLong",
     "spark.sql.parquet.inferTimestampNTZ.enabled",
     "spark.sql.parquet.binaryAsString",
     "spark.sql.parquet.int96AsTimestamp",
+    "spark.sql.parquet.mergeSchema",
+    "spark.sql.parquet.fieldId.read.enabled",
+    "spark.sql.parquet.fieldId.read.ignoreMissing",
 )
 
 
 def _path_fingerprint(path: str) -> tuple:
+    """(path, sizes, mtimes) of the table file — or, for a directory,
+    of every file under it RECURSIVELY (ADVICE r12 #2: a partitioned
+    layout nests data files in subdirectories; fingerprinting only the
+    direct children would miss a changed partition file). os.walk's
+    deterministic sort keeps the key stable across calls."""
     st = os.stat(path)
     if os.path.isdir(path):
-        children = tuple(
-            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-            for e in sorted(os.scandir(path), key=lambda e: e.name)
-            if e.is_file()
-        )
-        return (path, st.st_mtime_ns, children)
+        children = []
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            for f in sorted(files):
+                fst = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), path)
+                children.append((rel, fst.st_size, fst.st_mtime_ns))
+        return (path, st.st_mtime_ns, tuple(children))
     return (path, st.st_size, st.st_mtime_ns)
 
 
