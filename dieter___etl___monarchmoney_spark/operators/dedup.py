@@ -17,7 +17,7 @@ production would use xxhash64 (same shape, ~10× faster).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dieter___etl___monarchmoney_spark.functions.text import fingerprint_md5, tokens
@@ -316,29 +316,25 @@ def prefix_filter_jaccard_pairs(
         F.explode_outer("sh_arr").alias("shingle"),
     ).filter(F.col("shingle").isNotNull())
     freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
-    # global rarest-first total order: (doc_freq, shingle) — identical
-    # in every doc, so prefixes are mutually consistent
-    ordered = (
-        exploded.join(freq, "shingle")
-        .groupBy("doc_id", "n_sh")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_freq", "shingle"))
-            ).alias("by_rarity")
-        )
-    )
     prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
-    # posexplode: each prefix entry carries its 1-based POSITION in the
-    # doc's rarity order — the raw material of the positional filter
-    prefix = ordered.select(
-        "doc_id",
-        "n_sh",
-        F.posexplode(
-            F.transform(
-                F.slice("by_rarity", F.lit(1), prefix_len), lambda s: s["shingle"]
-            )
-        ).alias("pos0", "shingle"),
-    ).select("doc_id", "n_sh", (F.col("pos0") + 1).alias("pos"), "shingle")
+    # global rarest-first total order: (doc_freq, shingle) — identical
+    # in every doc, so prefixes are mutually consistent. The per-doc
+    # rarity position is a row_number window (round 13; previously
+    # collect_list + array_sort + slice + posexplode materialized and
+    # re-exploded every doc's FULL shingle array just to keep its first
+    # prefix_len entries): (doc_freq, shingle) is unique within a doc —
+    # shingles are distinct — so the window rank equals the sorted
+    # array position exactly, rows that lose the rank filter never
+    # build an array at all, and the interpreted transform lambda is
+    # gone. Same one exchange (hash by doc_id instead of the group-by);
+    # interleaved A/B min-of-5: 2.63 → 2.22 s, results identical.
+    w_rarity = Window.partitionBy("doc_id").orderBy("doc_freq", "shingle")
+    prefix = (
+        exploded.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w_rarity))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "n_sh", "pos", "shingle")
+    )
     postings = (
         prefix.groupBy("shingle")
         .agg(

@@ -67,7 +67,7 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
 #: ROUND-13 ROTATION — evidence freshness (VERDICT r12 #8: rotate to
 #: the next-oldest cohort; every query edited in round 13 re-enters).
 #: 272 registered queries, 269 oracle-backed; the window re-proves
-#: (a) the 11 queries whose plan-affecting code changed THIS round —
+#: (a) the 12 queries whose plan-affecting code changed THIS round —
 #: the five grouped-rank-family queries (operators/rank.py now pins
 #: its bucket-edge table with an eager lineage-truncating
 #: localCheckpoint instead of the driver collect), the two
@@ -76,10 +76,12 @@ from dieter___etl___monarchmoney_spark.queries import (  # noqa: F401
 #: pq_adc_topk (persisted subspace frame + single fused Lloyd-mean
 #: job), simhash_hamming_pairs (hamming verify moved before the pair
 #: dedup), quantile_binning_features (size-gated distributed edge
-#: ranks + closed-form edge predicate), and ann_recall_audit (probe
-#: threads now adopt the parent job group) — then (b) the full
-#: 34-query cohort whose freshest green row is round 7, then (c) the
-#: 3 alphabetically-first round-8 queries as fillers. 11 + 37 + 2
+#: ranks + closed-form edge predicate), ann_recall_audit (probe
+#: threads now adopt the parent job group), and prefix_filter_jaccard
+#: (per-doc rarity prefix now a row_number window instead of
+#: collect+sort+re-explode) — then (b) the full 34-query cohort whose
+#: freshest green row is round 7, then (c) the 2 alphabetically-first
+#: round-8 queries as fillers. 12 + 36 + 2
 #: flagship = one full 50-slot window; after it lands no green row in
 #: the registry predates round 8. The three rows-only sketch queries
 #: (approx_distinct_validation, approx_vocab_sketch,
@@ -103,6 +105,7 @@ _PRIORITY = (
     "ann_recall_audit",
     "signed_running_balance",
     "sequence_packing_plan",
+    "prefix_filter_jaccard",
     # (b) the round-7 cohort: freshest green row is round 7
     # (recomputed from CORRECTNESS_r01-r12 at round-13 start)
     "dedup_token_multiset",
@@ -143,16 +146,15 @@ _PRIORITY = (
     # the cohort, per VERDICT r8 #1)
     "accounts_sorted_contract",
     "asof_view_attribution",
-    "bm25_doc_ranking",
 )
 
 #: re-confirm a rotating flagship slice inside the window (VERDICT r2
 #: #6). These sit AFTER the stale/oldest-evidence block so that if the
 #: driver budget lands below 50 the casualties are the freshest-risk
-#: re-confirms. Round-13 slice: semantic_dedup_clusters (this round\'s
+#: re-confirms. Round-13 slice: semantic_dedup_clusters (this round's
 #: blocked-pair-family audit adjudicated its verify-dot form by
 #: measurement — the fresh driver row lands alongside that evidence)
-#: and trigram_substring_search (round 12\'s headline restructure,
+#: and trigram_substring_search (round 12's headline restructure,
 #: re-confirmed one round later).
 _FLAGSHIP = (
     "semantic_dedup_clusters",
